@@ -1,0 +1,160 @@
+"""Exact (flat) k-nearest-neighbor search -- the reference's flagship query.
+
+Reference parity (SURVEY.md §2.9):
+  - search orchestration: vector_db/services.py:164-181 + vector_store.py:229-259
+  - flat index scan:      vector_db/indexes.py:61-89
+  - metadata pre-filter:  vector_db/vector_store.py:250-265 (F1/F2) -- the
+    filter is applied BEFORE any distance computation ("pre-search metadata
+    filtering"); an empty candidate set short-circuits to [].
+  - top-k:                vector_db/indexes.py:86-89; ties are undefined in
+    the reference, so this engine defines the deterministic total order
+    (distance, vec_id) and the oracle does the same.
+
+Spark-first design:
+  - The query vector is a 1-row DataFrame broadcast into a cross join -- no
+    shuffle of the candidate side at any scale; the scan stays embarrassingly
+    parallel and Catalyst pushes the label filter into the parquet scan.
+  - ``orderBy(distance, id).limit(k)`` compiles to TakeOrderedAndProject:
+    per-partition top-k heaps merged on the driver -- the optimal distributed
+    top-k; no global sort is materialized even at 100 TB.
+  - Multi-query batch: two-phase top-k. Phase 1 takes the per-partition
+    top-k per query with a window over (query_id, partition_id) -- balanced
+    keys, no skew even with few queries. Phase 2 ranks the surviving
+    ``k * num_partitions`` rows per query -- tiny. A single window over
+    query_id alone would funnel the full candidate set for one query through
+    one task, which dies at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import distance_expr, oracle_distance_sql
+from ..sources.tables import load_table
+
+EMB = "embeddings"
+
+
+def query_vector_df(spark: SparkSession, sf_dir: str, vec_id: int) -> DataFrame:
+    """1-row DataFrame holding the query embedding (analog of the search
+    request body, vector_db/schemas.py:57-60)."""
+    return (
+        load_table(spark, sf_dir, EMB)
+        .filter(F.col("vec_id") == vec_id)
+        .select(F.col("embedding").alias("q"))
+    )
+
+
+def flat_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    label_filter: int | None = None,
+    query_literal: list[float] | None = None,
+) -> DataFrame:
+    """Exact k-NN over ``embeddings``: scan -> (filter) -> distance -> top-k.
+
+    ``label_filter`` plays the role of the reference's conjunctive metadata
+    equality pre-filter (label = value <=> metadata {"tag": value}).
+    ``query_literal`` (when given) replaces the vec_id lookup -- used for the
+    zero-vector probe that exercises the +inf cosine guard.
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")  # vector_db/services.py:171-172
+    emb = load_table(spark, sf_dir, EMB)
+    if label_filter is not None:
+        emb = emb.filter(F.col("label") == label_filter)  # F1/F2: filter BEFORE distance
+    if query_literal is not None:
+        q = F.array(*[F.lit(float(x)) for x in query_literal])
+        joined = emb.withColumn("q", q)
+    else:
+        joined = emb.crossJoin(F.broadcast(query_vector_df(spark, sf_dir, query_vec_id)))
+    return (
+        joined.select(
+            "vec_id",
+            distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+        )
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+def flat_knn_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    label_filter: int | None = None,
+    query_literal: list[float] | None = None,
+) -> str:
+    """DuckDB SQL computing exactly :func:`flat_knn` (same rounding, same
+    tie-break) on the pre-registered ``embeddings`` view."""
+    where = f"WHERE label = {label_filter}" if label_filter is not None else ""
+    d = oracle_distance_sql(metric, "e.ee", "q.qe")
+    if query_literal is not None:
+        vals = ", ".join(repr(float(x)) for x in query_literal)
+        qsrc = f"(SELECT [{vals}]::DOUBLE[] AS qe) q"
+    else:
+        qsrc = f"(SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {query_vec_id}) q"
+    return f"""
+SELECT e.vec_id AS vec_id, {d} AS distance
+FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings {where}) e, {qsrc}
+ORDER BY distance, vec_id
+LIMIT {k}
+""".strip()
+
+
+def batch_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 5,
+    num_queries: int = 8,
+) -> DataFrame:
+    """Multi-query k-NN (beyond the reference, which searches one query at a
+    time under a global lock -- vector_db/vector_store.py:30,237).
+
+    Two-phase top-k: local (query_id, partition_id) window, then global
+    window over the k*P survivors. Deterministic under the (distance, vec_id)
+    total order regardless of physical partitioning.
+    """
+    emb = load_table(spark, sf_dir, EMB)
+    queries = (
+        emb.filter(F.col("vec_id") < num_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+    )
+    local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        "distance", "vec_id"
+    )
+    survivors = (
+        scored.withColumn("_rn", F.row_number().over(local)).filter(F.col("_rn") <= k)
+    )
+    global_w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(global_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "distance", "rank")
+    )
+
+
+def batch_knn_oracle(metric: str = "cosine", k: int = 5, num_queries: int = 8) -> str:
+    d = oracle_distance_sql(metric, "e.ee", "q.qe")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < {num_queries}),
+     e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+     scored AS (
+       SELECT q.query_id AS query_id, e.vec_id AS vec_id, {d} AS distance,
+              row_number() OVER (PARTITION BY q.query_id
+                                 ORDER BY {d}, e.vec_id) AS rank
+       FROM e, q)
+SELECT query_id, vec_id, distance, rank
+FROM scored WHERE rank <= {k}
+""".strip()
