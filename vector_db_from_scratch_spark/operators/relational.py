@@ -1,0 +1,466 @@
+"""Relational operator suite over the TPC-H-ish driver tables.
+
+These prove the general operator inventory the reference's entity model maps
+onto (SURVEY.md §2.1-§2.6): scans with pushed-down filters (S1-S6), column
+pruning projections (P1-P3), FK hierarchy joins (J1), semi/anti joins
+(J2/J5), count aggregates (A1), pagination (T2), plus the Spark-native
+extensions the reference lacks (window functions, rollup, distinct aggs).
+
+Scale notes (100 TB thinking):
+  - Dimension tables (region/nation/customer/supplier/part) are broadcast --
+    Catalyst auto-broadcasts under the threshold; we force it where the
+    statistics might not be known (fresh parquet without analyzed stats).
+  - Fact-side aggregations rely on partial (map-side) aggregation; the only
+    shuffle is on the (low-cardinality, well-distributed) group keys.
+  - Top-k results use TakeOrderedAndProject, never a global sort.
+
+Float determinism vs the DuckDB oracle: a double SUM over 600k+ rows
+accumulates order-dependent error larger than any rounding grain, so every
+big SUM is computed in DECIMAL (exact, order-independent) and cast back to
+double at the end. Inputs here are 2-dp money values, so decimal(25,10) is
+lossless; per-row double products (price * (1-discount)) are bit-identical
+across engines before the decimal cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import normalize_float
+from ..sources.tables import load_table
+
+DEC = "decimal(25,6)"
+
+
+MICRO = 1_000_000  # all numeric inputs here have <= 6 decimal places
+
+
+def _micros(c: Column) -> Column:
+    """Exact decimal sum scaled to an integral micro-unit BIGINT.
+
+    Why this dance: a plain double SUM is order-dependent; a decimal SUM is
+    exact but DuckDB's int128-decimal -> double cast is not correctly
+    rounded (1-ulp divergences vs Spark's BigDecimal path). An integral
+    BIGINT, however, converts to double identically in both engines, and a
+    subsequent IEEE division by the same literal yields bit-identical
+    doubles at any magnitude.
+    """
+    return (F.sum(c.cast(DEC)) * F.lit(MICRO)).cast("long")
+
+
+def dsum(c: Column) -> Column:
+    return normalize_float(
+        _micros(c).cast("double") / F.lit(float(MICRO)), round_to=None
+    )
+
+
+def davg(c: Column) -> Column:
+    """avg = (exact micro-sum -> double / 1e6) / count; both divisions are
+    performed on identical operands in both engines."""
+    return normalize_float(
+        (_micros(c).cast("double") / F.lit(float(MICRO)))
+        / F.count(F.lit(1)).cast("double"),
+        round_to=None,
+    )
+
+
+ORACLE_DEC = f"DECIMAL(25,6)"
+
+
+def osum(expr: str) -> str:
+    return (
+        f"((sum(({expr})::{ORACLE_DEC}) * {MICRO})::BIGINT::DOUBLE"
+        f" / {MICRO}.0 + 0.0)"
+    )
+
+
+def oavg(expr: str) -> str:
+    return (
+        f"(((sum(({expr})::{ORACLE_DEC}) * {MICRO})::BIGINT::DOUBLE"
+        f" / {MICRO}.0) / count(*) + 0.0)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: the canonical scan -> partial agg -> final agg
+# --------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str, ship_before: str = "2000-01-01") -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit(ship_before).cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def pricing_summary_oracle(ship_before: str = "2000-01-01") -> str:
+    dp = "l_extendedprice * (1.0 - l_discount)"
+    ch = f"{dp} * (1.0 + l_tax)"
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       {osum('l_quantity')} AS sum_qty,
+       {osum('l_extendedprice')} AS sum_base_price,
+       {osum(dp)} AS sum_disc_price,
+       {osum(ch)} AS sum_charge,
+       {oavg('l_quantity')} AS avg_qty,
+       {oavg('l_extendedprice')} AS avg_price,
+       {oavg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{ship_before} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q3-style shipping priority: 3-way join, agg, top-k
+# --------------------------------------------------------------------------
+
+def shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-01-01", k: int = 10) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(k)
+    )
+
+
+def shipping_priority_oracle(segment: str = "BUILDING", cutoff: str = "1998-01-01", k: int = 10) -> str:
+    return f"""
+SELECT l_orderkey, o_orderdate, {osum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{segment}' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{cutoff} 00:00:00' AND l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT {k}
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q5-style local supplier volume: 5/6-way star join, agg by nation
+# --------------------------------------------------------------------------
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    nat = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    dims = (
+        cust.join(F.broadcast(nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(dims, (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def local_supplier_volume_oracle(region: str = "ASIA") -> str:
+    return f"""
+SELECT n_name, {osum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND c_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = '{region}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Window functions: top-N orders per customer (rank), running revenue
+# --------------------------------------------------------------------------
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= n)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def top_orders_per_customer_oracle(n: int = 3) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= {n}
+""".strip()
+
+
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum window frame (decimal accumulation for determinism)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = (
+        (F.sum(F.col("o_totalprice").cast(DEC)).over(w) * F.lit(MICRO))
+        .cast("long")
+        .cast("double")
+        / F.lit(float(MICRO))
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        normalize_float(running, round_to=None).alias("running_total"),
+    )
+
+
+def running_revenue_per_customer_oracle() -> str:
+    return f"""
+SELECT o_custkey, o_orderkey,
+       (((sum(o_totalprice::{ORACLE_DEC}) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ) * {MICRO})::BIGINT::DOUBLE / {MICRO}.0 + 0.0) AS running_total
+FROM orders
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Rollup (grouping sets) -- beyond-reference aggregate surface
+# --------------------------------------------------------------------------
+
+def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("total_price"))
+    )
+
+
+def order_rollup_oracle() -> str:
+    return f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {osum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (J2 / J5 cascade-delete semantics)
+# --------------------------------------------------------------------------
+
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: the reference's library-scoped chunk listing shape
+    (disk_store.py:340-352 semi-join through documents)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_with_urgent_orders_oracle() -> str:
+    return """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""".strip()
+
+
+def lineitems_after_order_delete(spark: SparkSession, sf_dir: str, status: str = "F") -> DataFrame:
+    """left_anti: cascade delete as a batch transformation (J5,
+    vector_store.py:74-87) -- 'delete' every order with the given status,
+    then the surviving lineitems are the anti-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deleted = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == status)
+    return (
+        li.join(deleted, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy("l_returnflag")
+    )
+
+
+def lineitems_after_order_delete_oracle(status: str = "F") -> str:
+    return f"""
+SELECT l_returnflag, count(*) AS n_lineitems
+FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey AND o_orderstatus = '{status}')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Hierarchy lookup join (J1): fact -> parent -> grandparent, broadcast
+# --------------------------------------------------------------------------
+
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> orders -> customer (chunk -> document -> library analog,
+    vector_store.py:157-159): revenue by market segment."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(revenue).alias("revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def hierarchy_rollup_oracle() -> str:
+    return f"""
+SELECT c_mktsegment, count(*) AS n_items,
+       {osum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem, orders, customer
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Pagination (T2) + projection / column pruning (P1-P3)
+# --------------------------------------------------------------------------
+
+def paginated_documents(spark: SparkSession, sf_dir: str, skip: int = 20, limit: int = 10) -> DataFrame:
+    """offset/limit pagination with deterministic order (api.py:238-244;
+    defaults skip=0 limit=100). Column-pruned projection drops `text`
+    (the reference drops `embedding` from list responses, schemas.py:124-129)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .offset(skip)
+        .limit(limit)
+    )
+
+
+def paginated_documents_oracle(skip: int = 20, limit: int = 10) -> str:
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+ORDER BY doc_id
+LIMIT {limit} OFFSET {skip}
+""".strip()
+
+
+def scan_filter_project(spark: SparkSession, sf_dir: str, lang: str = "en") -> DataFrame:
+    """S2-style scan with FK-ish equality filter + pruned projection; the
+    filter and the 2-column read schema both push into the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang") == lang).select("doc_id", "n_chars").orderBy("doc_id")
+
+
+def scan_filter_project_oracle(lang: str = "en") -> str:
+    return f"SELECT doc_id, n_chars FROM documents WHERE lang = '{lang}' ORDER BY doc_id"
+
+
+# --------------------------------------------------------------------------
+# Counts (A1) + distinct aggregate + JSON metadata filter (F1 analog)
+# --------------------------------------------------------------------------
+
+def doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog: derived counters via groupBy().count() instead of the
+    reference's stored, incrementally-maintained counts (entities.py:148-166)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), dsum(F.col("n_chars")).alias("total_chars"))
+        .orderBy("source", "lang")
+    )
+
+
+def doc_counts_oracle() -> str:
+    return f"""
+SELECT source, lang, count(*) AS n_docs, {osum('n_chars')} AS total_chars
+FROM documents GROUP BY source, lang ORDER BY source, lang
+""".strip()
+
+
+def distinct_users_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+def distinct_users_by_event_oracle() -> str:
+    return """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()
+
+
+def events_json_filter(spark: SparkSession, sf_dir: str, threshold: int = 50) -> DataFrame:
+    """Conjunctive metadata equality/range on a JSON props column -- the
+    MapType fallback for the reference's heterogeneous Metadata
+    (vector_db/vector_store.py:261-265; missing key fails the predicate,
+    which NULL-compare semantics reproduce)."""
+    ev = load_table(spark, sf_dir, "events")
+    kval = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.filter(kval >= threshold)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), davg(kval).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+def events_json_filter_oracle(threshold: int = 50) -> str:
+    kval = "json_extract_string(props, '$.k')::BIGINT"
+    return f"""
+SELECT event_type, count(*) AS n, {oavg(kval)} AS avg_k
+FROM events
+WHERE {kval} >= {threshold}
+GROUP BY event_type ORDER BY event_type
+""".strip()

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import knn
+from .operators import knn, relational
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
@@ -56,4 +56,21 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: knn.batch_knn(spark, sf, "cosine", k=5, num_queries=8),
         knn.batch_knn_oracle("cosine", k=5, num_queries=8),
     )
+
+    # --- relational suite over the TPC-H-ish tables (SURVEY §2.1-2.6) ---
+    r = relational
+    reg["tpch_pricing_summary"] = (r.pricing_summary, r.pricing_summary_oracle())
+    reg["tpch_shipping_priority"] = (r.shipping_priority, r.shipping_priority_oracle())
+    reg["tpch_local_supplier_volume"] = (r.local_supplier_volume, r.local_supplier_volume_oracle())
+    reg["window_top_orders_per_customer"] = (r.top_orders_per_customer, r.top_orders_per_customer_oracle())
+    reg["window_running_revenue"] = (r.running_revenue_per_customer, r.running_revenue_per_customer_oracle())
+    reg["rollup_orders"] = (r.order_rollup, r.order_rollup_oracle())
+    reg["semi_join_urgent_customers"] = (r.customers_with_urgent_orders, r.customers_with_urgent_orders_oracle())
+    reg["anti_join_cascade_delete"] = (r.lineitems_after_order_delete, r.lineitems_after_order_delete_oracle())
+    reg["hierarchy_join_rollup"] = (r.hierarchy_rollup, r.hierarchy_rollup_oracle())
+    reg["pagination_documents"] = (r.paginated_documents, r.paginated_documents_oracle())
+    reg["scan_filter_project"] = (r.scan_filter_project, r.scan_filter_project_oracle())
+    reg["agg_doc_counts"] = (r.doc_counts, r.doc_counts_oracle())
+    reg["agg_distinct_users"] = (r.distinct_users_by_event, r.distinct_users_by_event_oracle())
+    reg["filter_events_json"] = (r.events_json_filter, r.events_json_filter_oracle())
     return reg

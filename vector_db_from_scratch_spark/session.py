@@ -29,5 +29,8 @@ def get_spark(app_name: str = "vector-db-spark", cpus: int | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects;
+        # read as long and convert in sources.tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )
