@@ -1,0 +1,60 @@
+"""Dedup operator behavior (beyond the oracle parity already covered by
+test_oracle_parity): planted near-duplicates must be found, LSH candidates
+must be a superset-filtered subset of the exact method at equal threshold."""
+
+from pyspark.sql import functions as F
+
+from vector_db_from_scratch_spark.operators.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_table,
+)
+
+
+def test_exact_dedup_identity_when_unique(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert exact_dedup(spark, sf_dir).count() == docs.count()
+
+
+def test_ngram_jaccard_finds_planted_near_dups(spark, sf_dir):
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=0.3).collect()
+    assert len(pairs) > 0
+    assert all(0.3 <= p["jaccard"] <= 1.0 and p["d1"] < p["d2"] for p in pairs)
+
+
+def test_minhash_subset_of_exact(spark, sf_dir):
+    """LSH+verify returns exactly the exact-Jaccard pairs that land in a
+    shared band -- always a subset at the same threshold."""
+    exact = {
+        (p["d1"], p["d2"]): p["jaccard"]
+        for p in ngram_jaccard_pairs(spark, sf_dir, threshold=0.3).collect()
+    }
+    lsh = {
+        (p["d1"], p["d2"]): p["jaccard"]
+        for p in minhash_lsh_pairs(spark, sf_dir, threshold=0.3).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # high-similarity pairs should survive banding (recall sanity)
+    high = {k for k, v in exact.items() if v >= 0.8}
+    assert high <= set(lsh)
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("one two",), ("one two three four",)], "text string")
+    rows = df.select(F.size(shingles(F.col("text"))).alias("n")).collect()
+    assert [r["n"] for r in rows] == [0, 2]
+
+
+def test_simhash_is_16bit(spark, sf_dir):
+    rows = simhash_table(spark, sf_dir).collect()
+    assert all(0 <= r["simhash"] < 2**16 for r in rows)
+
+
+def test_embedding_neardup_symmetric_free(spark, sf_dir):
+    pairs = embedding_neardup(spark, sf_dir, threshold=0.4).collect()
+    assert all(p["v1"] < p["v2"] for p in pairs)

@@ -1,0 +1,339 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` -- the
+training-data-pipeline surface (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup), each with a DuckDB oracle that
+replicates the SAME algorithm, so approximate methods are compared on
+identical candidate sets (no recall mismatch possible).
+
+Scale notes (100 TB):
+  - Shingles are hashed to 31-bit ints before any shuffle (shuffling long
+    strings is the classic mistake); the shingle->doc inverted index is the
+    only wide exchange.
+  - The Jaccard self-join shuffles on shingle hash; in production you cap
+    shingle document-frequency first (ultra-common shingles create
+    quadratic hot keys) -- the cap is a parameter here, default off so the
+    oracle stays exact.
+  - MinHash banding turns the quadratic candidate problem into an equi-join
+    on (band, band_key) -- the standard LSH-at-scale pattern; bucket sizes
+    are bounded w.h.p., so no skew mitigation is needed beyond AQE.
+  - Embedding near-dup is blocked by label here (stand-in for an LSH/IVF
+    bucketing column at scale) to avoid the full cross join.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE31, hash31, hash31_sql, minhash_params
+from ..functions.text import tokens
+from ..functions.vector import distance_expr, normalize_float, oracle_distance_sql
+from ..sources.tables import load_table
+
+SHINGLE_WIDTH = 3
+
+
+def shingles(c: Column) -> Column:
+    """Distinct 3-word shingles of a whitespace-tokenized text column."""
+    toks = tokens(c)
+    n = F.size(toks)
+    sh = F.when(
+        n >= SHINGLE_WIDTH,
+        F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE_WIDTH - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def shingles_sql(expr: str) -> str:
+    t = f"str_split({expr}, ' ')"
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({t}) - {SHINGLE_WIDTH - 1}, 0) + 1), "
+        f"i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on full text (md5 as the grouping key at scale
+# so the shuffle moves 32-byte digests, not documents)
+# --------------------------------------------------------------------------
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("rep_doc_id", "n_copies")
+        .orderBy("rep_doc_id")
+    )
+
+
+def exact_dedup_oracle() -> str:
+    return """
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY rep_doc_id
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup: inverted shingle index self-join + exact verify
+# --------------------------------------------------------------------------
+
+def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
+    ).select("doc_id", hash31(F.col("s")).alias("sh"))
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    sh = _shingle_index(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+def _shingle_index_sql() -> str:
+    return f"""
+sh AS (SELECT doc_id, {hash31_sql('s')} AS sh
+       FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS s FROM documents))
+""".strip()
+
+
+def ngram_jaccard_pairs_oracle(threshold: float = 0.3) -> str:
+    return f"""
+WITH {_shingle_index_sql()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT d1, d2, c::DOUBLE / (s1.n + s2.n - c)::DOUBLE AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c::DOUBLE / (s1.n + s2.n - c)::DOUBLE >= {threshold}
+ORDER BY d1, d2
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding: K signatures, B bands; candidates = band-key
+# equi-join; final pairs verified with exact Jaccard. The oracle replicates
+# the complete pipeline, so Spark and DuckDB see identical candidates.
+# --------------------------------------------------------------------------
+
+NUM_HASHES = 12
+BAND_SIZE = 3  # -> 4 bands; s-curve threshold ~ (1/4)^(1/3) ~ 0.63
+
+
+def _minhash_signature(sh: DataFrame) -> DataFrame:
+    params = minhash_params(NUM_HASHES)
+    aggs = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % MERSENNE31).alias(f"m{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    sh = _shingle_index(spark, sf_dir)
+    sig = _minhash_signature(sh)
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_frames = []
+    for band in range(n_bands):
+        cols = [f"m{band * BAND_SIZE + r}" for r in range(BAND_SIZE)]
+        key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+        band_frames.append(
+            sig.select("doc_id", F.lit(band).alias("band"), key.alias("bkey"))
+        )
+    bands = reduce(DataFrame.unionAll, band_frames)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha, shb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sha, F.col("sa.doc_id") == F.col("d1"))
+        .join(shb, (F.col("sb.doc_id") == F.col("d2")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+def minhash_lsh_pairs_oracle(threshold: float = 0.3) -> str:
+    params = minhash_params(NUM_HASHES)
+    mins = ",\n       ".join(
+        f"min(({a} * sh + {b}) % {MERSENNE31}) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    n_bands = NUM_HASHES // BAND_SIZE
+    band_selects = []
+    for band in range(n_bands):
+        cols = [f"m{band * BAND_SIZE + r}" for r in range(BAND_SIZE)]
+        key = " || ',' || ".join(f"{c}::VARCHAR" for c in cols)
+        band_selects.append(f"SELECT doc_id, {band} AS band, {key} AS bkey FROM sig")
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_shingle_index_sql()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT d1, d2, count(*) AS c
+          FROM cand JOIN sh sa ON sa.doc_id = d1
+                    JOIN sh sb ON sb.doc_id = d2 AND sa.sh = sb.sh
+          GROUP BY d1, d2)
+SELECT d1, d2, c::DOUBLE / (s1.n + s2.n - c)::DOUBLE AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c::DOUBLE / (s1.n + s2.n - c)::DOUBLE >= {threshold}
+ORDER BY d1, d2
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# SimHash: 16-bit sign-aggregated token-hash fingerprint + near-pair report
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    ).select("doc_id", hash31(F.col("t")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"b{i}") >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+def simhash_table_oracle() -> str:
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(f"(CASE WHEN b{i} >= 0 THEN {2**i} ELSE 0 END)" for i in range(SIMHASH_BITS))
+    return f"""
+WITH tok AS (SELECT doc_id, {hash31_sql('t')} AS h
+             FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS t
+                   FROM documents)),
+agg AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
+SELECT doc_id, ({packed})::BIGINT AS simhash FROM agg ORDER BY doc_id
+""".strip()
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 2) -> DataFrame:
+    """Pairs whose simhash differs in <= max_hamming bits. At this fingerprint
+    width a plain self-join is fine at test scale; at 100 TB you band on
+    fingerprint bytes exactly like MinHash-LSH (pigeonhole: <=2 flips over 3
+    bands leaves one band equal)."""
+    sim = simhash_table(spark, sf_dir)
+    a, b = sim.alias("a"), sim.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("d1", "d2")
+    )
+
+
+def simhash_near_pairs_oracle(max_hamming: int = 2) -> str:
+    base = simhash_table_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH sim AS ({base})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY d1, d2
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (blocked by label as the scale-path bucketing)
+# --------------------------------------------------------------------------
+
+def embedding_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    # similarity = 1 - cosine_distance, reusing the engine's distance kernel
+    sim = F.lit(1.0) - distance_expr("cosine", F.col("a.embedding"), F.col("b.embedding"), round_to=None)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            normalize_float(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("v1", "v2")
+    )
+
+
+def embedding_neardup_oracle(threshold: float = 0.4) -> str:
+    d = oracle_distance_sql("cosine", "a.v", "b.v", round_to=None)
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       (round(1 - {d}, 6) + 0.0) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE (round(1 - {d}, 6) + 0.0) >= {threshold}
+ORDER BY v1, v2
+""".strip()

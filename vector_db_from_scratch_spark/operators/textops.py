@@ -1,0 +1,152 @@
+"""Text-analysis operators over ``documents`` (training-data-pipeline
+surface: token stats, quality scoring, language ID, fingerprinting).
+
+Everything is expression-only (whole-stage codegen): at 100 TB these are
+embarrassingly parallel single-pass scans with no shuffle except the final
+small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.tables import load_table
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics: count, totals, length ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    return (
+        docs.select(
+            "lang",
+            n_tok.alias("n_tok"),
+            F.col("n_chars").cast("long").alias("nc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("nc").alias("total_chars"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.col("total_chars").cast("double") / F.col("total_tokens").cast("double"),
+        )
+        .orderBy("lang")
+    )
+
+
+def token_stats_oracle() -> str:
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       sum({T.token_count_sql('text')})::BIGINT AS total_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       (sum(n_chars)::BIGINT::DOUBLE / sum({T.token_count_sql('text')})::BIGINT::DOUBLE)
+         AS chars_per_token
+FROM documents GROUP BY lang ORDER BY lang
+""".strip()
+
+
+def quality_scores(spark: SparkSession, sf_dir: str, min_score: float = 0.0) -> DataFrame:
+    """Per-document quality signals: length, stopword density, mean token
+    length -- the standard cheap pre-filters of an LLM data pipeline.
+
+    All ratios are single IEEE divisions on identical integer operands, so
+    no rounding is needed for oracle parity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    sw = T.stopword_count(F.col("text"), T.ENGLISH_STOPWORDS)
+    out = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (F.length("text").cast("double") / n_tok.cast("double")).alias("avg_token_len"),
+        (sw.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+    )
+    return out.filter(F.col("stopword_ratio") >= min_score).orderBy("doc_id")
+
+
+def quality_scores_oracle(min_score: float = 0.0) -> str:
+    nt = T.token_count_sql("text")
+    sw = T.stopword_count_sql("text", T.ENGLISH_STOPWORDS)
+    return f"""
+SELECT doc_id, {nt}::BIGINT AS n_tokens,
+       (length(text)::DOUBLE / {nt}::DOUBLE) AS avg_token_len,
+       ({sw}::DOUBLE / {nt}::DOUBLE) AS stopword_ratio
+FROM documents
+WHERE ({sw}::DOUBLE / {nt}::DOUBLE) >= {min_score}
+ORDER BY doc_id
+""".strip()
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/charset language-ID heuristic with a deterministic
+    CASE-priority argmax, compared against the labeled ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: (
+            T.cjk_char_count(F.col("text"))
+            if lang == "zh"
+            else T.distinct_stopword_count(F.col("text"), words)
+        )
+        for lang, words in T.STOPWORDS.items()
+    }
+    pred = F.lit(None).cast("string")
+    # CASE chain in priority order: first lang whose score >= all others wins
+    expr = None
+    for lang in T.LANG_PRIORITY:
+        cond = None
+        for other in T.LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("und"))
+    return (
+        docs.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def language_id_oracle() -> str:
+    def score_sql(lang: str) -> str:
+        if lang == "zh":
+            return T.cjk_char_count_sql("text")
+        return T.distinct_stopword_count_sql("text", T.STOPWORDS[lang])
+
+    whens = []
+    for lang in T.LANG_PRIORITY:
+        conds = [
+            f"{score_sql(lang)} >= {score_sql(other)}"
+            for other in T.LANG_PRIORITY
+            if other != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"""
+SELECT lang, {case} AS predicted, count(*) AS n
+FROM documents
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+""".strip()
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling-hash fingerprints (near-dup prefilter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def fingerprints_oracle() -> str:
+    return f"""
+SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint
+FROM documents ORDER BY doc_id
+""".strip()

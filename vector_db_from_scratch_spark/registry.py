@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import knn, relational
+from .operators import dedup, knn, relational, textops
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
@@ -73,4 +73,20 @@ def build() -> dict[str, Entry]:
     reg["agg_doc_counts"] = (r.doc_counts, r.doc_counts_oracle())
     reg["agg_distinct_users"] = (r.distinct_users_by_event, r.distinct_users_by_event_oracle())
     reg["filter_events_json"] = (r.events_json_filter, r.events_json_filter_oracle())
+
+    # --- text analysis over documents (training-data-pipeline surface) ---
+    t = textops
+    reg["text_token_stats"] = (t.token_stats, t.token_stats_oracle())
+    reg["text_quality_scores"] = (t.quality_scores, t.quality_scores_oracle())
+    reg["text_language_id"] = (t.language_id, t.language_id_oracle())
+    reg["text_fingerprints"] = (t.fingerprints, t.fingerprints_oracle())
+
+    # --- dedup family (exact, ngram-jaccard, minhash-LSH, simhash, cosine) ---
+    d = dedup
+    reg["dedup_exact"] = (d.exact_dedup, d.exact_dedup_oracle())
+    reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs, d.ngram_jaccard_pairs_oracle())
+    reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
+    reg["dedup_simhash_table"] = (d.simhash_table, d.simhash_table_oracle())
+    reg["dedup_simhash_pairs"] = (d.simhash_near_pairs, d.simhash_near_pairs_oracle())
+    reg["dedup_embedding_cosine"] = (d.embedding_neardup, d.embedding_neardup_oracle())
     return reg
