@@ -1,0 +1,100 @@
+"""IVF (inverted-file) coarse-quantizer ANN -- the scale path for
+similarity search beyond the reference's surface.
+
+Cells = nearest of NC seeded centroids (deterministic "training": the first
+NC vectors, the degenerate-but-deterministic analog of a k-means init);
+probe the NPROBE cells closest to the query; exact distance within the
+probed cells. At 100 TB the assignment column is materialized and the index
+table is partitioned by ``cell`` (same pruning story as the LSH bucket);
+the per-vector assignment is a broadcast join against NC centroids followed
+by a windowed argmin -- no shuffle of the embedding payload beyond the one
+exchange for the window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import distance_expr, oracle_distance_sql
+from ..sources.tables import load_table
+
+NUM_CELLS = 16
+NPROBE = 4
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < NUM_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+
+
+def assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, embedding, cell): nearest centroid by (euclidean
+    distance, cell) -- rounded distances so the argmin tie-break is
+    cross-engine deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _centroids(spark, sf_dir)
+    d = distance_expr("euclidean", F.col("embedding"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy("cd", "cell")
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("cd", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cell")
+    )
+
+
+def ivf_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    assigned = assign_cells(spark, sf_dir)
+    cent = _centroids(spark, sf_dir)
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+    )
+    probe_cells = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cell", distance_expr("euclidean", F.col("cv"), F.col("qv")).alias("qd"))
+        .orderBy("qd", "cell")
+        .limit(NPROBE)
+        .select("cell")
+    )
+    pool = assigned.join(F.broadcast(probe_cells), "cell")
+    return (
+        pool.crossJoin(F.broadcast(q))
+        .select("vec_id", distance_expr(metric, F.col("embedding"), F.col("qv")).alias("distance"))
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_knn_oracle(metric: str = "cosine", k: int = 10, query_vec_id: int = 0) -> str:
+    eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
+    equ = oracle_distance_sql("euclidean", "c.cv", "q.qv")
+    d = oracle_distance_sql(metric, "p.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {NUM_CELLS}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {eu}, c.cell) AS rn
+    FROM e, cent c)
+  WHERE rn = 1),
+probe AS (SELECT cell FROM cent c, q ORDER BY {equ}, cell LIMIT {NPROBE})
+SELECT p.vec_id AS vec_id, {d} AS distance
+FROM assign p JOIN probe USING (cell), q
+ORDER BY distance, vec_id
+LIMIT {k}
+""".strip()

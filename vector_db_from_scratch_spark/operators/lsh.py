@@ -1,0 +1,168 @@
+"""Sign-bit random-projection LSH index -- the reference's approximate path.
+
+Reference parity (semantics, not implementation -- SURVEY.md §2.9 Q3, §2.7
+X6/X7, §4 O4/O5):
+  - Gaussian projection matrix, seeded, ``num_projections=8`` default
+    (vector_db/indexes.py:172-187); here generated once driver-side with
+    NumPy (seed 42) and embedded as column literals / oracle SQL literals.
+  - bucket = little-endian packed sign bits of P.v (indexes.py:236-242).
+  - search probes ONLY the query's bucket, intersects with the metadata
+    candidate set, and falls back to an exhaustive scan over the allowed
+    set when fewer than k candidates remain (indexes.py:206-234; fallback
+    :223-224) -- accuracy floor preserved.
+
+Spark-first design:
+  - The bucket is a pure SQL expression (8 sign tests over `aggregate`
+    dot products) materialized as a column; persisting the index table
+    ``partitionBy("bucket")`` makes the probe a partition-pruned scan --
+    Catalyst's partition pruning IS the reference's O(sqrt n) bucket probe
+    at cluster scale.
+  - The <k fallback is a driver-side count (one cheap job on the pruned
+    bucket) choosing between two already-declared plans, exactly matching
+    the reference's data-dependent control flow; the oracle expresses the
+    same choice with a conditional UNION.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import distance_expr, dot, oracle_distance_sql
+from ..sources.tables import load_table
+
+NUM_PROJECTIONS = 8
+DIMENSION = 64
+SEED = 42
+
+
+def projection_matrix() -> list[list[float]]:
+    """Seeded Gaussian hyperplanes, float32-exact Python floats so the Spark
+    literals and the oracle SQL literals are the same doubles."""
+    rng = np.random.default_rng(SEED)
+    mat = rng.normal(size=(NUM_PROJECTIONS, DIMENSION)).astype(np.float32)
+    return [[float(x) for x in row] for row in mat]
+
+
+_PROJECTIONS = projection_matrix()
+
+
+def _proj_lit(i: int) -> Column:
+    return F.array(*[F.lit(x) for x in _PROJECTIONS[i]])
+
+
+def bucket_expr(v: Column) -> Column:
+    """Little-endian sign-bit packing: bit i set iff P_i . v >= 0."""
+    b = F.lit(0)
+    for i in range(NUM_PROJECTIONS):
+        b = b + F.when(dot(v, _proj_lit(i)) >= 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def _proj_sql(i: int) -> str:
+    vals = ", ".join(repr(x) for x in _PROJECTIONS[i])
+    return f"[{vals}]::DOUBLE[]"
+
+
+def bucket_sql(v: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_inner_product({v}, {_proj_sql(i)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(NUM_PROJECTIONS)
+    )
+    return f"({terms})"
+
+
+def build_index(emb: DataFrame) -> DataFrame:
+    """Index table = vectors + bucket column (batch index build; the
+    reference's per-insert index mutation has no batch-Spark analog by
+    design -- BASELINE.md north star)."""
+    return emb.withColumn("bucket", bucket_expr(F.col("embedding")))
+
+
+def save_index(emb: DataFrame, path: str) -> None:
+    """S10 analog: persist partitioned by bucket so probes prune partitions."""
+    build_index(emb).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def load_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def lsh_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    label_filter: int | None = None,
+    index_df: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate k-NN with bucket probe + exact-semantics fallback."""
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    emb = index_df if index_df is not None else build_index(load_table(spark, sf_dir, "embeddings"))
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0]
+    )
+    qvec = [float(x) for x in qrow["embedding"]]
+    qbucket = _bucket_of(qvec)
+    allowed = emb
+    if label_filter is not None:
+        allowed = allowed.filter(F.col("label") == label_filter)
+    cand = allowed.filter(F.col("bucket") == qbucket)
+    # reference indexes.py:223-224: fewer than k candidates (after the
+    # metadata intersection) -> widen to every allowed vector
+    if cand.count() < k:
+        cand = allowed
+    q = F.array(*[F.lit(x) for x in qvec])
+    return (
+        cand.select(
+            "vec_id",
+            distance_expr(metric, F.col("embedding"), q).alias("distance"),
+        )
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+def _bucket_of(vec: list[float]) -> int:
+    p = np.asarray(_PROJECTIONS, dtype=np.float64)
+    v = np.asarray(vec, dtype=np.float64)
+    signs = (p @ v) >= 0
+    return int(sum(1 << i for i, s in enumerate(signs) if s))
+
+
+def lsh_knn_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    label_filter: int | None = None,
+) -> str:
+    """Static SQL with the same data-dependent fallback via conditional
+    UNION branches (both branches always valid; exactly one is non-empty)."""
+    where = f"AND label = {label_filter}" if label_filter is not None else ""
+    d = oracle_distance_sql(metric, "p.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                  {bucket_sql('embedding::DOUBLE[]')} AS bucket
+           FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv,
+             {bucket_sql('embedding::DOUBLE[]')} AS qbucket
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+allowed AS (SELECT * FROM e WHERE TRUE {where}),
+cand AS (SELECT a.* FROM allowed a, q WHERE a.bucket = q.qbucket),
+n AS (SELECT count(*) AS c FROM cand),
+pool AS (
+  SELECT * FROM cand WHERE (SELECT c FROM n) >= {k}
+  UNION ALL
+  SELECT * FROM allowed WHERE (SELECT c FROM n) < {k}
+)
+SELECT p.vec_id AS vec_id, {d} AS distance
+FROM pool p, q
+ORDER BY distance, vec_id
+LIMIT {k}
+""".strip()

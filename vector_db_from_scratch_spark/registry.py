@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, knn, relational, textops
+from .operators import dedup, ivf, knn, lsh, relational, textops
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
@@ -89,4 +89,18 @@ def build() -> dict[str, Entry]:
     reg["dedup_simhash_table"] = (d.simhash_table, d.simhash_table_oracle())
     reg["dedup_simhash_pairs"] = (d.simhash_near_pairs, d.simhash_near_pairs_oracle())
     reg["dedup_embedding_cosine"] = (d.embedding_neardup, d.embedding_neardup_oracle())
+
+    # --- approximate indexes: sign-bit LSH (reference Q3) and IVF ---
+    reg["lsh_knn"] = (
+        lambda spark, sf: lsh.lsh_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        lsh.lsh_knn_oracle("cosine", k=10, query_vec_id=0),
+    )
+    reg["lsh_knn_filtered"] = (
+        lambda spark, sf: lsh.lsh_knn(spark, sf, "cosine", k=5, query_vec_id=0, label_filter=5),
+        lsh.lsh_knn_oracle("cosine", k=5, query_vec_id=0, label_filter=5),
+    )
+    reg["ivf_knn"] = (
+        lambda spark, sf: ivf.ivf_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        ivf.ivf_knn_oracle("cosine", k=10, query_vec_id=0),
+    )
     return reg
