@@ -58,3 +58,11 @@ def test_simhash_is_16bit(spark, sf_dir):
 def test_embedding_neardup_symmetric_free(spark, sf_dir):
     pairs = embedding_neardup(spark, sf_dir, threshold=0.4).collect()
     assert all(p["v1"] < p["v2"] for p in pairs)
+
+
+def test_embedding_neardup_fast_equals_expression(spark, sf_dir):
+    """The applyInPandas block-matmul path and the pure-expression path must
+    agree exactly after 6-dp rounding."""
+    fast = {tuple(r) for r in embedding_neardup(spark, sf_dir, fast=True).collect()}
+    expr = {tuple(r) for r in embedding_neardup(spark, sf_dir, fast=False).collect()}
+    assert fast == expr and fast

@@ -1,0 +1,44 @@
+"""Structured Streaming: the streaming forms of the window queries must
+agree with their batch forms after draining all input (Dataflow-model
+batch/stream equivalence), and the O8-analog running counter must match a
+batch groupBy count."""
+
+from vector_db_from_scratch_spark.streaming.windows import (
+    counter_stream,
+    run_stream_once,
+    session_stats,
+    session_stats_stream,
+    tumbling_counts,
+    tumbling_counts_stream,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream_res = run_stream_once(
+        tumbling_counts_stream(spark, sf_dir), "t_tumble"
+    )
+    batch = tumbling_counts(spark, sf_dir)
+    cols = ["window_start", "event_type", "n"]
+    assert _rows(stream_res, cols) == _rows(batch.select(*cols), cols)
+
+
+def test_streaming_sessions_equal_batch(spark, sf_dir):
+    stream_res = run_stream_once(
+        session_stats_stream(spark, sf_dir), "t_session"
+    )
+    batch = session_stats(spark, sf_dir)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(stream_res, cols) == _rows(batch.select(*cols), cols)
+
+
+def test_streaming_counter_matches_batch(spark, sf_dir):
+    stream_res = run_stream_once(counter_stream(spark, sf_dir), "t_counter")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = ev.groupBy("event_type").count()
+    got = {r["event_type"]: r["n"] for r in stream_res.collect()}
+    want = {r["event_type"]: r["count"] for r in batch.collect()}
+    assert got == want

@@ -310,17 +310,63 @@ ORDER BY d1, d2
 # Embedding-cosine near-dup (blocked by label as the scale-path bucketing)
 # --------------------------------------------------------------------------
 
-def embedding_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+def embedding_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4, fast: bool = True
+) -> DataFrame:
+    """Pairs above a cosine-similarity threshold, blocked by label.
+
+    Fast path (default): ``applyInPandas`` per block -- each block's vectors
+    cross the Arrow boundary ONCE and the entire pair space is a NumPy
+    G = U.U^T matmul; the expression path materializes the pair join with
+    per-row interpreted folds (HigherOrderFunction lambdas are not
+    codegen'd) and loses badly as the pair space grows. At 100 TB the
+    blocking key is an LSH bucket / IVF cell, keeping each block's matmul
+    in executor memory. Both paths agree after 6-dp rounding (tested).
+    Zero vectors normalize to zero (sim 0 with everything), matching the
+    unguarded-cosine exclusion below any positive threshold.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    # similarity = 1 - cosine_distance, reusing the engine's distance kernel
-    sim = F.lit(1.0) - distance_expr("cosine", F.col("a.embedding"), F.col("b.embedding"), round_to=None)
+    if fast:
+        import numpy as np
+        import pandas as pd
+
+        def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            ids = pdf["vec_id"].to_numpy()
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            u = m / norms[:, None]
+            g = u @ u.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            sims = np.round(g[iu, ju], 6) + 0.0
+            v1 = np.minimum(ids[iu], ids[ju])
+            v2 = np.maximum(ids[iu], ids[ju])
+            mask = sims >= threshold
+            return pd.DataFrame(
+                {"v1": v1[mask], "v2": v2[mask], "cos_sim": sims[mask]}
+            )
+
+        return (
+            emb.select("vec_id", "label", "embedding")
+            .groupBy("label")
+            .applyInPandas(block, "v1 long, v2 long, cos_sim double")
+            .orderBy("v1", "v2")
+        )
+
+    from ..functions.vector import dot, l2_norm
+
+    v = F.col("embedding").cast("array<double>")
+    n = l2_norm(F.col("embedding"))
+    unit = F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
+    normed = emb.select("vec_id", "label", unit.alias("u"))
+    a, b = normed.alias("a"), normed.alias("b")
+    sim = normalize_float(dot(F.col("a.u"), F.col("b.u")), 6)
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            normalize_float(sim, 6).alias("cos_sim"),
+            sim.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("v1", "v2")
@@ -328,12 +374,16 @@ def embedding_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
 
 
 def embedding_neardup_oracle(threshold: float = 0.4) -> str:
-    d = oracle_distance_sql("cosine", "a.v", "b.v", round_to=None)
+    norm = "sqrt(list_inner_product(v, v))"
     return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, label,
+             CASE WHEN {norm} = 0 THEN v
+                  ELSE list_transform(v, x -> x / {norm}) END AS u
+      FROM e)
 SELECT a.vec_id AS v1, b.vec_id AS v2,
-       (round(1 - {d}, 6) + 0.0) AS cos_sim
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE (round(1 - {d}, 6) + 0.0) >= {threshold}
+       (round(list_inner_product(a.u, b.u), 6) + 0.0) AS cos_sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE (round(list_inner_product(a.u, b.u), 6) + 0.0) >= {threshold}
 ORDER BY v1, v2
 """.strip()

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup, ivf, knn, lsh, relational, textops
+from .streaming import windows as stream_windows
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 
@@ -103,4 +104,10 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: ivf.ivf_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         ivf.ivf_knn_oracle("cosine", k=10, query_vec_id=0),
     )
+
+    # --- event-time windows (batch forms of the streaming queries) ---
+    w = stream_windows
+    reg["window_tumbling_events"] = (w.tumbling_counts, w.tumbling_counts_oracle())
+    reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
+    reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     return reg

@@ -1,0 +1,214 @@
+"""Windowed event-time analytics over the ``events`` table -- batch AND
+Structured Streaming forms of the same logical queries.
+
+The reference has NO streaming surface (SURVEY.md §2.10); this module is the
+north-star extension: the reference's incrementally-maintained counters
+(entities.py:148-166, O8) generalize to streaming stateful aggregation.
+
+Each window shape exists twice:
+  - a *batch* DataFrame (oracle-checked against DuckDB -- tumbling/sliding
+    windows re-expressed as epoch-aligned bucket math, session windows as
+    gaps-and-islands SQL), and
+  - a *streaming* builder over the same files via ``readStream`` with a
+    watermark (exercised in tests with processAllAvailable; results must
+    equal the batch form -- the Dataflow-model equivalence).
+
+Scale notes: tumbling/sliding aggs shuffle once on (window, keys) with
+partial aggregation; session windows shuffle on user_id -- the state-store
+pattern that scales horizontally with executors in real deployments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import MICRO, ORACLE_DEC, dsum, osum
+from ..sources.tables import load_table
+
+GAP = "5 minutes"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the same parquet file (file-source directory
+    listing; schema from the batch read, including the ns->us ts shim)."""
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+        )
+        .format("parquet")
+        # file streaming sources require a directory: stream the sf dir,
+        # restricted to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+# --------------------------------------------------------------------------
+# Tumbling window
+# --------------------------------------------------------------------------
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def tumbling_counts_oracle() -> str:
+    return f"""
+SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+       count(*) AS n, {osum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""".strip()
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin with a watermark for late-data bounds."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding window (1 hour window, 30 minute slide -> each event in 2 windows)
+# --------------------------------------------------------------------------
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+        .orderBy("window_start")
+    )
+
+
+def sliding_counts_oracle() -> str:
+    # each event belongs to the two epoch-aligned 30-min slots covering it
+    # (avoid epoch()::BIGINT -- DuckDB's double->int cast rounds, not floors)
+    slot = (
+        "(date_trunc('hour', ts) + CASE WHEN extract(minute FROM ts) >= 30 "
+        "THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END)::TIMESTAMP"
+    )
+    return f"""
+WITH slots AS (
+  SELECT unnest([{slot}, {slot} - INTERVAL 30 MINUTE]) AS window_start, value
+  FROM events)
+SELECT window_start, count(*) AS n, {osum('value')} AS total_value
+FROM slots
+GROUP BY window_start
+ORDER BY window_start
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Session window (5-minute gap, per user)
+# --------------------------------------------------------------------------
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def session_stats_oracle() -> str:
+    """Gaps-and-islands: a new session starts when the gap from the previous
+    event (per user) is >= 5 minutes; session end = last event + gap
+    (Spark's session_window end semantics)."""
+    return f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 5 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, event_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       min(ts)::TIMESTAMP AS session_start,
+       (max(ts) + INTERVAL 5 MINUTE)::TIMESTAMP AS session_end,
+       count(*) AS n_events,
+       {osum('value')} AS total_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""".strip()
+
+
+def session_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental counter maintenance (O8 analog): streaming running counts
+# --------------------------------------------------------------------------
+
+def counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's document_count/chunk_count maintenance re-expressed
+    as a streaming stateful aggregation (update mode)."""
+    ev = events_stream(spark, sf_dir)
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def run_stream_once(df: DataFrame, query_name: str) -> DataFrame:
+    """Drain all available input through a memory sink and return the result
+    table (complete mode -- used by tests to compare with batch)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}")
