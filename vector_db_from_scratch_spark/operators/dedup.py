@@ -89,10 +89,20 @@ FROM documents GROUP BY md5(text) ORDER BY rep_doc_id
 # --------------------------------------------------------------------------
 
 def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted shingle index (doc_id, shingle_hash).
+
+    Persisted: every consumer (sizes, both self-join sides, the verify
+    intersection) references this subtree, and Spark would otherwise
+    re-derive the explode+hash 3-4x per query. At 100 TB this is the
+    'index build' phase materialized as a table; here cache() is the
+    in-session analog (ints only -- the strings never survive the map).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
-    ).select("doc_id", hash31(F.col("s")).alias("sh"))
+    return (
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+        .select("doc_id", hash31(F.col("s")).alias("sh"))
+        .cache()
+    )
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:

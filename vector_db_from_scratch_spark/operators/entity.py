@@ -1,0 +1,426 @@
+"""The reference's entity model (Library -> Document -> Chunk) as columnar
+DataFrames with batch-MERGE CRUD semantics.
+
+Reference parity (SURVEY.md §1, §2.8):
+  - hierarchy + FK validation      vector_db/vector_store.py:92-93,152-153
+  - uniqueness on insert           vector_db/vector_store.py:33-42
+  - frozen fields (id/FK; index settings while chunks exist)
+                                   vector_db/vector_store.py:56-65,120-125,192-197
+  - cascade deletes                vector_db/vector_store.py:74-87,131-147
+  - dimension validation           vector_db/entities.py:138-146
+  - batch insert: all-validated-before-any-insert, cap 1000
+                                   vector_db/services.py:144-162, schemas.py:90
+  - counters derived, not stored   (A1 -> groupBy().count(); the reference's
+                                   incremental counters are stored state)
+  - metadata conjunctive equality  vector_db/vector_store.py:261-265
+    (missing key fails the predicate -- MapType NULL-compare gives this)
+  - search = scoped chunks -> filter -> distance -> top-k
+                                   vector_db/vector_store.py:229-259
+
+HOW diverges by design: every mutation is a DataFrame transformation
+returning a NEW store (append / MERGE overwrite / anti-join delete), not an
+in-place dict mutation under a lock; at scale each table is a parquet/Delta
+table and these transformations are the batch jobs that rewrite them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import distance_expr
+
+MAX_BATCH = 1000  # vector_db/schemas.py:90
+
+
+class EntityError(ValueError):
+    """Base for entity-model constraint violations (the analog of the
+    reference's typed exception hierarchy, vector_db/exceptions.py)."""
+
+
+class NotFoundError(EntityError):
+    pass
+
+
+class DuplicateError(EntityError):
+    pass
+
+
+class FrozenFieldError(EntityError):
+    pass
+
+
+class DimensionMismatchError(EntityError):
+    pass
+
+
+class BatchTooLargeError(EntityError):
+    pass
+
+
+@dataclass(frozen=True)
+class EntityStore:
+    libraries: DataFrame
+    documents: DataFrame
+    chunks: DataFrame
+
+    # -- lookups / guards (F5: cardinality checks instead of dict hits) ----
+
+    def _library(self, library_id: str) -> dict:
+        rows = self.libraries.filter(F.col("library_id") == library_id).collect()
+        if not rows:
+            raise NotFoundError(f"library {library_id} not found")
+        return rows[0].asDict()
+
+    def _document(self, document_id: str) -> dict:
+        rows = self.documents.filter(F.col("document_id") == document_id).collect()
+        if not rows:
+            raise NotFoundError(f"document {document_id} not found")
+        return rows[0].asDict()
+
+    # -- library CRUD (D1-D3) ----------------------------------------------
+
+    def create_library(self, row: dict) -> "EntityStore":
+        if self.libraries.filter(F.col("library_id") == row["library_id"]).count():
+            raise DuplicateError(f"library {row['library_id']} exists")
+        if row["embedding_dimension"] <= 0:
+            raise DimensionMismatchError("embedding_dimension must be > 0")
+        new = self.libraries.sparkSession.createDataFrame([row], self.libraries.schema)
+        return replace(self, libraries=self.libraries.unionByName(new))
+
+    def update_library(self, library_id: str, updates: dict) -> "EntityStore":
+        """PATCH semantics (P4): unset fields keep their value via MERGE-style
+        conditional overwrite; index settings are frozen while chunks exist."""
+        self._library(library_id)
+        if {"embedding_dimension", "index_kind", "distance_metric"} & set(updates):
+            n_chunks = (
+                self.chunks.join(
+                    self.documents.filter(F.col("library_id") == library_id),
+                    "document_id",
+                    "left_semi",
+                ).count()
+            )
+            if n_chunks:
+                raise FrozenFieldError(
+                    "cannot change index settings of a non-empty library"
+                )
+        cond = F.col("library_id") == library_id
+        df = self.libraries
+        for k, v in updates.items():
+            if k == "library_id":
+                raise FrozenFieldError("library_id is immutable")
+            df = df.withColumn(k, F.when(cond, F.lit(v)).otherwise(F.col(k)))
+        return replace(self, libraries=df)
+
+    def delete_library(self, library_id: str) -> "EntityStore":
+        """Cascade (J5): anti-join rewrites of all three tables."""
+        doomed_docs = self.documents.filter(F.col("library_id") == library_id)
+        return replace(
+            self,
+            libraries=self.libraries.filter(F.col("library_id") != library_id),
+            documents=self.documents.join(
+                doomed_docs.select("document_id"), "document_id", "left_anti"
+            ),
+            chunks=self.chunks.join(
+                doomed_docs.select("document_id"), "document_id", "left_anti"
+            ),
+        )
+
+    # -- document CRUD (D4) ------------------------------------------------
+
+    def create_document(self, row: dict) -> "EntityStore":
+        self._library(row["library_id"])  # FK guard
+        if self.documents.filter(F.col("document_id") == row["document_id"]).count():
+            raise DuplicateError(f"document {row['document_id']} exists")
+        new = self.documents.sparkSession.createDataFrame([row], self.documents.schema)
+        return replace(self, documents=self.documents.unionByName(new))
+
+    def update_document(self, document_id: str, updates: dict) -> "EntityStore":
+        self._document(document_id)
+        if "library_id" in updates or "document_id" in updates:
+            raise FrozenFieldError("document FK/id are immutable")
+        cond = F.col("document_id") == document_id
+        df = self.documents
+        for k, v in updates.items():
+            df = df.withColumn(k, F.when(cond, F.lit(v)).otherwise(F.col(k)))
+        return replace(self, documents=df)
+
+    def delete_document(self, document_id: str) -> "EntityStore":
+        return replace(
+            self,
+            documents=self.documents.filter(F.col("document_id") != document_id),
+            chunks=self.chunks.filter(F.col("document_id") != document_id),
+        )
+
+    # -- chunk CRUD (D5-D8) ------------------------------------------------
+
+    def _validate_dim(self, library: dict, rows: list[dict]) -> None:
+        dim = library["embedding_dimension"]
+        for r in rows:
+            if len(r["embedding"]) != dim:
+                raise DimensionMismatchError(
+                    f"chunk {r['chunk_id']}: dim {len(r['embedding'])} != {dim}"
+                )
+
+    def add_chunks(self, rows: list[dict]) -> "EntityStore":
+        """D5/D8: single-row insert is the batch of one. All validation runs
+        BEFORE any mutation (validate-then-apply atomicity, O11)."""
+        if len(rows) > MAX_BATCH:
+            raise BatchTooLargeError(f"batch > {MAX_BATCH}")
+        if not rows:
+            return self
+        doc_ids = {r["document_id"] for r in rows}
+        if len(doc_ids) > 1:
+            raise EntityError("batch must target a single document")
+        doc = self._document(next(iter(doc_ids)))
+        lib = self._library(doc["library_id"])
+        self._validate_dim(lib, rows)
+        existing = {
+            r["chunk_id"]
+            for r in self.chunks.filter(
+                F.col("chunk_id").isin([r["chunk_id"] for r in rows])
+            )
+            .select("chunk_id")
+            .collect()
+        }
+        if existing:
+            raise DuplicateError(f"chunks exist: {sorted(existing)}")
+        new = self.chunks.sparkSession.createDataFrame(rows, self.chunks.schema)
+        return replace(self, chunks=self.chunks.unionByName(new))
+
+    def update_chunk(self, chunk_id: str, updates: dict) -> "EntityStore":
+        """D6: frozen FK; dimension re-validated when the embedding changes
+        (the reference's dirty-check re-index, O10, is moot here -- indexes
+        are batch-derived columns)."""
+        rows = self.chunks.filter(F.col("chunk_id") == chunk_id).collect()
+        if not rows:
+            raise NotFoundError(f"chunk {chunk_id} not found")
+        if "document_id" in updates or "chunk_id" in updates:
+            raise FrozenFieldError("chunk FK/id are immutable")
+        if "embedding" in updates:
+            doc = self._document(rows[0]["document_id"])
+            lib = self._library(doc["library_id"])
+            if len(updates["embedding"]) != lib["embedding_dimension"]:
+                raise DimensionMismatchError("embedding dimension mismatch")
+        cond = F.col("chunk_id") == chunk_id
+        df = self.chunks
+        for k, v in updates.items():
+            df = df.withColumn(
+                k,
+                F.when(cond, F.lit(v) if k != "embedding" else F.array(*[F.lit(float(x)) for x in v]))
+                .otherwise(F.col(k)),
+            )
+        return replace(self, chunks=df)
+
+    def delete_chunk(self, chunk_id: str) -> "EntityStore":
+        return replace(self, chunks=self.chunks.filter(F.col("chunk_id") != chunk_id))
+
+    # -- listings (S1-S3) with projection (P1-P3) and pagination (T2) ------
+
+    def list_libraries(self) -> DataFrame:
+        return self.libraries.select(
+            "library_id", "name", "embedding_dimension", "distance_metric", "index_kind"
+        ).orderBy("library_id")
+
+    def list_documents(self, library_id: str | None = None, skip: int = 0, limit: int = 100) -> DataFrame:
+        df = self.documents
+        if library_id is not None:
+            df = df.filter(F.col("library_id") == library_id)
+        return (
+            df.select("document_id", "library_id", "name")
+            .orderBy("document_id")
+            .offset(skip)
+            .limit(limit)
+        )
+
+    def list_chunks(self, document_id: str | None = None, library_id: str | None = None,
+                    skip: int = 0, limit: int = 100) -> DataFrame:
+        df = self.chunks
+        if document_id is not None:
+            df = df.filter(F.col("document_id") == document_id)
+        if library_id is not None:
+            # S6/J2: library scope via semi-join through documents
+            df = df.join(
+                self.documents.filter(F.col("library_id") == library_id),
+                "document_id",
+                "left_semi",
+            )
+        # P3: embedding dropped from list responses
+        return (
+            df.select("chunk_id", "document_id", "text", "metadata", "chunk_index")
+            .orderBy("chunk_id")
+            .offset(skip)
+            .limit(limit)
+        )
+
+    # -- derived counters (A1) ---------------------------------------------
+
+    def library_counts(self) -> DataFrame:
+        doc_counts = self.documents.groupBy("library_id").agg(
+            F.count(F.lit(1)).alias("document_count")
+        )
+        chunk_counts = (
+            self.chunks.join(self.documents.select("document_id", "library_id"), "document_id")
+            .groupBy("library_id")
+            .agg(F.count(F.lit(1)).alias("chunk_count"))
+        )
+        return (
+            self.libraries.select("library_id")
+            .join(doc_counts, "library_id", "left")
+            .join(chunk_counts, "library_id", "left")
+            .fillna(0, ["document_count", "chunk_count"])
+            .orderBy("library_id")
+        )
+
+    # -- search (Q1/Q2, F1-F3, T1) -----------------------------------------
+
+    def search(
+        self,
+        library_id: str,
+        query_vector: list[float],
+        k: int = 10,
+        metadata_filters: dict[str, str] | None = None,
+    ) -> DataFrame:
+        if k <= 0:
+            raise EntityError("k must be > 0")  # services.py:171-172
+        lib = self._library(library_id)
+        if len(query_vector) != lib["embedding_dimension"]:
+            raise DimensionMismatchError("query dimension mismatch")
+        cand = self.chunks.join(
+            self.documents.filter(F.col("library_id") == library_id),
+            "document_id",
+            "left_semi",
+        )
+        if metadata_filters:
+            # F1: conjunctive equality; a missing key yields NULL == v ->
+            # NULL -> row dropped, matching dict.get(...) != expected
+            pred = reduce(
+                lambda a, b: a & b,
+                [F.col("metadata")[k_] == F.lit(v) for k_, v in metadata_filters.items()],
+            )
+            cand = cand.filter(pred)
+        q = F.array(*[F.lit(float(x)) for x in query_vector])
+        return (
+            cand.select(
+                "chunk_id",
+                distance_expr(lib["distance_metric"], F.col("embedding"), q).alias("distance"),
+            )
+            .orderBy("distance", "chunk_id")
+            .limit(k)
+        )
+
+
+# --------------------------------------------------------------------------
+# Fixture store (FIXTURES.md scenarios incl. the reference-test edge rows)
+# --------------------------------------------------------------------------
+
+LIB_SCHEMA = (
+    "library_id string, name string, description string, "
+    "metadata map<string,string>, embedding_dimension int, "
+    "distance_metric string, index_kind string"
+)
+DOC_SCHEMA = "document_id string, library_id string, name string, metadata map<string,string>"
+CHUNK_SCHEMA = (
+    "chunk_id string, document_id string, text string, embedding array<float>, "
+    "metadata map<string,string>, chunk_index int"
+)
+
+
+def demo_store(spark: SparkSession) -> EntityStore:
+    libs = [
+        ("lib-cos", "cosine flat", None, {}, 3, "cosine", "flat"),
+        ("lib-euc", "euclid flat", None, {}, 3, "euclidean", "flat"),
+        ("lib-dot", "dot flat", None, {}, 3, "dot_product", "flat"),
+        ("lib-lsh", "cosine lsh", None, {}, 3, "cosine", "random_projection"),
+    ]
+    docs = [
+        ("doc-a", "lib-cos", "alpha", {}),
+        ("doc-b", "lib-cos", "beta", {}),
+        ("doc-e", "lib-euc", "epsilon", {}),
+        ("doc-d", "lib-dot", "delta", {}),
+        ("doc-l", "lib-lsh", "lambda", {}),
+    ]
+    chunks = [
+        # orthogonal basis + duplicates + zero vector + metadata scenarios
+        ("ch-1", "doc-a", "x axis", [1.0, 0.0, 0.0], {"tag": "alpha"}, 0),
+        ("ch-2", "doc-a", "y axis", [0.0, 1.0, 0.0], {"tag": "beta"}, 1),
+        ("ch-3", "doc-a", "z axis", [0.0, 0.0, 1.0], {"source": "pdf", "page": "5"}, 2),
+        ("ch-4", "doc-b", "diag", [1.0, 1.0, 0.0], {"tag": "alpha"}, 0),
+        ("ch-5", "doc-b", "dup of ch-4", [1.0, 1.0, 0.0], {}, 1),
+        ("ch-6", "doc-b", "zero", [0.0, 0.0, 0.0], {"tag": "alpha"}, 2),
+        ("ch-7", "doc-e", "e1", [2.0, 0.0, 0.0], {}, 0),
+        ("ch-8", "doc-e", "e2", [0.0, 3.0, 0.0], {}, 1),
+        ("ch-9", "doc-d", "d1", [1.0, 2.0, 3.0], {}, 0),
+        ("ch-10", "doc-l", "l1", [1.0, 0.0, 1.0], {}, 0),
+        ("ch-11", "doc-l", "l2", [-1.0, 0.0, 1.0], {}, 1),
+    ]
+    return EntityStore(
+        libraries=spark.createDataFrame(libs, LIB_SCHEMA),
+        documents=spark.createDataFrame(docs, DOC_SCHEMA),
+        chunks=spark.createDataFrame(chunks, CHUNK_SCHEMA),
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked P4/D8 shapes over the driver tables
+# --------------------------------------------------------------------------
+
+def patch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 PATCH-merge as a batch MERGE: docs with doc_id % 100 == 0 get
+    lang='xx' and source retagged; everything else passes through."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hit = F.col("doc_id") % 100 == 0
+    return (
+        docs.select(
+            "doc_id",
+            F.when(hit, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+            F.when(hit, F.concat(F.lit("patched:"), F.col("source")))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def patch_documents_oracle() -> str:
+    return """
+SELECT doc_id,
+       CASE WHEN doc_id % 100 = 0 THEN 'xx' ELSE lang END AS lang,
+       CASE WHEN doc_id % 100 = 0 THEN 'patched:' || source ELSE source END AS source,
+       n_chars
+FROM documents ORDER BY doc_id
+""".strip()
+
+
+def batch_insert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 batch append as a union with literal rows, then a derived count
+    (naturally atomic per write at scale)."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    new = spark.createDataFrame(
+        [(1_000_001, "en"), (1_000_002, "de"), (1_000_003, "en")],
+        "doc_id long, lang string",
+    )
+    return (
+        docs.unionByName(new)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+def batch_insert_documents_oracle() -> str:
+    return """
+SELECT lang, count(*) AS n_docs FROM (
+  SELECT doc_id, lang FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES (1000001, 'en'), (1000002, 'de'), (1000003, 'en')) t(doc_id, lang))
+GROUP BY lang ORDER BY lang
+""".strip()

@@ -464,3 +464,140 @@ FROM events
 WHERE {kval} >= {threshold}
 GROUP BY event_type ORDER BY event_type
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Q6-style forecast: tight scan-side filters + single agg (pushdown demo)
+# --------------------------------------------------------------------------
+
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def revenue_forecast_oracle() -> str:
+    return f"""
+SELECT {osum('l_extendedprice * l_discount')} AS revenue, count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q2-style: min-per-group then join back (correlated-subquery shape)
+# --------------------------------------------------------------------------
+
+def min_cost_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy("p_brand").agg(F.min("p_retailprice").alias("min_price"))
+    return (
+        part.join(F.broadcast(mins), "p_brand")
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_name",
+                normalize_float(F.col("p_retailprice"), None).alias("price"))
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+def min_cost_parts_oracle() -> str:
+    return """
+SELECT p_brand, p_partkey, p_name, (p_retailprice + 0.0) AS price
+FROM part
+WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = part.p_brand)
+ORDER BY p_brand, p_partkey
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Cube + pivot-style conditional aggregation
+# --------------------------------------------------------------------------
+
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def order_cube_oracle() -> str:
+    return """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""".strip()
+
+
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot (statuses to columns) -- expressed with
+    sum(CASE...) so the oracle is plain ANSI SQL, and the plan is one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [
+        F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0)).alias(f"n_{s.lower()}")
+        for s in ("O", "F", "P")
+    ]
+    return orders.groupBy("o_orderpriority").agg(*aggs).orderBy("o_orderpriority")
+
+
+def order_status_pivot_oracle() -> str:
+    cols = ", ".join(
+        f"sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS n_{s.lower()}"
+        for s in ("O", "F", "P")
+    )
+    return f"SELECT o_orderpriority, {cols} FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT / UNION
+# --------------------------------------------------------------------------
+
+def building_and_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(urgent).orderBy("c_custkey")
+
+
+def building_and_urgent_oracle() -> str:
+    return """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY c_custkey
+""".strip()
+
+
+def building_without_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.exceptAll(urgent.distinct()).orderBy("c_custkey")
+
+
+def building_without_urgent_oracle() -> str:
+    return """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+ORDER BY c_custkey
+""".strip()

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, ivf, knn, lsh, relational, textops
+from .operators import dedup, entity, ivf, knn, lsh, relational, textops
 from .streaming import windows as stream_windows
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
@@ -74,6 +74,14 @@ def build() -> dict[str, Entry]:
     reg["agg_doc_counts"] = (r.doc_counts, r.doc_counts_oracle())
     reg["agg_distinct_users"] = (r.distinct_users_by_event, r.distinct_users_by_event_oracle())
     reg["filter_events_json"] = (r.events_json_filter, r.events_json_filter_oracle())
+    reg["tpch_revenue_forecast"] = (r.revenue_forecast, r.revenue_forecast_oracle())
+    reg["tpch_min_cost_parts"] = (r.min_cost_parts, r.min_cost_parts_oracle())
+    reg["cube_orders"] = (r.order_cube, r.order_cube_oracle())
+    reg["pivot_order_status"] = (r.order_status_pivot, r.order_status_pivot_oracle())
+    reg["set_intersect_customers"] = (r.building_and_urgent, r.building_and_urgent_oracle())
+    reg["set_except_customers"] = (r.building_without_urgent, r.building_without_urgent_oracle())
+    reg["entity_patch_update"] = (entity.patch_documents, entity.patch_documents_oracle())
+    reg["entity_batch_insert"] = (entity.batch_insert_documents, entity.batch_insert_documents_oracle())
 
     # --- text analysis over documents (training-data-pipeline surface) ---
     t = textops
