@@ -1,0 +1,73 @@
+"""Multimodal plumbing and skew-mitigation behavior tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_from_scratch_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    media_table,
+    sample_frames,
+)
+from vector_db_from_scratch_spark.operators.skew import (
+    NUM_SALTS,
+    salted_event_totals,
+)
+
+
+def test_media_table_payloads_roundtrip(spark, sf_dir):
+    rows = media_table(spark, sf_dir).limit(5).collect()
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).collect()}
+    for r in rows:
+        assert bytes(r["payload"]).decode("utf-8") == docs[r["media_id"]]
+        assert r["n_bytes"] == len(bytes(r["payload"]))
+
+
+def test_decode_stub_rejects_unknown_kind():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "hologram")
+
+
+def test_feature_extraction_histogram_sums(spark, sf_dir):
+    feats = extract_features(spark, sf_dir).collect()
+    assert len(feats) == 500
+    for r in feats[:20]:
+        assert sum(r["hist"]) == r["n_bytes"]
+        assert 0.0 <= r["byte_mean"] <= 255.0
+
+
+def test_frame_sampling_stride(spark, sf_dir):
+    frames = sample_frames(spark, sf_dir, stride=64)
+    media = media_table(spark, sf_dir).filter("kind = 'video'")
+    expected = media.select(
+        F.sum(F.ceil(F.col("n_bytes") / 64)).alias("n")
+    ).collect()[0]["n"]
+    assert frames.count() == expected
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    salted = {r["event_type"]: (r["total_value"], r["n_events"])
+              for r in salted_event_totals(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = {
+        r["event_type"]: (float(r["s"]), r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(salted) == set(direct)
+    for k in salted:
+        assert salted[k][1] == direct[k][1]
+        assert salted[k][0] == pytest.approx(direct[k][0], abs=1e-6)
+
+
+def test_salt_spreads_keys(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(NUM_SALTS)))
+        .select("salt").distinct().count()
+    )
+    assert n == NUM_SALTS

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+payloads with typed metadata, processed through Arrow-batched
+``mapInPandas`` pipelines.
+
+The real codecs (PIL/ffmpeg/torchaudio) are not in this container, so the
+DECODE step is stubbed: ``decode_media`` raises ``NotImplementedError`` for
+real formats and ships a deterministic fake decoder used by tests. What IS
+real -- and what this module demonstrates for a 100 TB pipeline -- is the
+Spark side: the schema contract, Arrow batch iteration, one-to-many frame
+explosion, and partition-parallel feature extraction with no shuffle until
+the final aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+MEDIA_SCHEMA = "media_id long, kind string, payload binary, n_bytes long"
+FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, byte_mean double, hist array<long>"
+FRAME_SCHEMA = "media_id long, frame_idx long, frame_byte long"
+
+KINDS = ("image", "audio", "video")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media: documents' utf-8 bytes as the payload,
+    kind assigned round-robin -- the plumbing stand-in for a parquet table
+    of real blobs (which would be laid out identically: payload column +
+    typed metadata, partitioned by kind/date at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """STUB: a real deployment decodes the codec here. Only the
+    deterministic fake (raw bytes as uint8) is implemented; real formats
+    raise so nobody mistakes this for a working codec."""
+    if kind not in KINDS:
+        raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def extract_features(spark: SparkSession, sf_dir: str, bins: int = 16) -> DataFrame:
+    """Partition-parallel feature extraction: byte histogram + mean per
+    payload via mapInPandas (one Arrow transfer per batch, no shuffle)."""
+    media = media_table(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, kind, payload, n_bytes in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["n_bytes"]
+            ):
+                arr = decode_media(payload, kind)
+                hist = np.bincount(arr // (256 // bins), minlength=bins)[:bins]
+                rows.append(
+                    (media_id, kind, n_bytes, float(arr.mean()) if len(arr) else 0.0,
+                     hist.astype("int64").tolist())
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "n_bytes", "byte_mean", "hist"]
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(spark: SparkSession, sf_dir: str, stride: int = 64) -> DataFrame:
+    """One-to-many frame sampling (the video path): every stride-th byte
+    becomes a 'frame' row -- the mapInPandas shape for real frame extraction."""
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "video")
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_idx, out_byte = [], [], []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                arr = decode_media(payload, kind)[::stride]
+                out_id.extend([media_id] * len(arr))
+                out_idx.extend(range(len(arr)))
+                out_byte.extend(int(b) for b in arr)
+            yield pd.DataFrame(
+                {"media_id": out_id, "frame_idx": out_idx, "frame_byte": out_byte}
+            )
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked binary-column query (the SQL-expressible slice)
+# --------------------------------------------------------------------------
+
+def binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload statistics per kind -- pure SQL over the binary
+    column (octet lengths, first-byte ascii), oracle-checkable."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+def binary_stats_oracle() -> str:
+    kinds = ", ".join(f"'{k}'" for k in KINDS)
+    return f"""
+SELECT kind, count(*) AS n_media, sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+       min(octet_length(encode(text)))::BIGINT AS min_bytes,
+       max(octet_length(encode(text)))::BIGINT AS max_bytes
+FROM (SELECT ([{kinds}])[(doc_id % 3 + 1)::INT] AS kind, text FROM documents)
+GROUP BY kind ORDER BY kind
+""".strip()

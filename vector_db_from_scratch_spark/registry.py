@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, entity, ivf, knn, lsh, relational, textops
+from .operators import dedup, entity, ivf, knn, lsh, multimodal, relational, skew, textops
 from .streaming import windows as stream_windows
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
@@ -82,6 +82,14 @@ def build() -> dict[str, Entry]:
     reg["set_except_customers"] = (r.building_without_urgent, r.building_without_urgent_oracle())
     reg["entity_patch_update"] = (entity.patch_documents, entity.patch_documents_oracle())
     reg["entity_batch_insert"] = (entity.batch_insert_documents, entity.batch_insert_documents_oracle())
+
+    # --- multimodal binary plumbing + skew mitigation ---
+    reg["multimodal_binary_stats"] = (multimodal.binary_stats, multimodal.binary_stats_oracle())
+    # mapInPandas feature extraction: not SQL-expressible -> rows-only check
+    reg["multimodal_features"] = (multimodal.extract_features, None)
+    reg["multimodal_frame_sample"] = (multimodal.sample_frames, None)
+    reg["skew_salted_agg"] = (skew.salted_event_totals, skew.salted_event_totals_oracle())
+    reg["skew_salted_join"] = (skew.salted_weighted_join, skew.salted_weighted_join_oracle())
 
     # --- text analysis over documents (training-data-pipeline surface) ---
     t = textops
