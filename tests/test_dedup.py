@@ -66,3 +66,11 @@ def test_embedding_neardup_fast_equals_expression(spark, sf_dir):
     fast = {tuple(r) for r in embedding_neardup(spark, sf_dir, fast=True).collect()}
     expr = {tuple(r) for r in embedding_neardup(spark, sf_dir, fast=False).collect()}
     assert fast == expr and fast
+
+
+def test_shingle_index_fast_equals_expression(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.dedup import _shingle_index
+
+    fast = {tuple(r) for r in _shingle_index(spark, sf_dir, fast=True).collect()}
+    expr = {tuple(r) for r in _shingle_index(spark, sf_dir, fast=False).collect()}
+    assert fast == expr and fast

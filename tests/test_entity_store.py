@@ -160,3 +160,19 @@ def test_pagination_math(store):
 def test_listing_drops_embedding(store):
     cols = store.list_chunks(document_id="doc-a").columns
     assert "embedding" not in cols
+
+
+def test_store_roundtrip_parquet_and_json(store, spark, tmp_path):
+    """Persistence parity (reference test_disk_persistence.py:240-271):
+    search results must be identical after save/load, in both formats."""
+    from vector_db_from_scratch_spark.operators.entity import load_store, save_store
+
+    before = store.search("lib-cos", [1.0, 0.0, 0.0], k=5).collect()
+    for fmt in ("parquet", "json"):
+        path = str(tmp_path / fmt)
+        save_store(store, path, fmt)
+        reloaded = load_store(spark, path, fmt)
+        after = reloaded.search("lib-cos", [1.0, 0.0, 0.0], k=5).collect()
+        assert [(r["chunk_id"], r["distance"]) for r in before] == [
+            (r["chunk_id"], r["distance"]) for r in after
+        ], fmt

@@ -43,3 +43,14 @@ def test_batch_knn_matches_single(spark, sf_dir):
     for qid, hits in by_query.items():
         single = flat_knn(spark, sf_dir, "cosine", k=5, query_vec_id=qid).collect()
         assert [v for _, v in sorted(hits)] == [r["vec_id"] for r in single]
+
+
+def test_fast_knn_matches_expression_path(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.knn import flat_knn_fast
+
+    for metric in ("cosine", "euclidean", "dot_product"):
+        slow = flat_knn(spark, sf_dir, metric, k=10).collect()
+        fast = flat_knn_fast(spark, sf_dir, metric, k=10).collect()
+        assert [(r["vec_id"], r["distance"]) for r in slow] == [
+            (r["vec_id"], r["distance"]) for r in fast
+        ], metric

@@ -42,3 +42,25 @@ def test_streaming_counter_matches_batch(spark, sf_dir):
     got = {r["event_type"]: r["n"] for r in stream_res.collect()}
     want = {r["event_type"]: r["count"] for r in batch.collect()}
     assert got == want
+
+
+def test_stateful_first_event_matches_batch(spark, sf_dir):
+    """applyInPandasWithState first-occurrence tracking == batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.sources.tables import load_table
+    from vector_db_from_scratch_spark.streaming.stateful import run_first_event_once
+
+    res = run_first_event_once(spark, sf_dir)
+    got = {
+        (r["user_id"], r["event_type"]): (r["first_event_id"], r["n"])
+        for r in res.collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["user_id"], r["event_type"]): (r["first"], r["n"])
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("first"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

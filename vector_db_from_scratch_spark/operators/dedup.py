@@ -88,16 +88,48 @@ FROM documents GROUP BY md5(text) ORDER BY rep_doc_id
 # n-gram Jaccard near-dup: inverted shingle index self-join + exact verify
 # --------------------------------------------------------------------------
 
-def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_index(spark: SparkSession, sf_dir: str, fast: bool = True) -> DataFrame:
     """Inverted shingle index (doc_id, shingle_hash).
+
+    Fast path: shingling + md5 hashing in one Arrow mapInPandas pass --
+    Spark's higher-order `transform` lambdas and the md5/conv chain are
+    interpreted per shingle and dominate the whole dedup family's runtime
+    (8.9s -> ~1s at sf0.1). hashlib.md5 produces the exact same 60-bit
+    values as the SQL expression (same bytes in), so the oracle contract is
+    untouched; the expression path remains for parity testing.
 
     Persisted: every consumer (sizes, both self-join sides, the verify
     intersection) references this subtree, and Spark would otherwise
-    re-derive the explode+hash 3-4x per query. At 100 TB this is the
-    'index build' phase materialized as a table; here cache() is the
-    in-session analog (ints only -- the strings never survive the map).
+    re-derive it 3-4x per query. At 100 TB this is the 'index build' phase
+    materialized as a table; cache() is the in-session analog (ints only --
+    the strings never survive the map).
     """
     docs = load_table(spark, sf_dir, "documents")
+    if fast:
+        import hashlib
+
+        import pandas as pd
+
+        def batches(it):
+            for pdf in it:
+                out_id, out_h = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    toks = text.split(" ")
+                    seen = set()
+                    for i in range(len(toks) - (SHINGLE_WIDTH - 1)):
+                        s = " ".join(toks[i : i + SHINGLE_WIDTH])
+                        if s not in seen:
+                            seen.add(s)
+                            h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                            out_id.append(doc_id)
+                            out_h.append(h % MERSENNE31)
+                yield pd.DataFrame({"doc_id": out_id, "sh": out_h})
+
+        return (
+            docs.select("doc_id", "text")
+            .mapInPandas(batches, "doc_id long, sh long")
+            .cache()
+        )
     return (
         docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
         .select("doc_id", hash31(F.col("s")).alias("sh"))

@@ -424,3 +424,32 @@ SELECT lang, count(*) AS n_docs FROM (
   SELECT * FROM (VALUES (1000001, 'en'), (1000002, 'de'), (1000003, 'en')) t(doc_id, lang))
 GROUP BY lang ORDER BY lang
 """.strip()
+
+# --------------------------------------------------------------------------
+# Persistence (S4/S7): tables as parquet (native) or JSON dirs (the
+# reference's on-disk layout is one JSON per entity -- disk_store.py:100-116;
+# table-level JSON keeps the format while fixing the file-per-row
+# anti-pattern)
+# --------------------------------------------------------------------------
+
+def save_store(store: EntityStore, path: str, fmt: str = "parquet") -> None:
+    for name in ("libraries", "documents", "chunks"):
+        getattr(store, name).write.mode("overwrite").format(fmt).save(f"{path}/{name}")
+
+
+def load_store(spark: SparkSession, path: str, fmt: str = "parquet") -> EntityStore:
+    """Lazy bootstrap (the analog of disk_store._load_all's glob+parse,
+    disk_store.py:45-84 -- but recovery-free: tables are the truth)."""
+    def read(name: str) -> DataFrame:
+        r = spark.read.format(fmt)
+        if fmt == "json":
+            # JSON needs the declared schema to round-trip types exactly
+            r = r.schema({"libraries": LIB_SCHEMA, "documents": DOC_SCHEMA,
+                          "chunks": CHUNK_SCHEMA}[name])
+        return r.load(f"{path}/{name}")
+
+    return EntityStore(
+        libraries=read("libraries"),
+        documents=read("documents"),
+        chunks=read("chunks"),
+    )

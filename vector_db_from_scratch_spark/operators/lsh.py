@@ -136,6 +136,62 @@ def _bucket_of(vec: list[float]) -> int:
     return int(sum(1 << i for i, s in enumerate(signs) if s))
 
 
+def lsh_knn_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 5,
+    num_queries: int = 8,
+) -> DataFrame:
+    """Multi-query LSH probe: queries JOIN index ON bucket (J4's batch form
+    -- the reference can only probe one query at a time). No fallback here:
+    this is the pure bucket-probe plan whose per-query recall the fallback
+    variant tops up; batch probing is where the bucket equi-join shines at
+    scale (one shuffle-free broadcast join instead of Q driver round trips).
+    """
+    emb = build_index(load_table(spark, sf_dir, "embeddings"))
+    queries = (
+        build_index(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("vec_id") < num_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    from pyspark.sql import Window
+
+    probed = emb.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+    w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    return (
+        probed.select(
+            "query_id",
+            "vec_id",
+            distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_knn_batch_oracle(metric: str = "cosine", k: int = 5, num_queries: int = 8) -> str:
+    d = oracle_distance_sql(metric, "e.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {bucket_sql('embedding::DOUBLE[]')} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {bucket_sql('embedding::DOUBLE[]')} AS qbucket
+      FROM embeddings WHERE vec_id < {num_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id, {d} AS distance,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {d}, e.vec_id) AS rank
+  FROM e JOIN q ON e.bucket = q.qbucket)
+SELECT query_id, vec_id, distance, rank
+FROM scored WHERE rank <= {k}
+""".strip()
+
+
 def lsh_knn_oracle(
     metric: str = "cosine",
     k: int = 10,

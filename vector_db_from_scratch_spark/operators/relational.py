@@ -601,3 +601,61 @@ EXCEPT
 SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 ORDER BY c_custkey
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Outer join: customers with their order counts, including zero (left join)
+# --------------------------------------------------------------------------
+
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        cust.join(counts, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def customer_order_counts_oracle() -> str:
+    return """
+SELECT c_custkey, c_mktsegment, coalesce(n.n_orders, 0) AS n_orders
+FROM customer LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
+                         FROM orders GROUP BY o_custkey) n
+  ON c_custkey = n.o_custkey
+ORDER BY c_custkey
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Pagination with total / has_more (A2: the reference computes total before
+# slicing, schemas.py:77-83) -- window count over the unsliced set
+# --------------------------------------------------------------------------
+
+def paginated_with_total(spark: SparkSession, sf_dir: str, lang: str = "de",
+                         skip: int = 10, limit: int = 20) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == lang)
+    w = Window.partitionBy()
+    return (
+        docs.withColumn("total", F.count(F.lit(1)).over(w))
+        .select("doc_id", "n_chars", "total",
+                (F.lit(skip + limit) < F.col("total")).alias("has_more"))
+        .orderBy("doc_id")
+        .offset(skip)
+        .limit(limit)
+    )
+
+
+def paginated_with_total_oracle(lang: str = "de", skip: int = 10, limit: int = 20) -> str:
+    return f"""
+SELECT doc_id, n_chars, total, ({skip} + {limit}) < total AS has_more
+FROM (SELECT doc_id, n_chars, count(*) OVER () AS total
+      FROM documents WHERE lang = '{lang}')
+ORDER BY doc_id
+LIMIT {limit} OFFSET {skip}
+""".strip()

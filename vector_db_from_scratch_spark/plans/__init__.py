@@ -1,0 +1,3 @@
+from .audit import count_shuffles, plan_string, pushed_filters, uses_take_ordered
+
+__all__ = ["count_shuffles", "plan_string", "pushed_filters", "uses_take_ordered"]

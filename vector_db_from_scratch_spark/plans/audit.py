@@ -1,0 +1,38 @@
+"""Physical-plan audit helpers: the programmatic form of `.explain()` review.
+
+Used by tests to pin the plan properties that matter at 100 TB -- filters
+reaching the parquet scan, top-k compiling to TakeOrderedAndProject instead
+of a global sort, shuffle counts staying flat as operators compose. A plan
+regression (e.g. a filter silently stopping short of the scan) fails CI
+here rather than surfacing as a 100x slowdown on a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of exchanges in the physical plan (AQE may later coalesce
+    or eliminate some at runtime; this counts the static upper bound)."""
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan_string(df)))
+
+
+def uses_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in plan_string(df)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """DataFilters/PushedFilters entries of every parquet scan in the plan."""
+    out = []
+    for line in plan_string(df).split("\n"):
+        m = re.search(r"DataFilters: \[([^\]]*)\]", line)
+        if m and m.group(1).strip():
+            out.append(m.group(1).strip())
+    return out

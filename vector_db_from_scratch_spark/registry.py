@@ -52,6 +52,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: knn.flat_knn(spark, sf, "cosine", k=5, query_literal=ZERO64),
         knn.flat_knn_oracle("cosine", k=5, query_literal=ZERO64),
     )
+    # scale fast path: mapInPandas local top-k; SAME oracle as the
+    # expression form -- both must produce identical rounded results
+    reg["knn_cosine_flat_fast"] = (
+        lambda spark, sf: knn.flat_knn_fast(spark, sf, "cosine", k=10, query_vec_id=0),
+        knn.flat_knn_oracle("cosine", k=10, query_vec_id=0),
+    )
     # multi-query batch (beyond-reference; two-phase distributed top-k)
     reg["knn_batch"] = (
         lambda spark, sf: knn.batch_knn(spark, sf, "cosine", k=5, num_queries=8),
@@ -120,6 +126,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: ivf.ivf_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         ivf.ivf_knn_oracle("cosine", k=10, query_vec_id=0),
     )
+    reg["lsh_knn_batch"] = (
+        lambda spark, sf: lsh.lsh_knn_batch(spark, sf, "cosine", k=5, num_queries=8),
+        lsh.lsh_knn_batch_oracle("cosine", k=5, num_queries=8),
+    )
+    reg["outer_join_order_counts"] = (r.customer_order_counts, r.customer_order_counts_oracle())
+    reg["pagination_with_total"] = (r.paginated_with_total, r.paginated_with_total_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
     w = stream_windows

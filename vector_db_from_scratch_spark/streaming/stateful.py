@@ -1,0 +1,78 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``:
+streaming first-occurrence tracking / dedup per key.
+
+This is the §2.10 north-star extension shape: arbitrary per-key state the
+built-in windowed aggregations can't express (the reference has no
+streaming surface at all). The state store scales horizontally with
+executors; keys shuffle once to their owning state partition.
+
+Semantics: for each (user_id, event_type) group, maintain the first-seen
+event_id (minimum across all micro-batches) and a running count -- i.e. a
+streaming dedup where only the canonical first event survives. After
+draining all input, results must equal the batch groupBy (tested).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .windows import events_stream
+
+OUTPUT_SCHEMA = "user_id long, event_type string, first_event_id long, n long"
+STATE_SCHEMA = "first_event_id long, n long"
+
+
+def _track_first(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        first_id, n = state.get
+    else:
+        first_id, n = None, 0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        batch_min = int(pdf["event_id"].min())
+        first_id = batch_min if first_id is None else min(first_id, batch_min)
+        n += len(pdf)
+    state.update((first_id, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_type": [key[1]],
+            "first_event_id": [first_id],
+            "n": [n],
+        }
+    )
+
+
+def first_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _track_first,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_first_event_once(spark: SparkSession, sf_dir: str, name: str = "t_first") -> DataFrame:
+    q = (
+        first_event_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
