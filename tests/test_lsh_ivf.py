@@ -102,3 +102,21 @@ def test_ivf_recall_vs_flat(spark, sf_dir):
     flat = {r["vec_id"] for r in flat_knn(spark, sf_dir, "cosine", k=10).collect()}
     approx = {r["vec_id"] for r in ivf_knn(spark, sf_dir, "cosine", k=10).collect()}
     assert len(flat & approx) >= 5
+
+
+def test_ivf_assignment_persistence(spark, sf_dir, tmp_path):
+    """IVF index artifact: assignment table persisted partitionBy(cell),
+    reloaded, probe results identical (S8-S11 parity for IVF)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.operators.ivf import assign_cells
+
+    assigned = assign_cells(spark, sf_dir)
+    path = str(tmp_path / "ivf_index")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = sorted((r["vec_id"], r["cell"]) for r in assigned.collect())
+    b = sorted((r["vec_id"], r["cell"]) for r in reloaded.select("vec_id", "cell").collect())
+    assert a == b
+    plan = reloaded.filter(F.col("cell") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

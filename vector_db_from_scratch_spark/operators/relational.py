@@ -659,3 +659,22 @@ FROM (SELECT doc_id, n_chars, count(*) OVER () AS total
 ORDER BY doc_id
 LIMIT {limit} OFFSET {skip}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Sketch aggregates (Spark-native approximate surface; no SQL oracle --
+# HLL/quantile-sketch internals differ per engine, so the driver records a
+# rows-only check and tests bound the error against exact values)
+# --------------------------------------------------------------------------
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -89,6 +89,10 @@ def build() -> dict[str, Entry]:
     reg["entity_patch_update"] = (entity.patch_documents, entity.patch_documents_oracle())
     reg["entity_batch_insert"] = (entity.batch_insert_documents, entity.batch_insert_documents_oracle())
 
+    # sketch aggregates: rows-only (HLL/quantile internals differ per
+    # engine); error-bounded against exact values in tests
+    reg["agg_approx_stats"] = (r.approx_stats, None)
+
     # --- multimodal binary plumbing + skew mitigation ---
     reg["multimodal_binary_stats"] = (multimodal.binary_stats, multimodal.binary_stats_oracle())
     # mapInPandas feature extraction: not SQL-expressible -> rows-only check
@@ -130,6 +134,17 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: lsh.lsh_knn_batch(spark, sf, "cosine", k=5, num_queries=8),
         lsh.lsh_knn_batch_oracle("cosine", k=5, num_queries=8),
     )
+    # full metric coverage on the approximate indexes (the reference
+    # supports every metric on both index kinds)
+    for metric in ("euclidean", "dot_product"):
+        reg[f"lsh_knn_{metric}"] = (
+            (lambda m: lambda spark, sf: lsh.lsh_knn(spark, sf, m, k=10, query_vec_id=0))(metric),
+            lsh.lsh_knn_oracle(metric, k=10, query_vec_id=0),
+        )
+        reg[f"ivf_knn_{metric}"] = (
+            (lambda m: lambda spark, sf: ivf.ivf_knn(spark, sf, m, k=10, query_vec_id=0))(metric),
+            ivf.ivf_knn_oracle(metric, k=10, query_vec_id=0),
+        )
     reg["outer_join_order_counts"] = (r.customer_order_counts, r.customer_order_counts_oracle())
     reg["pagination_with_total"] = (r.paginated_with_total, r.paginated_with_total_oracle())
 
