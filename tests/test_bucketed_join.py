@@ -1,0 +1,54 @@
+"""Co-located (bucketed) join: pre-bucketing both fact tables on the join
+key eliminates the exchange from the join plan entirely -- the 100 TB
+repeated-join strategy (pay one shuffle at write time, never again)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_from_scratch_spark.plans import plan_string
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, sf_dir):
+    # session warehouse already points at a temp dir (session.py)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+       .sortBy("l_orderkey").format("parquet").saveAsTable("li_bucketed"))
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+       .sortBy("o_orderkey").format("parquet").saveAsTable("orders_bucketed"))
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_bucketed_join_has_no_exchange(warehouse):
+    spark = warehouse
+    # at test scale the dim side auto-broadcasts, which would bypass the
+    # bucketed path; disable broadcast to exercise the big-big join shape
+    # this strategy exists for
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("li_bucketed")
+        orders = spark.table("orders_bucketed")
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = plan_string(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketed join must not shuffle"
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_correct(warehouse, spark, sf_dir):
+    li = spark.table("li_bucketed")
+    orders = spark.table("orders_bucketed")
+    n_bucketed = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    n_plain = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(spark.read.parquet(f"{sf_dir}/orders.parquet"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert n_bucketed == n_plain

@@ -120,3 +120,48 @@ def test_ivf_assignment_persistence(spark, sf_dir, tmp_path):
     assert a == b
     plan = reloaded.filter(F.col("cell") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_kmeans_inertia_decreases(spark, sf_dir):
+    """Lloyd iterations must not increase inertia (mean distance to the
+    assigned centroid)."""
+    import numpy as np
+
+    from vector_db_from_scratch_spark.operators.ivf import kmeans_train
+
+    emb = np.vstack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ])
+
+    def inertia(cents_df):
+        c = np.vstack([
+            np.asarray(r["centroid"], dtype=np.float64) for r in cents_df.collect()
+        ])
+        d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return float(d.min(1).mean())
+
+    i1 = inertia(kmeans_train(spark, sf_dir, n_cells=8, iterations=1))
+    i3 = inertia(kmeans_train(spark, sf_dir, n_cells=8, iterations=3))
+    assert i3 <= i1 + 1e-9
+
+
+def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
+    """Hamming<=1 probing must examine a superset of the query's own bucket,
+    so its recall vs the exact scan can only improve on the single-bucket
+    probe (no fallback in either)."""
+    from vector_db_from_scratch_spark.operators.lsh import (
+        _bucket_of,
+        build_index,
+        lsh_knn_multiprobe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    qb = _bucket_of(qvec)
+    idx = build_index(emb)
+    single = {r["vec_id"] for r in idx.filter(F.col("bucket") == qb).collect()}
+    flat = {r["vec_id"] for r in flat_knn(spark, sf_dir, "cosine", k=10).collect()}
+    multi = {r["vec_id"] for r in lsh_knn_multiprobe(spark, sf_dir, "cosine", k=10).collect()}
+    assert len(flat & multi) >= len(flat & (single & multi))
+    assert 0 in multi  # the query vector itself survives probing

@@ -77,6 +77,63 @@ def ivf_knn(
     )
 
 
+def kmeans_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = NUM_CELLS,
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd iterations to train real IVF centroids -- the
+    iterative-algorithm surface the driver checks rows-only (centroid float
+    means are not portably reproducible in SQL).
+
+    Each iteration is one broadcast join + one groupBy: assignment never
+    shuffles the embedding payload (centroids are broadcast), and the
+    update shuffles only (cell, partial-sum) pairs -- the textbook scalable
+    k-means step. Init = the first n_cells vectors (seeded-deterministic).
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    ]
+    for _ in range(iterations):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cell int, cv array<float>"
+        )
+        d = distance_expr("euclidean", F.col("embedding"), F.col("cv"))
+        w = Window.partitionBy("vec_id").orderBy("cd", "cell")
+        assigned = (
+            emb.crossJoin(F.broadcast(cent_df))
+            .withColumn("cd", d)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+        # mean per cell: aggregate element-wise sums + count, finalize driver-side
+        dim = len(cents[0])
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col("embedding").cast("array<double>"), i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        cents_iter: dict[int, list[float]] = {}
+        for r in sums.collect():
+            cents_iter[r["cell"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        cents = [
+            [float(np.float32(x)) for x in cents_iter.get(i, cents[i])]
+            for i in range(n_cells)
+        ]
+    final = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<float>"
+    )
+    return final.orderBy("cell")
+
+
 def ivf_knn_oracle(metric: str = "cosine", k: int = 10, query_vec_id: int = 0) -> str:
     eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
     equ = oracle_distance_sql("euclidean", "c.cv", "q.qv")

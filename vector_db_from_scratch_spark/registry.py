@@ -89,6 +89,12 @@ def build() -> dict[str, Entry]:
     reg["entity_patch_update"] = (entity.patch_documents, entity.patch_documents_oracle())
     reg["entity_batch_insert"] = (entity.batch_insert_documents, entity.batch_insert_documents_oracle())
 
+    # iterative k-means IVF training: rows-only (float centroid means are
+    # not portably SQL-reproducible); convergence asserted in tests
+    reg["ivf_kmeans_train"] = (
+        lambda spark, sf: ivf.kmeans_train(spark, sf, n_cells=8, iterations=2),
+        None,
+    )
     # sketch aggregates: rows-only (HLL/quantile internals differ per
     # engine); error-bounded against exact values in tests
     reg["agg_approx_stats"] = (r.approx_stats, None)
@@ -133,6 +139,10 @@ def build() -> dict[str, Entry]:
     reg["lsh_knn_batch"] = (
         lambda spark, sf: lsh.lsh_knn_batch(spark, sf, "cosine", k=5, num_queries=8),
         lsh.lsh_knn_batch_oracle("cosine", k=5, num_queries=8),
+    )
+    reg["lsh_knn_multiprobe"] = (
+        lambda spark, sf: lsh.lsh_knn_multiprobe(spark, sf, "cosine", k=10, query_vec_id=0),
+        lsh.lsh_knn_multiprobe_oracle("cosine", k=10, query_vec_id=0),
     )
     # full metric coverage on the approximate indexes (the reference
     # supports every metric on both index kinds)

@@ -10,6 +10,7 @@ further when inputs are small.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -27,6 +28,11 @@ def get_spark(app_name: str = "vector-db-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # keep managed/bucketed tables out of the repo working dir
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", tempfile.mkdtemp(prefix="spark-wh-")),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects;
