@@ -176,3 +176,19 @@ def test_store_roundtrip_parquet_and_json(store, spark, tmp_path):
         assert [(r["chunk_id"], r["distance"]) for r in before] == [
             (r["chunk_id"], r["distance"]) for r in after
         ], fmt
+
+
+def test_lsh_library_search_dispatch(store):
+    """random_projection libraries route through the bucket probe; with only
+    2 chunks (< k) the fallback widens to all, matching flat results
+    (reference tests/test_vector_store.py:208-221)."""
+    res = store.search("lib-lsh", [1.0, 0.0, 1.0], k=2).collect()
+    assert [r["chunk_id"] for r in res] == ["ch-10", "ch-11"]
+    assert res[0]["distance"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_lsh_library_probe_tightens_with_small_k(store, spark):
+    """With k=1 the bucket probe may return only same-bucket chunks; the
+    result must still be the true nearest (self bucket contains the match)."""
+    res = store.search("lib-lsh", [1.0, 0.0, 1.0], k=1).collect()
+    assert [r["chunk_id"] for r in res] == ["ch-10"]

@@ -64,3 +64,16 @@ def test_stateful_first_event_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static enrichment join drained == the batch salted join's
+    totals (same weights dimension)."""
+    from vector_db_from_scratch_spark.operators.skew import salted_weighted_join
+    from vector_db_from_scratch_spark.streaming.windows import enriched_stream, run_stream_once
+
+    res = run_stream_once(enriched_stream(spark, sf_dir), "t_enrich")
+    got = {r["event_type"]: (r["n"], r["weighted_value"]) for r in res.collect()}
+    want = {r["event_type"]: (r["n_events"], r["weighted_value"])
+            for r in salted_weighted_join(spark, sf_dir).collect()}
+    assert got == want

@@ -302,6 +302,17 @@ class EntityStore:
                 [F.col("metadata")[k_] == F.lit(v) for k_, v in metadata_filters.items()],
             )
             cand = cand.filter(pred)
+        if lib["index_kind"] == "random_projection":
+            # Q3 dispatch: bucket probe with the reference's <k fallback
+            # (intersection with the metadata candidates happens FIRST,
+            # fallback widens to all allowed -- indexes.py:220-224)
+            from .lsh import _bucket_of, bucket_expr, projection_matrix
+
+            proj = projection_matrix(dimension=lib["embedding_dimension"])
+            qb = _bucket_of([float(x) for x in query_vector], proj)
+            bucketed = cand.withColumn("bucket", bucket_expr(F.col("embedding"), proj))
+            probed = bucketed.filter(F.col("bucket") == qb)
+            cand = probed if probed.count() >= k else bucketed
         q = F.array(*[F.lit(float(x)) for x in query_vector])
         return (
             cand.select(

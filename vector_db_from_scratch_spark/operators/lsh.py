@@ -37,11 +37,16 @@ DIMENSION = 64
 SEED = 42
 
 
-def projection_matrix() -> list[list[float]]:
+def projection_matrix(
+    dimension: int = DIMENSION,
+    num_projections: int = NUM_PROJECTIONS,
+    seed: int = SEED,
+) -> list[list[float]]:
     """Seeded Gaussian hyperplanes, float32-exact Python floats so the Spark
-    literals and the oracle SQL literals are the same doubles."""
-    rng = np.random.default_rng(SEED)
-    mat = rng.normal(size=(NUM_PROJECTIONS, DIMENSION)).astype(np.float32)
+    literals and the oracle SQL literals are the same doubles. Works for any
+    library dimension (the reference builds one per-library matrix, X7)."""
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(num_projections, dimension)).astype(np.float32)
     return [[float(x) for x in row] for row in mat]
 
 
@@ -52,11 +57,13 @@ def _proj_lit(i: int) -> Column:
     return F.array(*[F.lit(x) for x in _PROJECTIONS[i]])
 
 
-def bucket_expr(v: Column) -> Column:
+def bucket_expr(v: Column, projections: list[list[float]] | None = None) -> Column:
     """Little-endian sign-bit packing: bit i set iff P_i . v >= 0."""
+    proj = projections if projections is not None else _PROJECTIONS
     b = F.lit(0)
-    for i in range(NUM_PROJECTIONS):
-        b = b + F.when(dot(v, _proj_lit(i)) >= 0.0, F.lit(1 << i)).otherwise(F.lit(0))
+    for i, row in enumerate(proj):
+        p = F.array(*[F.lit(x) for x in row])
+        b = b + F.when(dot(v, p) >= 0.0, F.lit(1 << i)).otherwise(F.lit(0))
     return b.cast("int")
 
 
@@ -129,8 +136,8 @@ def lsh_knn(
     )
 
 
-def _bucket_of(vec: list[float]) -> int:
-    p = np.asarray(_PROJECTIONS, dtype=np.float64)
+def _bucket_of(vec: list[float], projections: list[list[float]] | None = None) -> int:
+    p = np.asarray(projections if projections is not None else _PROJECTIONS, dtype=np.float64)
     v = np.asarray(vec, dtype=np.float64)
     signs = (p @ v) >= 0
     return int(sum(1 << i for i, s in enumerate(signs) if s))

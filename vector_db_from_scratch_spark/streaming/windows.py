@@ -212,3 +212,24 @@ def run_stream_once(df: DataFrame, query_name: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment join: the streaming side joins a static
+# dimension each micro-batch (broadcast per batch -- no stream-stream state)
+# --------------------------------------------------------------------------
+
+def enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    return (
+        ev.join(F.broadcast(weights), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
+    )
