@@ -678,3 +678,128 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join: for each purchase, the latest prior (or simultaneous) click
+# by the same user. Spark lacks a native ASOF JOIN; the scalable pattern is
+# union + last_value(ignorenulls) over a per-user event-time window -- one
+# shuffle on user_id, no per-row subquery, no range explosion. The oracle
+# uses DuckDB's native ASOF JOIN, so two completely independent
+# implementations must agree.
+# --------------------------------------------------------------------------
+
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # dedupe clicks per (user, ts) so the as-of match is unambiguous
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("ets"), "click_id",
+                F.lit(0).alias("kind"), F.lit(None).cast("long").alias("purchase_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ets"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("kind"), F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "kind")  # clicks sort before purchases at equal ts -> inclusive asof
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("kind") == 1) & F.col("last_click_id").isNotNull())
+        .select("user_id", "purchase_id", F.col("last_click_id").alias("click_id"))
+        .orderBy("purchase_id")
+    )
+
+
+def asof_purchase_click_oracle() -> str:
+    return """
+WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+p AS (SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.purchase_id, c.click_id
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join: facts against a small interval dimension -- the
+# dimension broadcasts, so the inequality join is a per-row bucket lookup
+# rather than a cross-product.
+# --------------------------------------------------------------------------
+
+YEAR_BUCKETS = [(y, f"{y}-01-01", f"{y + 2}-01-01") for y in (1995, 1997, 1999)]
+
+
+def range_join_year_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    buckets = spark.createDataFrame(
+        [(y, a, b) for y, a, b in YEAR_BUCKETS], "bucket_start int, lo string, hi string"
+    ).select(
+        "bucket_start",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+    )
+    return (
+        orders.join(
+            F.broadcast(buckets),
+            (F.col("o_orderdate") >= F.col("lo")) & (F.col("o_orderdate") < F.col("hi")),
+        )
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("total"))
+        .orderBy("bucket_start")
+    )
+
+
+def range_join_year_buckets_oracle() -> str:
+    rows = ", ".join(f"({y}, TIMESTAMP '{a} 00:00:00', TIMESTAMP '{b} 00:00:00')" for y, a, b in YEAR_BUCKETS)
+    return f"""
+WITH buckets(bucket_start, lo, hi) AS (SELECT * FROM (VALUES {rows}))
+SELECT bucket_start, count(*) AS n_orders, {osum('o_totalprice')} AS total
+FROM orders JOIN buckets ON o_orderdate >= lo AND o_orderdate < hi
+GROUP BY bucket_start ORDER BY bucket_start
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Time-based trailing window frame: per-user trailing-1h event count
+# (RANGE frame over event time -- microsecond-exact in both engines)
+# --------------------------------------------------------------------------
+
+def trailing_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("events_trailing_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def trailing_hour_activity_oracle() -> str:
+    return """
+SELECT user_id, event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS events_trailing_1h
+FROM events
+ORDER BY event_id
+""".strip()

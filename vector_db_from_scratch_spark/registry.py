@@ -157,6 +157,9 @@ def build() -> dict[str, Entry]:
         )
     reg["outer_join_order_counts"] = (r.customer_order_counts, r.customer_order_counts_oracle())
     reg["pagination_with_total"] = (r.paginated_with_total, r.paginated_with_total_oracle())
+    reg["asof_join_purchase_click"] = (r.asof_purchase_click, r.asof_purchase_click_oracle())
+    reg["range_join_year_buckets"] = (r.range_join_year_buckets, r.range_join_year_buckets_oracle())
+    reg["window_trailing_1h"] = (r.trailing_hour_activity, r.trailing_hour_activity_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
     w = stream_windows
