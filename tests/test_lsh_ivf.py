@@ -165,3 +165,10 @@ def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
     multi = {r["vec_id"] for r in lsh_knn_multiprobe(spark, sf_dir, "cosine", k=10).collect()}
     assert len(flat & multi) >= len(flat & (single & multi))
     assert 0 in multi  # the query vector itself survives probing
+
+
+def test_build_index_fast_equals_expression(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fast = {r["vec_id"]: r["bucket"] for r in build_index(emb, fast=True).collect()}
+    expr = {r["vec_id"]: r["bucket"] for r in build_index(emb, fast=False).collect()}
+    assert fast == expr

@@ -80,11 +80,35 @@ def bucket_sql(v: str) -> str:
     return f"({terms})"
 
 
-def build_index(emb: DataFrame) -> DataFrame:
+def build_index(emb: DataFrame, fast: bool = True) -> DataFrame:
     """Index table = vectors + bucket column (batch index build; the
     reference's per-insert index mutation has no batch-Spark analog by
-    design -- BASELINE.md north star)."""
-    return emb.withColumn("bucket", bucket_expr(F.col("embedding")))
+    design -- BASELINE.md north star).
+
+    Fast path: sign-pack via one NumPy S = sign(M P^T) matmul per Arrow
+    batch -- at 1B vectors the interpreted 8x64 fold per row is the build
+    bottleneck. Agrees with the SQL expression except for dot products
+    within ~1e-13 of zero (BLAS vs sequential fold), which tests check
+    empirically; the expression path remains the oracle-exact reference.
+    """
+    if not fast:
+        return emb.withColumn("bucket", bucket_expr(F.col("embedding")))
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    p = np.asarray(_PROJECTIONS, dtype=np.float64)
+    weights = np.asarray([1 << i for i in range(NUM_PROJECTIONS)], dtype=np.int64)
+
+    def batches(it):
+        for pdf in it:
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            signs = (m @ p.T) >= 0.0
+            pdf = pdf.copy()
+            pdf["bucket"] = (signs @ weights).astype("int32")
+            yield pdf
+
+    out_schema = StructType(emb.schema.fields + [StructField("bucket", IntegerType())])
+    return emb.mapInPandas(batches, out_schema)
 
 
 def save_index(emb: DataFrame, path: str) -> None:

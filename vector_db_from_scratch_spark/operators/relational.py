@@ -803,3 +803,30 @@ SELECT user_id, event_id,
 FROM events
 ORDER BY event_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS through the spark.sql entry path (the one operator family
+# expressed as SQL text -- demonstrates the engine's SQL-string surface over
+# registered views)
+# --------------------------------------------------------------------------
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+def grouping_sets_orders_oracle() -> str:
+    return """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""".strip()

@@ -160,6 +160,7 @@ def build() -> dict[str, Entry]:
     reg["asof_join_purchase_click"] = (r.asof_purchase_click, r.asof_purchase_click_oracle())
     reg["range_join_year_buckets"] = (r.range_join_year_buckets, r.range_join_year_buckets_oracle())
     reg["window_trailing_1h"] = (r.trailing_hour_activity, r.trailing_hour_activity_oracle())
+    reg["grouping_sets_orders"] = (r.grouping_sets_orders, r.grouping_sets_orders_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
     w = stream_windows
