@@ -27,6 +27,12 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses by
+        # default; set the (runtime-settable) legacy conf defensively so
+        # sessions we did not build -- e.g. the correctness driver's --
+        # can read it too
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it arrives as

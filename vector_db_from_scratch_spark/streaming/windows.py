@@ -38,6 +38,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the same parquet file (file-source directory
     listing; schema from the batch read, including the ns->us ts shim)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(
             spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
