@@ -192,3 +192,48 @@ def test_lsh_library_probe_tightens_with_small_k(store, spark):
     result must still be the true nearest (self bucket contains the match)."""
     res = store.search("lib-lsh", [1.0, 0.0, 1.0], k=1).collect()
     assert [r["chunk_id"] for r in res] == ["ch-10"]
+
+
+def test_store_over_driver_tables_search(spark, sf_dir):
+    """Entity search over the real driver tables (sources as libraries):
+    results must equal a hand-built flat k-NN over the same scoped subset."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.functions.vector import distance_expr
+    from vector_db_from_scratch_spark.operators.entity import store_from_driver_tables
+
+    s = store_from_driver_tables(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+
+    got = s.search("src1", qvec, k=5).collect()
+
+    scoped = (
+        docs.filter(F.col("source") == "src1")
+        .join(emb, docs["doc_id"] == emb["vec_id"])
+        .select(
+            F.concat(F.lit("c"), F.col("doc_id")).alias("chunk_id"),
+            distance_expr(
+                "cosine",
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in qvec]),
+            ).alias("distance"),
+        )
+        .orderBy("distance", "chunk_id")
+        .limit(5)
+        .collect()
+    )
+    assert [(r["chunk_id"], r["distance"]) for r in got] == [
+        (r["chunk_id"], r["distance"]) for r in scoped
+    ]
+
+
+def test_store_over_driver_tables_counts(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.entity import store_from_driver_tables
+
+    s = store_from_driver_tables(spark, sf_dir)
+    counts = {r["library_id"]: r["document_count"] for r in s.library_counts().collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert counts == want

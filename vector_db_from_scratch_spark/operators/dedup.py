@@ -352,6 +352,32 @@ ORDER BY d1, d2
 # Embedding-cosine near-dup (blocked by label as the scale-path bucketing)
 # --------------------------------------------------------------------------
 
+def _neardup_blocks(df: DataFrame, block_col: str, threshold: float) -> DataFrame:
+    """Per-block pair similarity: each block's vectors cross the Arrow
+    boundary once; the whole pair space is a single G = U.U^T matmul."""
+    import numpy as np
+    import pandas as pd
+
+    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy()
+        m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        u = m / norms[:, None]
+        g = u @ u.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sims = np.round(g[iu, ju], 6) + 0.0
+        v1 = np.minimum(ids[iu], ids[ju])
+        v2 = np.maximum(ids[iu], ids[ju])
+        mask = sims >= threshold
+        return pd.DataFrame({"v1": v1[mask], "v2": v2[mask], "cos_sim": sims[mask]})
+
+    return (
+        df.groupBy(block_col)
+        .applyInPandas(block, "v1 long, v2 long, cos_sim double")
+        .orderBy("v1", "v2")
+    )
+
 def embedding_neardup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4, fast: bool = True
 ) -> DataFrame:
@@ -369,30 +395,8 @@ def embedding_neardup(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     if fast:
-        import numpy as np
-        import pandas as pd
-
-        def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            ids = pdf["vec_id"].to_numpy()
-            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            norms[norms == 0] = 1.0
-            u = m / norms[:, None]
-            g = u @ u.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            sims = np.round(g[iu, ju], 6) + 0.0
-            v1 = np.minimum(ids[iu], ids[ju])
-            v2 = np.maximum(ids[iu], ids[ju])
-            mask = sims >= threshold
-            return pd.DataFrame(
-                {"v1": v1[mask], "v2": v2[mask], "cos_sim": sims[mask]}
-            )
-
-        return (
-            emb.select("vec_id", "label", "embedding")
-            .groupBy("label")
-            .applyInPandas(block, "v1 long, v2 long, cos_sim double")
-            .orderBy("v1", "v2")
+        return _neardup_blocks(
+            emb.select("vec_id", "label", "embedding"), "label", threshold
         )
 
     from ..functions.vector import dot, l2_norm
@@ -426,6 +430,42 @@ n AS (SELECT vec_id, label,
 SELECT a.vec_id AS v1, b.vec_id AS v2,
        (round(list_inner_product(a.u, b.u), 6) + 0.0) AS cos_sim
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE (round(list_inner_product(a.u, b.u), 6) + 0.0) >= {threshold}
+ORDER BY v1, v2
+""".strip()
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Near-dup pairs blocked by the sign-bit LSH bucket -- the label-free
+    scale path (no supervision needed): candidate pairs only form inside a
+    bucket, so the pair space is sum over buckets of n_b^2 instead of n^2.
+    Same per-block matmul kernel as the label-blocked variant; pairs whose
+    similarity straddles buckets are the recall trade-off (dial with
+    multi-probe banding exactly as in search).
+    """
+    from .lsh import build_index
+
+    emb = build_index(load_table(spark, sf_dir, "embeddings"))
+    return _neardup_blocks(
+        emb.select("vec_id", F.col("bucket"), "embedding"), "bucket", threshold
+    )
+
+
+def embedding_neardup_lsh_oracle(threshold: float = 0.3) -> str:
+    from .lsh import bucket_sql
+
+    norm = "sqrt(list_inner_product(v, v))"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {bucket_sql('embedding::DOUBLE[]')} AS b
+           FROM embeddings),
+n AS (SELECT vec_id, b,
+             CASE WHEN {norm} = 0 THEN v
+                  ELSE list_transform(v, x -> x / {norm}) END AS u
+      FROM e)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       (round(list_inner_product(a.u, b.u), 6) + 0.0) AS cos_sim
+FROM n a JOIN n b ON a.b = b.b AND a.vec_id < b.vec_id
 WHERE (round(list_inner_product(a.u, b.u), 6) + 0.0) >= {threshold}
 ORDER BY v1, v2
 """.strip()

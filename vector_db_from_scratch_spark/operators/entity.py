@@ -464,3 +464,44 @@ def load_store(spark: SparkSession, path: str, fmt: str = "parquet") -> EntitySt
         documents=read("documents"),
         chunks=read("chunks"),
     )
+
+
+def store_from_driver_tables(spark: SparkSession, sf_dir: str) -> EntityStore:
+    """SURVEY §1.4 mapping applied to the driver's tables: sources become
+    libraries, documents stay documents, and each document's embedding row
+    (vec_id == doc_id) becomes its single chunk. Proves the entity surface
+    runs at data scale, not just on the unit fixtures."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    libraries = (
+        docs.select("source").distinct()
+        .select(
+            F.col("source").alias("library_id"),
+            F.col("source").alias("name"),
+            F.lit(None).cast("string").alias("description"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.lit(64).alias("embedding_dimension"),
+            F.lit("cosine").alias("distance_metric"),
+            F.lit("flat").alias("index_kind"),
+        )
+    )
+    documents = docs.select(
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("source").alias("library_id"),
+        F.col("doc_id").cast("string").alias("name"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
+    )
+    chunks = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .select(
+            F.concat(F.lit("c"), F.col("doc_id")).alias("chunk_id"),
+            F.col("doc_id").cast("string").alias("document_id"),
+            F.col("text"),
+            F.col("embedding"),
+            F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
+            F.lit(0).alias("chunk_index"),
+        )
+    )
+    return EntityStore(libraries=libraries, documents=documents, chunks=chunks)

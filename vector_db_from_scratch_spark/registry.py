@@ -122,6 +122,7 @@ def build() -> dict[str, Entry]:
     reg["dedup_simhash_table"] = (d.simhash_table, d.simhash_table_oracle())
     reg["dedup_simhash_pairs"] = (d.simhash_near_pairs, d.simhash_near_pairs_oracle())
     reg["dedup_embedding_cosine"] = (d.embedding_neardup, d.embedding_neardup_oracle())
+    reg["dedup_embedding_lsh_blocked"] = (d.embedding_neardup_lsh, d.embedding_neardup_lsh_oracle())
 
     # --- approximate indexes: sign-bit LSH (reference Q3) and IVF ---
     reg["lsh_knn"] = (
