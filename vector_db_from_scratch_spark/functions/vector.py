@@ -22,8 +22,6 @@ bit-identical doubles (-0.0 folds to +0.0; ties then break on id columns).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -78,26 +76,6 @@ def distance_expr(metric: str, v: Column, q: Column, round_to: int | None = 6) -
         raise ValueError(f"unknown distance metric: {metric!r}; expected one of {METRICS}")
     d = fn(v, q)
     return normalize_float(d, round_to)
-
-
-def pair_dot_pandas() -> "Column":
-    """Arrow-batched NumPy dot-product kernel: the fast path for massive
-    pair spaces where the interpreted higher-order-function fold dominates
-    (Spark's `aggregate`/`zip_with` lambdas are NOT whole-stage-codegen'd).
-
-    Accumulation order differs from the sequential fold (BLAS pairwise),
-    so results can differ in the last ulp -- always round the output (6 dp)
-    before comparing/thresholding, as `distance_expr` does.
-    """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _pair_dot(a: "pd.Series", b: "pd.Series") -> "pd.Series":
-        A = np.vstack(a.to_numpy())
-        B = np.vstack(b.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", A, B))
-
-    return _pair_dot
 
 
 def normalize_float(c: Column, round_to: int | None = 6) -> Column:

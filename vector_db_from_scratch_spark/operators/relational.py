@@ -830,3 +830,105 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Q4-style order priority checking: EXISTS-style semi-join + count
+# --------------------------------------------------------------------------
+
+def order_priority_check(spark: SparkSession, sf_dir: str,
+                         lo: str = "1996-01-01", hi: str = "1997-01-01") -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+    # lineitems that shipped after the window start (proxy for TPC-H Q4's
+    # commitdate < receiptdate; this schema lacks those columns)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit(lo).cast("timestamp")
+    )
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def order_priority_check_oracle(lo: str = "1996-01-01", hi: str = "1997-01-01") -> str:
+    return f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{lo} 00:00:00' AND o_orderdate < TIMESTAMP '{hi} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate >= TIMESTAMP '{lo} 00:00:00')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q10-style returned-item report: 4-way join, agg, top-k customers
+# --------------------------------------------------------------------------
+
+def returned_item_report(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def returned_item_report_oracle(k: int = 20) -> str:
+    return f"""
+SELECT c_custkey, c_name, n_name,
+       {osum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem, orders, customer, nation
+WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT {k}
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q12-style shipmode-ish conditional aggregation over a join
+# --------------------------------------------------------------------------
+
+def priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def priority_shipping_split_oracle() -> str:
+    return """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""".strip()

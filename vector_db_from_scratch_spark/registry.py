@@ -162,6 +162,9 @@ def build() -> dict[str, Entry]:
     reg["range_join_year_buckets"] = (r.range_join_year_buckets, r.range_join_year_buckets_oracle())
     reg["window_trailing_1h"] = (r.trailing_hour_activity, r.trailing_hour_activity_oracle())
     reg["grouping_sets_orders"] = (r.grouping_sets_orders, r.grouping_sets_orders_oracle())
+    reg["tpch_order_priority_check"] = (r.order_priority_check, r.order_priority_check_oracle())
+    reg["tpch_returned_items"] = (r.returned_item_report, r.returned_item_report_oracle())
+    reg["tpch_priority_shipping_split"] = (r.priority_shipping_split, r.priority_shipping_split_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
     w = stream_windows
