@@ -77,3 +77,22 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     want = {r["event_type"]: (r["n_events"], r["weighted_value"])
             for r in salted_weighted_join(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join drained == the static
+    inequality join over the same data."""
+    from vector_db_from_scratch_spark.streaming.joins import (
+        click_purchase_batch_join,
+        run_join_once,
+    )
+
+    got = sorted(
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in run_join_once(spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in click_purchase_batch_join(spark, sf_dir).collect()
+    )
+    assert got == want and got

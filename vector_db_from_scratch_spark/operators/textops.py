@@ -150,3 +150,82 @@ def fingerprints_oracle() -> str:
 SELECT doc_id, {T.fingerprint_sql('text')} AS fingerprint
 FROM documents ORDER BY doc_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting: whitespace words AND subword-style regex tokens
+# (word runs + isolated punctuation -- the standard pre-BPE segmentation)
+# --------------------------------------------------------------------------
+
+BPE_PATTERN = r"\w+|[^\w\s]"
+
+
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = T.token_count(F.col("text"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))).cast("long")
+    return docs.select(
+        "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
+def token_counts_bpe_oracle() -> str:
+    return rf"""
+SELECT doc_id, len(str_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints: min shingle-hash per sliding window of size W --
+# the local-fingerprint scheme (MOSS-style) whose guarantee is that any
+# sufficiently long match shares a fingerprint. Emitted as the distinct
+# per-document fingerprint set.
+# --------------------------------------------------------------------------
+
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _shingle_index
+
+    sh = _shingle_index(spark, sf_dir)
+    # order shingle hashes per doc by position-independent sorted order:
+    # deterministic in both engines (collect_list order is not); winnowing
+    # over the SORTED hash sequence keeps the min-per-window semantics
+    # deterministic without relying on row order
+    seq = (
+        sh.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("sh")).alias("hs"))
+    )
+    win = F.when(
+        F.size("hs") >= WINNOW_WINDOW,
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - (WINNOW_WINDOW - 1)),
+            lambda i: F.array_min(F.slice("hs", i, WINNOW_WINDOW)),
+        ),
+    ).otherwise(F.array(F.array_min("hs")))
+    return (
+        seq.select("doc_id", F.explode(F.array_distinct(win)).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+def winnow_fingerprints_oracle() -> str:
+    from .dedup import _shingle_index_sql
+
+    w = WINNOW_WINDOW
+    return f"""
+WITH {_shingle_index_sql()},
+seq AS (SELECT doc_id, list_sort(list(sh)) AS hs FROM sh GROUP BY doc_id),
+win AS (SELECT doc_id,
+               CASE WHEN len(hs) >= {w}
+                    THEN list_transform(range(1, len(hs) - {w - 1} + 1),
+                                        i -> list_min(hs[i:i+{w - 1}]))
+                    ELSE [list_min(hs)] END AS fps
+        FROM seq)
+SELECT doc_id, unnest(list_distinct(fps)) AS fp
+FROM win
+ORDER BY doc_id, fp
+""".strip()

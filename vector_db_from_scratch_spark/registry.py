@@ -113,6 +113,8 @@ def build() -> dict[str, Entry]:
     reg["text_quality_scores"] = (t.quality_scores, t.quality_scores_oracle())
     reg["text_language_id"] = (t.language_id, t.language_id_oracle())
     reg["text_fingerprints"] = (t.fingerprints, t.fingerprints_oracle())
+    reg["text_token_counts_bpe"] = (t.token_counts_bpe, t.token_counts_bpe_oracle())
+    reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
 
     # --- dedup family (exact, ngram-jaccard, minhash-LSH, simhash, cosine) ---
     d = dedup
@@ -171,4 +173,9 @@ def build() -> dict[str, Entry]:
     reg["window_tumbling_events"] = (w.tumbling_counts, w.tumbling_counts_oracle())
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
+    from .streaming import joins as stream_joins
+    reg["stream_join_click_purchase"] = (
+        stream_joins.click_purchase_batch_join,
+        stream_joins.click_purchase_join_oracle(),
+    )
     return reg
