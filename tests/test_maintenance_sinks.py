@@ -1,0 +1,58 @@
+"""Compaction / layout-rewrite / streaming-sink behavior."""
+
+from pyspark.sql import functions as F
+
+from vector_db_from_scratch_spark.operators.maintenance import (
+    compact,
+    parquet_file_count,
+    rewrite_partitioned,
+)
+from vector_db_from_scratch_spark.streaming.sinks import (
+    aggregate_via_foreach_batch,
+    write_events_parquet,
+)
+
+
+def test_compact_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(16)
+    frag = str(tmp_path / "fragmented")
+    li.write.parquet(frag)
+    assert parquet_file_count(frag) >= 16
+    compacted = str(tmp_path / "compacted")
+    compact(spark.read.parquet(frag), compacted, target_files=2)
+    assert parquet_file_count(compacted) <= 2
+    a = spark.read.parquet(frag).orderBy("l_orderkey", "l_linenumber").collect()
+    b = spark.read.parquet(compacted).orderBy("l_orderkey", "l_linenumber").collect()
+    assert a == b
+
+
+def test_rewrite_partitioned_prunes(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    rewrite_partitioned(docs, out, "lang")
+    reloaded = spark.read.parquet(out)
+    plan = reloaded.filter(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert reloaded.count() == docs.count()
+
+
+def test_streaming_parquet_sink_checkpoint_idempotent(spark, sf_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = write_events_parquet(spark, sf_dir, out, ckpt)
+    q.processAllAvailable(); q.stop()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # restart with the same checkpoint: no new input -> no duplicate output
+    q2 = write_events_parquet(spark, sf_dir, out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_foreach_batch_snapshot(spark, sf_dir, tmp_path):
+    out, ckpt = str(tmp_path / "agg"), str(tmp_path / "ckpt2")
+    q = aggregate_via_foreach_batch(spark, sf_dir, out, ckpt)
+    q.processAllAvailable(); q.stop()
+    got = {r["event_type"]: r["n"] for r in spark.read.parquet(out).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    assert got == want
