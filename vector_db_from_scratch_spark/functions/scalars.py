@@ -1,0 +1,122 @@
+"""Scalar function-family coverage queries (SURVEY §2.7: the reference has
+no string/date/math scalar library beyond vector math; this engine inherits
+Spark's built-ins -- these queries pin the cross-engine semantics we rely
+on for the families, oracle-checked).
+
+Portability notes baked in:
+  - day-of-week is NOT portable (Spark: 1=Sunday; DuckDB dow: 0=Sunday) --
+    year/month/day/datediff are.
+  - transcendental functions (log/exp/pow) can differ by 1 ulp across libm
+    implementations -- outputs here are ~O(10) so 6-dp rounding absorbs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .vector import normalize_float
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.lower(F.col("p_name")).alias("lower_name"),
+            F.upper(F.col("p_brand")).alias("upper_brand"),
+            F.length(F.col("p_name")).cast("long").alias("name_len"),
+            F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+            F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+            F.instr(F.col("p_name"), "o").cast("long").alias("first_o"),
+            F.reverse(F.col("p_brand")).alias("brand_rev"),
+            F.trim(F.lpad(F.col("p_brand"), 12, "*")).alias("padded"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def string_functions_oracle() -> str:
+    return """
+SELECT p_partkey,
+       lower(p_name) AS lower_name,
+       upper(p_brand) AS upper_brand,
+       length(p_name)::BIGINT AS name_len,
+       substr(p_type, 1, 5) AS type_prefix,
+       p_brand || '/' || p_type AS brand_type,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       CASE WHEN instr(p_name, 'o') IS NULL THEN 0 ELSE instr(p_name, 'o') END::BIGINT AS first_o,
+       reverse(p_brand) AS brand_rev,
+       trim(lpad(p_brand, 12, '*')) AS padded
+FROM part
+ORDER BY p_partkey
+""".strip()
+
+
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1995-01-01").cast("timestamp")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.datediff(F.col("o_orderdate"), epoch).cast("long").alias("days_since_95"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.add_months(F.col("o_orderdate").cast("date"), 3).cast("timestamp").alias("plus_3mo"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def datetime_functions_oracle() -> str:
+    return """
+SELECT o_orderkey,
+       year(o_orderdate)::BIGINT AS yr,
+       month(o_orderdate)::BIGINT AS mo,
+       day(o_orderdate)::BIGINT AS dom,
+       quarter(o_orderdate)::BIGINT AS qtr,
+       datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)::BIGINT AS days_since_95,
+       date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+       (o_orderdate::DATE + INTERVAL 3 MONTH)::TIMESTAMP AS plus_3mo
+FROM orders
+ORDER BY o_orderkey
+""".strip()
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    price = F.col("l_extendedprice")
+    return (
+        li.select(
+            "l_orderkey",
+            normalize_float(F.sqrt(price)).alias("sqrt_price"),
+            normalize_float(F.log(price)).alias("ln_price"),
+            normalize_float(F.pow(F.col("l_discount"), 2)).alias("disc_sq"),
+            F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+            normalize_float(F.ceil(price / 1000).cast("double"), None).alias("price_k_ceil"),
+            F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("mod7"),
+            F.greatest(F.col("l_tax"), F.col("l_discount")).alias("max_rate"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def math_functions_oracle() -> str:
+    return """
+SELECT l_orderkey,
+       (round(sqrt(l_extendedprice), 6) + 0.0) AS sqrt_price,
+       (round(ln(l_extendedprice), 6) + 0.0) AS ln_price,
+       (round(pow(l_discount, 2), 6) + 0.0) AS disc_sq,
+       abs(l_quantity - 25) AS qty_dev,
+       (ceil(l_extendedprice / 1000)::DOUBLE + 0.0) AS price_k_ceil,
+       (l_orderkey % 7)::BIGINT AS mod7,
+       greatest(l_tax, l_discount) AS max_rate
+FROM lineitem
+WHERE l_linenumber = 1
+ORDER BY l_orderkey
+""".strip()

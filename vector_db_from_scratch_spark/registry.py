@@ -116,6 +116,12 @@ def build() -> dict[str, Entry]:
     reg["text_token_counts_bpe"] = (t.token_counts_bpe, t.token_counts_bpe_oracle())
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
 
+    # --- scalar function families (SURVEY §2.7 inherited built-ins) ---
+    from .functions import scalars as sc
+    reg["functions_string"] = (sc.string_functions, sc.string_functions_oracle())
+    reg["functions_datetime"] = (sc.datetime_functions, sc.datetime_functions_oracle())
+    reg["functions_math"] = (sc.math_functions, sc.math_functions_oracle())
+
     # --- dedup family (exact, ngram-jaccard, minhash-LSH, simhash, cosine) ---
     d = dedup
     reg["dedup_exact"] = (d.exact_dedup, d.exact_dedup_oracle())
