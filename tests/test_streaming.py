@@ -96,3 +96,24 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         for r in click_purchase_batch_join(spark, sf_dir).collect()
     )
     assert got == want and got
+
+
+def test_streaming_dedup_one_per_key(spark, sf_dir):
+    from vector_db_from_scratch_spark.streaming.windows import dedup_stream
+
+    q = (
+        dedup_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")  # dropDuplicates streams append, not complete
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    res = spark.sql("SELECT * FROM t_dedup")
+    rows = res.groupBy("user_id", "event_type").count().collect()
+    assert rows and all(r["count"] == 1 for r in rows)
+    # every key present
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert len(rows) == ev.select("user_id", "event_type").distinct().count()

@@ -469,3 +469,62 @@ FROM n a JOIN n b ON a.b = b.b AND a.vec_id < b.vec_id
 WHERE (round(list_inner_product(a.u, b.u), 6) + 0.0) >= {threshold}
 ORDER BY v1, v2
 """.strip()
+
+
+def ngram_jaccard_pairs_dfcap(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3, max_df: int = 10
+) -> DataFrame:
+    """The 100 TB form of the Jaccard near-dup: candidate pairs come ONLY
+    from shingles with document frequency <= max_df (hot shingles carry no
+    discriminative signal and create quadratic join keys), but the Jaccard
+    itself is still computed over the FULL shingle sets of each candidate
+    pair -- exact similarity, df-capped candidate generation. Pairs sharing
+    only hot shingles are the (deliberate, tunable) recall trade-off.
+    """
+    sh = _shingle_index(spark, sf_dir)
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        F.broadcast(df_counts.filter(F.col("df") <= max_df).select("sh")), "sh"
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha, shb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sha, F.col("sa.doc_id") == F.col("d1"))
+        .join(shb, (F.col("sb.doc_id") == F.col("d2")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+def ngram_jaccard_pairs_dfcap_oracle(threshold: float = 0.3, max_df: int = 10) -> str:
+    return f"""
+WITH {_shingle_index_sql()},
+dfc AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= {max_df}),
+rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT d1, d2, count(*) AS c
+          FROM cand JOIN sh sa ON sa.doc_id = d1
+                    JOIN sh sb ON sb.doc_id = d2 AND sa.sh = sb.sh
+          GROUP BY d1, d2)
+SELECT d1, d2, c::DOUBLE / (s1.n + s2.n - c)::DOUBLE AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c::DOUBLE / (s1.n + s2.n - c)::DOUBLE >= {threshold}
+ORDER BY d1, d2
+""".strip()

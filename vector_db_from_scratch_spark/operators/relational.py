@@ -932,3 +932,38 @@ WHERE l_orderkey = o_orderkey
 GROUP BY l_linestatus
 ORDER BY l_linestatus
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Q18-style large-volume orders: HAVING over a fact aggregate, joined back
+# --------------------------------------------------------------------------
+
+def large_orders(spark: SparkSession, sf_dir: str, min_qty: float = 150.0, k: int = 20) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)  # HAVING
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def large_orders_oracle(min_qty: float = 150.0, k: int = 20) -> str:
+    return f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM (SELECT l_orderkey, {osum('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {osum('l_quantity')} > {min_qty}) b
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT {k}
+""".strip()

@@ -126,6 +126,7 @@ def build() -> dict[str, Entry]:
     d = dedup
     reg["dedup_exact"] = (d.exact_dedup, d.exact_dedup_oracle())
     reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs, d.ngram_jaccard_pairs_oracle())
+    reg["dedup_ngram_jaccard_dfcap"] = (d.ngram_jaccard_pairs_dfcap, d.ngram_jaccard_pairs_dfcap_oracle())
     reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
     reg["dedup_simhash_table"] = (d.simhash_table, d.simhash_table_oracle())
     reg["dedup_simhash_pairs"] = (d.simhash_near_pairs, d.simhash_near_pairs_oracle())
@@ -173,6 +174,7 @@ def build() -> dict[str, Entry]:
     reg["tpch_order_priority_check"] = (r.order_priority_check, r.order_priority_check_oracle())
     reg["tpch_returned_items"] = (r.returned_item_report, r.returned_item_report_oracle())
     reg["tpch_priority_shipping_split"] = (r.priority_shipping_split, r.priority_shipping_split_oracle())
+    reg["tpch_large_orders"] = (r.large_orders, r.large_orders_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
     w = stream_windows

@@ -234,3 +234,15 @@ def enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming dedup: dropDuplicates with watermark (state bounded in time)
+# --------------------------------------------------------------------------
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-per-key event stream: duplicates of (user_id,
+    event_type) within the watermark horizon are dropped -- the streaming
+    analog of exact dedup, with state the watermark can reap."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return ev.dropDuplicates(["user_id", "event_type"])
