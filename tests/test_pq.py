@@ -1,0 +1,85 @@
+"""Product quantization: codebook shape, code bounds, compression ratio,
+and quantified recall of ADC+re-rank vs the exact scan."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_db_from_scratch_spark.operators.knn import flat_knn
+from vector_db_from_scratch_spark.operators.pq import (
+    KS_CODES,
+    M_SUBSPACES,
+    encode,
+    pq_code_sizes,
+    pq_knn,
+    train_codebooks,
+)
+
+
+def test_codebook_shape_and_determinism(spark, sf_dir):
+    b1 = train_codebooks(spark, sf_dir)
+    b2 = train_codebooks(spark, sf_dir)
+    assert b1.shape == (M_SUBSPACES, KS_CODES, 64 // M_SUBSPACES)
+    assert np.array_equal(b1, b2)  # bounded ordered sample -> reproducible
+
+
+def test_encode_bounds_and_reconstruction(spark, sf_dir):
+    """Codes are valid indexes, and PQ reconstruction error is far below
+    the error of quantizing to a single global centroid (sanity that the
+    codebooks actually learned subspace structure)."""
+    books = train_codebooks(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    coded = encode(emb, books).collect()
+    m, ks, dsub = books.shape
+    x = np.array([r["embedding"] for r in coded], dtype=np.float64)
+    codes = np.array([r["codes"] for r in coded], dtype=np.int64)
+    assert codes.shape[1] == m
+    assert codes.min() >= 0 and codes.max() < ks
+    recon = np.concatenate(
+        [books[mi][codes[:, mi]].astype(np.float64) for mi in range(m)], axis=1
+    )
+    pq_err = ((x - recon) ** 2).sum(axis=1).mean()
+    global_err = ((x - x.mean(axis=0)) ** 2).sum(axis=1).mean()
+    # 4 bits / 8-dim subspace on near-Gaussian data: ~0.55x measured; the
+    # bound proves the codebooks beat a single global centroid decisively
+    assert pq_err < 0.7 * global_err
+
+
+def test_pq_compression_ratio(spark, sf_dir):
+    row = pq_code_sizes(spark, sf_dir).collect()[0]
+    assert row["raw_bytes"] == row["n_vectors"] * 64 * 4
+    assert row["code_bytes"] == row["n_vectors"] * M_SUBSPACES
+    assert row["raw_bytes"] / row["code_bytes"] == 32  # 256 B -> 8 B per vector
+
+
+def test_pq_recall_vs_flat(spark, sf_dir):
+    """ADC shortlist + exact re-rank: recall@10 over 10 queries. The
+    shortlist is 5x oversampled; with 8x16 codebooks on 64-dim data the
+    re-ranked top-10 should recover most of the exact top-10, and the
+    query vector itself must always survive."""
+    n_q, k = 10, 10
+    hits = 0
+    for qid in range(n_q):
+        exact = {r["vec_id"] for r in flat_knn(spark, sf_dir, "cosine", k=k, query_vec_id=qid).collect()}
+        approx = [r["vec_id"] for r in pq_knn(spark, sf_dir, "cosine", k=k, query_vec_id=qid).collect()]
+        assert qid in approx
+        hits += len(exact & set(approx))
+    recall = hits / (n_q * k)
+    print(f"pq recall@10 = {recall:.2f}")
+    assert recall >= 0.5
+
+
+def test_ivf_trained_recall_vs_flat(spark, sf_dir):
+    """Trained-quantizer IVF should at least match the all-probed floor:
+    self-hit always, recall above the seeded-init bar used for ivf_knn."""
+    from vector_db_from_scratch_spark.operators.ivf import ivf_knn_trained
+
+    n_q, k = 5, 10
+    hits = 0
+    for qid in range(n_q):
+        exact = {r["vec_id"] for r in flat_knn(spark, sf_dir, "cosine", k=k, query_vec_id=qid).collect()}
+        approx = [r["vec_id"] for r in ivf_knn_trained(spark, sf_dir, "cosine", k=k, query_vec_id=qid).collect()]
+        assert qid in approx
+        hits += len(exact & set(approx))
+    recall = hits / (n_q * k)
+    print(f"trained-ivf recall@10 = {recall:.2f}")
+    assert recall >= 0.5

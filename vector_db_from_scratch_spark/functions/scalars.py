@@ -120,3 +120,48 @@ FROM lineitem
 WHERE l_linenumber = 1
 ORDER BY l_orderkey
 """.strip()
+
+
+def array_functions(spark: SparkSession, sf_dir: str, top: int = 3, n_vecs: int = 100) -> DataFrame:
+    """Array function family over the embedding column: per vector, the
+    top-|component| entries as exploded (vec_id, rank, pos, component)
+    rows. Rank ties break on position; components are rounded for
+    cross-engine parity; explode keeps outputs scalar (array-valued output
+    columns don't hash portably across engines).
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < n_vecs)
+    exploded = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        normalize_float(F.col("x")).alias("component"),
+        normalize_float(F.abs(F.col("x"))).alias("absx"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("absx"), "pos")
+    return (
+        exploded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+        .select("vec_id", "rank", "pos", "component")
+        .orderBy("vec_id", "rank")
+    )
+
+
+def array_functions_oracle(top: int = 3, n_vecs: int = 100) -> str:
+    return f"""
+WITH exploded AS (
+  SELECT vec_id, i AS pos,
+         (round(v[i], 6) + 0.0) AS component,
+         (round(abs(v[i]), 6) + 0.0) AS absx
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {n_vecs}),
+       unnest(range(1, 65)) AS t(i)),
+ranked AS (
+  SELECT vec_id, pos, component,
+         row_number() OVER (PARTITION BY vec_id ORDER BY absx DESC, pos) AS rank
+  FROM exploded)
+SELECT vec_id, rank, pos, component
+FROM ranked WHERE rank <= {top}
+ORDER BY vec_id, rank
+""".strip()

@@ -77,15 +77,13 @@ def ivf_knn(
     )
 
 
-def kmeans_train(
+def train_centroids(
     spark: SparkSession,
     sf_dir: str,
     n_cells: int = NUM_CELLS,
     iterations: int = 3,
-) -> DataFrame:
-    """Deterministic Lloyd iterations to train real IVF centroids -- the
-    iterative-algorithm surface the driver checks rows-only (centroid float
-    means are not portably reproducible in SQL).
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations; returns the trained centroid list.
 
     Each iteration is one broadcast join + one groupBy: assignment never
     shuffles the embedding payload (centroids are broadcast), and the
@@ -128,10 +126,77 @@ def kmeans_train(
             [float(np.float32(x)) for x in cents_iter.get(i, cents[i])]
             for i in range(n_cells)
         ]
+    return cents
+
+
+def kmeans_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = NUM_CELLS,
+    iterations: int = 3,
+) -> DataFrame:
+    """Trained IVF centroids as a DataFrame -- the iterative-algorithm
+    surface the driver checks rows-only (centroid float means are not
+    portably reproducible in SQL)."""
+    cents = train_centroids(spark, sf_dir, n_cells, iterations)
     final = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<float>"
     )
     return final.orderBy("cell")
+
+
+def ivf_knn_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_cells: int = NUM_CELLS,
+    iterations: int = 2,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF probe over TRAINED (Lloyd) centroids -- the production ANN path.
+
+    Same plan shape as :func:`ivf_knn` (broadcast centroids -> windowed
+    argmin assignment -> nprobe cell pruning -> exact distance in probed
+    cells) but the coarse quantizer is learned, so cells are balanced and
+    recall-per-probe is higher than the seeded-init quantizer. At 100 TB
+    the assignment is materialized once (write the index table partitioned
+    by ``cell``); queries touch nprobe/n_cells of the data. Rows-only
+    check: trained float centroids are not portably reproducible in SQL.
+    """
+    cents = train_centroids(spark, sf_dir, n_cells, iterations)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, cv array<float>"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = distance_expr("euclidean", F.col("embedding"), F.col("cv"))
+    w = Window.partitionBy("vec_id").orderBy("cd", "cell")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .withColumn("cd", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cell")
+    )
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+    )
+    probe_cells = (
+        cent_df.crossJoin(F.broadcast(q))
+        .select("cell", distance_expr("euclidean", F.col("cv"), F.col("qv")).alias("qd"))
+        .orderBy("qd", "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    pool = assigned.join(F.broadcast(probe_cells), "cell")
+    return (
+        pool.crossJoin(F.broadcast(q))
+        .select("vec_id", distance_expr(metric, F.col("embedding"), F.col("qv")).alias("distance"))
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
 
 
 def ivf_knn_oracle(metric: str = "cosine", k: int = 10, query_vec_id: int = 0) -> str:

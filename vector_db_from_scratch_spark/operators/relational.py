@@ -967,3 +967,75 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey
 LIMIT {k}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated percentiles (portable: both engines average the two
+# straddling values with one IEEE op -- probed bit-equal)
+# --------------------------------------------------------------------------
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            normalize_float(F.expr("percentile(value, 0.25)"), None).alias("p25"),
+            normalize_float(F.expr("percentile(value, 0.5)"), None).alias("p50"),
+            normalize_float(F.expr("percentile(value, 0.75)"), None).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def value_percentiles_oracle() -> str:
+    return """
+SELECT event_type,
+       (quantile_cont(value, 0.25) + 0.0) AS p25,
+       (quantile_cont(value, 0.5) + 0.0) AS p50,
+       (quantile_cont(value, 0.75) + 0.0) AS p75
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q7-style volume shipping between two nation roles: the same dimension
+# joined twice under different aliases (supplier nation vs customer nation)
+# --------------------------------------------------------------------------
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+def nation_trade_volume_oracle() -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       {osum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation
+ORDER BY supp_nation, cust_nation
+""".strip()

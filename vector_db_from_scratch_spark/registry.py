@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, entity, ivf, knn, lsh, multimodal, relational, skew, textops
+from .operators import dedup, entity, ivf, knn, lsh, multimodal, pq, relational, skew, textops
 from .streaming import windows as stream_windows
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
@@ -95,6 +95,17 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: ivf.kmeans_train(spark, sf, n_cells=8, iterations=2),
         None,
     )
+    # trained-quantizer ANN paths: rows-only for the same reason; recall
+    # quantified against exact k-NN in tests/test_lsh_ivf.py / test_pq.py
+    reg["ivf_knn_trained"] = (
+        lambda spark, sf: ivf.ivf_knn_trained(spark, sf, "cosine", k=10, query_vec_id=0),
+        None,
+    )
+    reg["pq_knn_rerank"] = (
+        lambda spark, sf: pq.pq_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        None,
+    )
+    reg["pq_code_sizes"] = (lambda spark, sf: pq.pq_code_sizes(spark, sf), None)
     # sketch aggregates: rows-only (HLL/quantile internals differ per
     # engine); error-bounded against exact values in tests
     reg["agg_approx_stats"] = (r.approx_stats, None)
@@ -121,6 +132,7 @@ def build() -> dict[str, Entry]:
     reg["functions_string"] = (sc.string_functions, sc.string_functions_oracle())
     reg["functions_datetime"] = (sc.datetime_functions, sc.datetime_functions_oracle())
     reg["functions_math"] = (sc.math_functions, sc.math_functions_oracle())
+    reg["functions_array"] = (sc.array_functions, sc.array_functions_oracle())
 
     # --- dedup family (exact, ngram-jaccard, minhash-LSH, simhash, cosine) ---
     d = dedup
@@ -175,6 +187,8 @@ def build() -> dict[str, Entry]:
     reg["tpch_returned_items"] = (r.returned_item_report, r.returned_item_report_oracle())
     reg["tpch_priority_shipping_split"] = (r.priority_shipping_split, r.priority_shipping_split_oracle())
     reg["tpch_large_orders"] = (r.large_orders, r.large_orders_oracle())
+    reg["tpch_nation_trade_volume"] = (r.nation_trade_volume, r.nation_trade_volume_oracle())
+    reg["agg_value_percentiles"] = (r.value_percentiles, r.value_percentiles_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
     w = stream_windows
