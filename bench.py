@@ -32,13 +32,23 @@ def main() -> None:
     # warm the JVM + parquet footers before timing
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    from vector_db_from_scratch_spark.plans import plan_fingerprint
+
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         if name in EXCLUDE:
             continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            # fingerprint after execution (AQE-final plan shape); a timing
+            # regression between rounds points at its plan diff
+            plans[name] = plan_fingerprint(df)
+        except Exception:
+            plans[name] = "n/a"
 
     total = round(sum(timings.values()), 3)
     print(
@@ -49,6 +59,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "plans": plans,
             }
         )
     )

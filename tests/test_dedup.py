@@ -74,3 +74,41 @@ def test_shingle_index_fast_equals_expression(spark, sf_dir):
     fast = {tuple(r) for r in _shingle_index(spark, sf_dir, fast=True).collect()}
     expr = {tuple(r) for r in _shingle_index(spark, sf_dir, fast=False).collect()}
     assert fast == expr and fast
+
+
+def test_autotune_bands_scurve_inversion():
+    """The chosen (b, r) must give the closest achievable s-curve threshold
+    and respect the hash budget; spot-check the known design points."""
+    from vector_db_from_scratch_spark.operators.dedup import autotune_bands
+
+    for t in (0.3, 0.5, 0.63, 0.8, 0.9):
+        b, r = autotune_bands(t, max_hashes=16)
+        assert 1 <= b * r <= 16
+        achieved = (1.0 / b) ** (1.0 / r)
+        # no other scheme within budget is strictly closer
+        best = min(
+            abs((1.0 / bb) ** (1.0 / rr) - t)
+            for rr in range(1, 17)
+            for bb in range(1, 16 // rr + 1)
+        )
+        assert abs(achieved - t) == best
+    # higher threshold -> higher achieved inflection point (monotone dial)
+    pts = [
+        (1.0 / b) ** (1.0 / r)
+        for b, r in (autotune_bands(t) for t in (0.3, 0.6, 0.9))
+    ]
+    assert pts[0] < pts[1] < pts[2]
+
+
+def test_autotuned_minhash_candidates_subset_of_exact(spark, sf_dir):
+    """Autotuned LSH pairs (exact-verified) are a subset of the exact
+    Jaccard pairs at the same threshold."""
+    from vector_db_from_scratch_spark.operators.dedup import (
+        minhash_lsh_pairs_autotuned,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {(r["d1"], r["d2"]) for r in ngram_jaccard_pairs(spark, sf_dir, 0.5).collect()}
+    auto = {(r["d1"], r["d2"]) for r in minhash_lsh_pairs_autotuned(spark, sf_dir, 0.5).collect()}
+    assert auto <= exact
+    assert auto  # planted near-dups survive banding at 0.5

@@ -44,3 +44,17 @@ def test_star_join_broadcasts_dimensions(spark, sf_dir):
 def test_hierarchy_join_broadcasts_customer(spark, sf_dir):
     plan = plan_string(hierarchy_rollup(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_plan_fingerprint_stable_and_discriminating(spark, sf_dir):
+    """Same logical query -> same fingerprint across builds (expression ids
+    differ per analysis, so normalization must strip them); different plan
+    shapes -> different fingerprints."""
+    from vector_db_from_scratch_spark.operators.knn import flat_knn
+    from vector_db_from_scratch_spark.plans import plan_fingerprint
+
+    a = plan_fingerprint(flat_knn(spark, sf_dir, "cosine", k=10))
+    b = plan_fingerprint(flat_knn(spark, sf_dir, "cosine", k=10))
+    assert a == b
+    c = plan_fingerprint(flat_knn(spark, sf_dir, "euclidean", k=10))
+    assert a != c

@@ -83,3 +83,20 @@ def test_ivf_trained_recall_vs_flat(spark, sf_dir):
     recall = hits / (n_q * k)
     print(f"trained-ivf recall@10 = {recall:.2f}")
     assert recall >= 0.5
+
+
+def test_ivfpq_recall_and_selfhit(spark, sf_dir):
+    """Composed IVF+PQ (residual ADC in probed cells + exact re-rank):
+    self-hit always; recall@10 above the coarse-only IVF bar."""
+    from vector_db_from_scratch_spark.operators.pq import ivfpq_knn
+
+    n_q, k = 5, 10
+    hits = 0
+    for qid in range(n_q):
+        exact = {r["vec_id"] for r in flat_knn(spark, sf_dir, "cosine", k=k, query_vec_id=qid).collect()}
+        approx = [r["vec_id"] for r in ivfpq_knn(spark, sf_dir, "cosine", k=k, query_vec_id=qid).collect()]
+        assert qid in approx
+        hits += len(exact & set(approx))
+    recall = hits / (n_q * k)
+    print(f"ivfpq recall@10 = {recall:.2f}")
+    assert recall >= 0.4

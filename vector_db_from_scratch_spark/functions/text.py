@@ -28,6 +28,20 @@ LANG_PRIORITY = ["de", "en", "es", "fr", "zh"]  # tie-break: first wins
 
 ENGLISH_STOPWORDS = STOPWORDS["en"]
 
+# Character-trigram profiles: the most frequent trigrams of each language
+# (public frequency tables; e.g. Cavnar & Trenkle, "N-Gram-Based Text
+# Categorization"). Scores = total occurrences of profile trigrams in the
+# lowercased text -- real discriminative power on natural corpora, exact
+# cross-engine semantics here (replace-based counting is identical in
+# Spark and DuckDB). zh is scored by CJK codepoint count instead.
+TRIGRAM_PROFILES = {
+    "en": [" th", "the", "he ", "ing", "and", " an", "nd ", " of", "of ", "ion"],
+    "de": ["en ", "er ", "ch ", "der", " de", "ie ", "ein", "sch", "die", "und"],
+    "es": [" de", "de ", "os ", " la", "la ", " el", "el ", "que", " qu", "ión"],
+    "fr": [" de", "de ", "es ", " le", "le ", "ent", " la", "la ", "ion", "que"],
+    "zh": [],  # CJK codepoint count
+}
+
 
 def tokens(c: Column) -> Column:
     """Whitespace tokenization (single-space split: the one tokenizer whose
@@ -69,6 +83,26 @@ def cjk_char_count(c: Column) -> Column:
 
 def cjk_char_count_sql(expr: str) -> str:
     return f"length(regexp_replace({expr}, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))"
+
+
+def trigram_score(c: Column, trigrams: list[str]) -> Column:
+    """Total (non-overlapping) occurrences of the profile trigrams in the
+    lowercased text: sum of (len - len(replace(t, tri))) / 3. Exact integer
+    arithmetic, identical replace semantics in both engines."""
+    lt = F.lower(c)
+    score = F.lit(0).cast("long")
+    for tri in trigrams:
+        cnt = (F.length(lt) - F.length(F.replace(lt, F.lit(tri), F.lit("")))) / F.lit(3)
+        score = score + cnt.cast("long")
+    return score
+
+
+def trigram_score_sql(expr: str, trigrams: list[str]) -> str:
+    terms = [
+        f"CAST((length(lower({expr})) - length(replace(lower({expr}), '{tri}', ''))) / 3 AS BIGINT)"
+        for tri in trigrams
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def fingerprint(c: Column) -> Column:

@@ -191,8 +191,29 @@ NUM_HASHES = 12
 BAND_SIZE = 3  # -> 4 bands; s-curve threshold ~ (1/4)^(1/3) ~ 0.63
 
 
-def _minhash_signature(sh: DataFrame) -> DataFrame:
-    params = minhash_params(NUM_HASHES)
+def autotune_bands(threshold: float, max_hashes: int = 16) -> tuple[int, int]:
+    """Invert the LSH s-curve: pick (n_bands, band_size) whose candidate
+    threshold (1/b)^(1/r) lands closest to the target Jaccard.
+
+    P(candidate | jaccard=s) = 1 - (1 - s^r)^b has its inflection near
+    (1/b)^(1/r); minimizing |(1/b)^(1/r) - t| under b*r <= max_hashes is
+    the standard banding design rule (Leskovec/Rajaraman/Ullman, "Mining
+    of Massive Datasets" ch.3). Ties prefer more total hashes (sharper
+    curve), then more bands (higher recall).
+    """
+    best: tuple[float, int, int, int] | None = None
+    for r in range(1, max_hashes + 1):
+        for b in range(1, max_hashes // r + 1):
+            t = (1.0 / b) ** (1.0 / r)
+            cand = (abs(t - threshold), -(b * r), -b, r)
+            if best is None or cand < (best[0], best[1], best[2], best[3]):
+                best = (abs(t - threshold), -(b * r), -b, r)
+                chosen = (b, r)
+    return chosen
+
+
+def _minhash_signature(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    params = minhash_params(num_hashes)
     aggs = [
         F.min((F.lit(a) * F.col("sh") + F.lit(b)) % MERSENNE31).alias(f"m{j}")
         for j, (a, b) in enumerate(params)
@@ -200,13 +221,19 @@ def _minhash_signature(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
     sh = _shingle_index(spark, sf_dir)
-    sig = _minhash_signature(sh)
-    n_bands = NUM_HASHES // BAND_SIZE
+    sig = _minhash_signature(sh, num_hashes)
+    n_bands = num_hashes // band_size
     band_frames = []
     for band in range(n_bands):
-        cols = [f"m{band * BAND_SIZE + r}" for r in range(BAND_SIZE)]
+        cols = [f"m{band * band_size + r}" for r in range(band_size)]
         key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
         band_frames.append(
             sig.select("doc_id", F.lit(band).alias("band"), key.alias("bkey"))
@@ -242,15 +269,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) 
     )
 
 
-def minhash_lsh_pairs_oracle(threshold: float = 0.3) -> str:
-    params = minhash_params(NUM_HASHES)
+def minhash_lsh_pairs_oracle(
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> str:
+    params = minhash_params(num_hashes)
     mins = ",\n       ".join(
         f"min(({a} * sh + {b}) % {MERSENNE31}) AS m{j}" for j, (a, b) in enumerate(params)
     )
-    n_bands = NUM_HASHES // BAND_SIZE
+    n_bands = num_hashes // band_size
     band_selects = []
     for band in range(n_bands):
-        cols = [f"m{band * BAND_SIZE + r}" for r in range(BAND_SIZE)]
+        cols = [f"m{band * band_size + r}" for r in range(band_size)]
         key = " || ',' || ".join(f"{c}::VARCHAR" for c in cols)
         band_selects.append(f"SELECT doc_id, {band} AS band, {key} AS bkey FROM sig")
     bands = "\nUNION ALL\n".join(band_selects)
@@ -509,6 +540,89 @@ def ngram_jaccard_pairs_dfcap(
         .select("d1", "d2", "jaccard")
         .orderBy("d1", "d2")
     )
+
+
+def minhash_lsh_pairs_autotuned(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, max_hashes: int = 16
+) -> DataFrame:
+    """MinHash-LSH with the banding scheme derived from the target
+    threshold by s-curve inversion (see :func:`autotune_bands`) instead of
+    hand-picked constants -- at 100 TB the threshold is the product
+    requirement and (b, r) is an implementation detail the engine owns.
+    Deterministic given (threshold, max_hashes), so the oracle replays the
+    identical scheme.
+    """
+    b, r = autotune_bands(threshold, max_hashes)
+    return minhash_lsh_pairs(spark, sf_dir, threshold, num_hashes=b * r, band_size=r)
+
+
+def minhash_lsh_pairs_autotuned_oracle(threshold: float = 0.5, max_hashes: int = 16) -> str:
+    b, r = autotune_bands(threshold, max_hashes)
+    return minhash_lsh_pairs_oracle(threshold, num_hashes=b * r, band_size=r)
+
+
+def ngram_jaccard_pairs_dfcap_auto(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3, df_quantile: float = 0.99
+) -> DataFrame:
+    """df-capped Jaccard where the cap comes from the shingle df histogram
+    (floor of its df_quantile), not a hand constant -- the tail above the
+    quantile is exactly the hot-key mass that quadratic-joins at scale.
+    The cap is computed IN-ENGINE (scalar agg broadcast against the index),
+    so the oracle derives the same cap from the same histogram and the
+    query stays a one-shot plan with no driver round-trip.
+    """
+    sh = _shingle_index(spark, sf_dir)
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    cap = df_counts.agg(
+        F.floor(F.expr(f"percentile(df, {df_quantile})")).alias("cap")
+    )
+    rare = df_counts.crossJoin(F.broadcast(cap)).filter(F.col("df") <= F.col("cap")).select("sh")
+    rare_sh = sh.join(F.broadcast(rare), "sh")
+    a, b = rare_sh.alias("a"), rare_sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha, shb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sha, F.col("sa.doc_id") == F.col("d1"))
+        .join(shb, (F.col("sb.doc_id") == F.col("d2")) & (F.col("sa.sh") == F.col("sb.sh")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+def ngram_jaccard_pairs_dfcap_auto_oracle(
+    threshold: float = 0.3, df_quantile: float = 0.99
+) -> str:
+    return f"""
+WITH {_shingle_index_sql()},
+dfh AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+cap AS (SELECT floor(quantile_cont(df, {df_quantile})) AS cap FROM dfh),
+rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfh USING (sh), cap WHERE dfh.df <= cap.cap),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT d1, d2, count(*) AS c
+          FROM cand JOIN sh sa ON sa.doc_id = d1
+                    JOIN sh sb ON sb.doc_id = d2 AND sa.sh = sb.sh
+          GROUP BY d1, d2)
+SELECT d1, d2, c::DOUBLE / (s1.n + s2.n - c)::DOUBLE AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c::DOUBLE / (s1.n + s2.n - c)::DOUBLE >= {threshold}
+ORDER BY d1, d2
+""".strip()
 
 
 def ngram_jaccard_pairs_dfcap_oracle(threshold: float = 0.3, max_df: int = 10) -> str:

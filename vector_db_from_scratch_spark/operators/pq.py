@@ -45,26 +45,10 @@ TRAIN_SAMPLE = 2048
 LLOYD_ITERS = 5
 
 
-def train_codebooks(
-    spark: SparkSession,
-    sf_dir: str,
-    m: int = M_SUBSPACES,
-    ks: int = KS_CODES,
-    iters: int = LLOYD_ITERS,
-) -> np.ndarray:
-    """(m, ks, dsub) float32 codebooks from a bounded, deterministic sample.
-
-    Sampling by ``vec_id < TRAIN_SAMPLE`` keeps the collect bounded (the
-    100 TB story trains on a fixed-size sample regardless of table size)
-    and deterministic. Lloyd init = first ks subvectors of the sample.
-    """
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < TRAIN_SAMPLE)
-        .orderBy("vec_id")
-        .select("embedding")
-    )
-    x = np.array([r["embedding"] for r in emb.collect()], dtype=np.float32)
+def _train_books_np(x: np.ndarray, m: int, ks: int, iters: int) -> np.ndarray:
+    """(m, ks, dsub) float32 codebooks by per-subspace Lloyd on the given
+    sample matrix. Init = first ks subvectors; argmin ties break on the
+    lowest code (numpy first-occurrence)."""
     n, d = x.shape
     assert d % m == 0, f"dim {d} not divisible by {m} subspaces"
     dsub = d // m
@@ -84,7 +68,31 @@ def train_codebooks(
     return books
 
 
-def encode(df: DataFrame, books: np.ndarray) -> DataFrame:
+def _sample_matrix(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Bounded, deterministic training sample: ``vec_id < TRAIN_SAMPLE``
+    keeps the collect fixed-size regardless of table size (the 100 TB story
+    trains on a sample, never the table)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < TRAIN_SAMPLE)
+        .orderBy("vec_id")
+        .select("embedding")
+    )
+    return np.array([r["embedding"] for r in emb.collect()], dtype=np.float32)
+
+
+def train_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = M_SUBSPACES,
+    ks: int = KS_CODES,
+    iters: int = LLOYD_ITERS,
+) -> np.ndarray:
+    """(m, ks, dsub) float32 codebooks from the bounded sample."""
+    return _train_books_np(_sample_matrix(spark, sf_dir), m, ks, iters)
+
+
+def encode(df: DataFrame, books: np.ndarray, col: str = "embedding") -> DataFrame:
     """Add a ``codes`` column: per subspace, the nearest codebook entry.
 
     One Arrow-batched pass; the codebook rides in the UDF closure (tiny).
@@ -93,8 +101,8 @@ def encode(df: DataFrame, books: np.ndarray) -> DataFrame:
     b64 = books.astype(np.float64)
 
     @F.pandas_udf(ArrayType(IntegerType()))
-    def _codes(col: pd.Series) -> pd.Series:
-        x = np.array(col.tolist(), dtype=np.float64)
+    def _codes(vals: pd.Series) -> pd.Series:
+        x = np.array(vals.tolist(), dtype=np.float64)
         out = np.empty((x.shape[0], m), dtype=np.int32)
         for mi in range(m):
             sub = x[:, mi * dsub : (mi + 1) * dsub]
@@ -102,7 +110,7 @@ def encode(df: DataFrame, books: np.ndarray) -> DataFrame:
             out[:, mi] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
-    return df.withColumn("codes", _codes(F.col("embedding")))
+    return df.withColumn("codes", _codes(F.col(col)))
 
 
 def _adc_lut(books: np.ndarray, qv: np.ndarray) -> list[list[float]]:
@@ -144,6 +152,101 @@ def pq_knn(
     )
     shortlist = (
         coded.select("vec_id", adc.alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(k * oversample)
+        .select("vec_id")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("qv"))
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", distance_expr(metric, F.col("embedding"), F.col("qv")).alias("distance"))
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+def ivfpq_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    oversample: int = 5,
+) -> DataFrame:
+    """IVF + PQ residual codes -- the composed FAISS-style IVFADC layout
+    (Jegou et al. 2011, §IV): coarse cells prune the scan to nprobe/n_cells
+    of the data, and within probed cells distances come from PQ codes of
+    the RESIDUAL (vector - cell centroid), which quantizes a much tighter
+    distribution than raw vectors. At 100 TB the index table is
+    (vec_id, cell, 8-byte codes) partitioned by cell: the query reads only
+    probed partitions and only code bytes; full vectors are touched just
+    for the final shortlist re-rank.
+
+    Plan shape: centroid assignment = broadcast-join + windowed argmin (no
+    vector shuffle); residual = JVM zip_with; encode = one Arrow pass; the
+    per-cell ADC lookup tables ride a tiny broadcast join keyed by cell;
+    ADC itself is a codegen'd fold over the codes column.
+    """
+    from .ivf import train_centroids
+    from pyspark.sql import Window
+
+    cents_list = train_centroids(spark, sf_dir, n_cells, iterations=2)
+    cents = np.array(cents_list, dtype=np.float64)
+
+    # residual codebooks from the bounded sample (numpy mirror of the
+    # distributed assignment: argmin ties -> lowest cell in both)
+    xs = _sample_matrix(spark, sf_dir).astype(np.float64)
+    d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    books = _train_books_np(
+        (xs - cents[d2.argmin(axis=1)]).astype(np.float32),
+        M_SUBSPACES,
+        KS_CODES,
+        LLOYD_ITERS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents_list)], "cell int, cv array<float>"
+    )
+    cd = distance_expr("euclidean", F.col("embedding"), F.col("cv"), round_to=None)
+    w = Window.partitionBy("vec_id").orderBy("cd", "cell")
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .withColumn("cd", cd)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("cv").cast("array<double>"),
+                lambda a, b: a - b,
+            ).alias("resid"),
+        )
+    )
+    index = encode(assigned, books, col="resid").select("vec_id", "cell", "codes")
+
+    qv = np.array(
+        emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()["embedding"],
+        dtype=np.float64,
+    )
+    probe = np.argsort(((cents - qv[None, :]) ** 2).sum(axis=1), kind="stable")[:nprobe]
+    lut_rows = [
+        (int(c), _adc_lut(books, (qv - cents[c]).astype(np.float32))) for c in probe
+    ]
+    lut_df = spark.createDataFrame(lut_rows, "cell int, lut array<array<double>>")
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shortlist = (
+        index.join(F.broadcast(lut_df), "cell")
+        .select("vec_id", adc.alias("adc"))
         .orderBy("adc", "vec_id")
         .limit(k * oversample)
         .select("vec_id")

@@ -137,6 +137,66 @@ ORDER BY lang, predicted
 """.strip()
 
 
+def language_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (Cavnar-Trenkle style): per-language
+    occurrence totals of the top frequent trigrams, deterministic
+    CASE-priority argmax, reported as a confusion matrix vs the label.
+
+    Scores are materialized as columns FIRST (one scan computes all 4x10
+    replace-counts), then the argmax compares columns -- the CASE chain
+    never duplicates the scoring expressions, keeping codegen size linear.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    score_cols = []
+    for lang in T.LANG_PRIORITY:
+        s = (
+            T.cjk_char_count(F.col("text"))
+            if lang == "zh"
+            else T.trigram_score(F.col("text"), T.TRIGRAM_PROFILES[lang])
+        )
+        score_cols.append(s.alias(f"s_{lang}"))
+    scored = docs.select("lang", *score_cols)
+    expr = None
+    for lang in T.LANG_PRIORITY:
+        cond = None
+        for other in T.LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("und"))
+    return (
+        scored.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def language_id_trigram_oracle() -> str:
+    score_sqls = []
+    for lang in T.LANG_PRIORITY:
+        s = (
+            T.cjk_char_count_sql("text")
+            if lang == "zh"
+            else T.trigram_score_sql("text", T.TRIGRAM_PROFILES[lang])
+        )
+        score_sqls.append(f"{s} AS s_{lang}")
+    whens = []
+    for lang in T.LANG_PRIORITY:
+        conds = [f"s_{lang} >= s_{other}" for other in T.LANG_PRIORITY if other != lang]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"""
+WITH scored AS (SELECT lang, {', '.join(score_sqls)} FROM documents)
+SELECT lang, {case} AS predicted, count(*) AS n
+FROM scored
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+""".strip()
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-weighted rolling-hash fingerprints (near-dup prefilter)."""
     docs = load_table(spark, sf_dir, "documents")

@@ -1,3 +1,15 @@
-from .audit import count_shuffles, plan_string, pushed_filters, uses_take_ordered
+from .audit import (
+    count_shuffles,
+    plan_fingerprint,
+    plan_string,
+    pushed_filters,
+    uses_take_ordered,
+)
 
-__all__ = ["count_shuffles", "plan_string", "pushed_filters", "uses_take_ordered"]
+__all__ = [
+    "count_shuffles",
+    "plan_fingerprint",
+    "plan_string",
+    "pushed_filters",
+    "uses_take_ordered",
+]

@@ -18,6 +18,25 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable 8-hex fingerprint of the physical plan SHAPE: expression ids,
+    plan ids, paths, and size statistics are stripped so the fingerprint
+    only moves when the operator tree / join strategy / pushdown actually
+    change. Recorded next to bench timings so a timing regression points
+    at its plan diff."""
+    import hashlib
+
+    s = plan_string(df)
+    s = re.sub(r"#\d+[L]?", "#x", s)  # expression ids
+    s = re.sub(r"lambda [a-z]+_\d+", "lambda v", s)  # HOF var counter is global
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    s = re.sub(r"Location: [^,\]]+", "Location: x", s)
+    s = re.sub(r"file:[^\s,\]]+", "file:x", s)
+    s = re.sub(r"\d+(\.\d+)? (B|KiB|MiB|GiB)", "x", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", s)
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Number of exchanges in the physical plan (AQE may later coalesce
     or eliminate some at runtime; this counts the static upper bound)."""

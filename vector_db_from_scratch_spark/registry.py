@@ -106,6 +106,10 @@ def build() -> dict[str, Entry]:
         None,
     )
     reg["pq_code_sizes"] = (lambda spark, sf: pq.pq_code_sizes(spark, sf), None)
+    reg["ivfpq_knn"] = (
+        lambda spark, sf: pq.ivfpq_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        None,
+    )
     # sketch aggregates: rows-only (HLL/quantile internals differ per
     # engine); error-bounded against exact values in tests
     reg["agg_approx_stats"] = (r.approx_stats, None)
@@ -123,6 +127,7 @@ def build() -> dict[str, Entry]:
     reg["text_token_stats"] = (t.token_stats, t.token_stats_oracle())
     reg["text_quality_scores"] = (t.quality_scores, t.quality_scores_oracle())
     reg["text_language_id"] = (t.language_id, t.language_id_oracle())
+    reg["text_language_id_trigram"] = (t.language_id_trigram, t.language_id_trigram_oracle())
     reg["text_fingerprints"] = (t.fingerprints, t.fingerprints_oracle())
     reg["text_token_counts_bpe"] = (t.token_counts_bpe, t.token_counts_bpe_oracle())
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
@@ -140,6 +145,14 @@ def build() -> dict[str, Entry]:
     reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs, d.ngram_jaccard_pairs_oracle())
     reg["dedup_ngram_jaccard_dfcap"] = (d.ngram_jaccard_pairs_dfcap, d.ngram_jaccard_pairs_dfcap_oracle())
     reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
+    reg["dedup_minhash_autotuned"] = (
+        lambda spark, sf: d.minhash_lsh_pairs_autotuned(spark, sf, threshold=0.5),
+        d.minhash_lsh_pairs_autotuned_oracle(threshold=0.5),
+    )
+    reg["dedup_ngram_jaccard_dfcap_auto"] = (
+        d.ngram_jaccard_pairs_dfcap_auto,
+        d.ngram_jaccard_pairs_dfcap_auto_oracle(),
+    )
     reg["dedup_simhash_table"] = (d.simhash_table, d.simhash_table_oracle())
     reg["dedup_simhash_pairs"] = (d.simhash_near_pairs, d.simhash_near_pairs_oracle())
     reg["dedup_embedding_cosine"] = (d.embedding_neardup, d.embedding_neardup_oracle())

@@ -216,6 +216,51 @@ def run_stream_once(df: DataFrame, query_name: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Rate-limited file replay: many files + maxFilesPerTrigger drives REAL
+# multi-batch execution, so the watermark actually advances between
+# micro-batches and state-store reaping is exercised (a single-file stream
+# completes in one batch and never moves its watermark).
+# --------------------------------------------------------------------------
+
+def replay_events_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> None:
+    """Split events into n_files time-ordered parquet files -- the replay
+    fixture. Range-partitioning by ts makes each file a contiguous time
+    slice, so replaying file-by-file simulates in-order arrival."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(out_dir)
+
+
+def events_stream_from(spark: SparkSession, path: str, files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a replay directory, rate-limited to
+    files_per_trigger per micro-batch."""
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .load(path)
+    )
+
+
+def run_stream_collect_progress(df: DataFrame, query_name: str):
+    """Drain a rate-limited stream and return (result_df, progress list) --
+    progress entries carry per-batch watermark + state-store metrics."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    progress = [p for p in q.recentProgress]
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {query_name}"), progress
+
+
+# --------------------------------------------------------------------------
 # Stream-static enrichment join: the streaming side joins a static
 # dimension each micro-batch (broadcast per batch -- no stream-stream state)
 # --------------------------------------------------------------------------
