@@ -1039,3 +1039,136 @@ WHERE n1.n_name <> n2.n_name
 GROUP BY supp_nation, cust_nation
 ORDER BY supp_nation, cust_nation
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Q13-style customer order distribution: LEFT JOIN -> per-customer count
+# (0 preserved for order-less customers) -> histogram of counts
+# --------------------------------------------------------------------------
+
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def customer_distribution_oracle() -> str:
+    return """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q15-style top supplier: quarter revenue per supplier, keep the max.
+# The max-equality filter compares integral micro-unit BIGINTs, so the
+# "revenue = (SELECT max(...))" correlated shape is exact cross-engine.
+# --------------------------------------------------------------------------
+
+def top_supplier(
+    spark: SparkSession,
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(date_from))
+        & (F.col("l_shipdate") < F.lit(date_to))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _micros(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev_micro")
+    )
+    mx = rev.agg(F.max("rev_micro").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_micro") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            normalize_float(
+                F.col("rev_micro").cast("double") / F.lit(float(MICRO)), None
+            ).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def top_supplier_oracle(date_from: str = "1996-01-01", date_to: str = "1996-04-01") -> str:
+    micro = f"(sum((l_extendedprice * (1.0 - l_discount))::{ORACLE_DEC}) * {MICRO})::BIGINT"
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey, {micro} AS rev_micro
+  FROM lineitem
+  WHERE l_shipdate >= '{date_from}' AND l_shipdate < '{date_to}'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, (rev_micro::DOUBLE / {MICRO}.0 + 0.0) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_micro = (SELECT max(rev_micro) FROM rev)
+ORDER BY s_suppkey
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q22-style sales opportunity: above-average-balance customers with no
+# URGENT orders (every testdata customer has some order, so the anti-join
+# runs against the filtered subset to stay non-trivial), grouped by
+# nation. The threshold comparison is done in exact decimal arithmetic
+# (balance * n > sum) -- no float avg can flip membership for values near
+# the mean.
+# --------------------------------------------------------------------------
+
+def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    stats = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    eligible = (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(F.col("c_acctbal").cast(DEC) * F.col("n") > F.col("s"))
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = eligible.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_custs"), dsum(F.col("c_acctbal")).alias("total_acctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+def sales_opportunity_oracle() -> str:
+    return f"""
+WITH stats AS (
+  SELECT sum(c_acctbal::{ORACLE_DEC}) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0.0),
+eligible AS (
+  SELECT c.* FROM customer c, stats
+  WHERE c.c_acctbal::{ORACLE_DEC} * stats.n > stats.s),
+no_orders AS (
+  SELECT * FROM eligible e
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = e.c_custkey
+                      AND o.o_orderpriority = '1-URGENT'))
+SELECT c_nationkey, count(*) AS n_custs, {osum('c_acctbal')} AS total_acctbal
+FROM no_orders
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""".strip()

@@ -201,6 +201,9 @@ def build() -> dict[str, Entry]:
     reg["tpch_priority_shipping_split"] = (r.priority_shipping_split, r.priority_shipping_split_oracle())
     reg["tpch_large_orders"] = (r.large_orders, r.large_orders_oracle())
     reg["tpch_nation_trade_volume"] = (r.nation_trade_volume, r.nation_trade_volume_oracle())
+    reg["tpch_customer_distribution"] = (r.customer_distribution, r.customer_distribution_oracle())
+    reg["tpch_top_supplier"] = (r.top_supplier, r.top_supplier_oracle())
+    reg["tpch_sales_opportunity"] = (r.sales_opportunity, r.sales_opportunity_oracle())
     reg["agg_value_percentiles"] = (r.value_percentiles, r.value_percentiles_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
