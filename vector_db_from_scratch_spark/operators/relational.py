@@ -1172,3 +1172,209 @@ FROM no_orders
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Q8-style national market share: the target nation's share of import
+# volume into a region's market, per year. Both the numerator (conditional
+# sum) and denominator are integral micro-unit BIGINTs, so the final ratio
+# is ONE IEEE division on identical operands in both engines -- the only
+# float op in the query.
+# --------------------------------------------------------------------------
+
+def market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    target_nation: str = "NATION_7",
+    region: str = "EUROPE",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == p_type)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    # customer's nation anchors the market (region filter); supplier's
+    # nation is the exporter whose share we measure
+    cnat = nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    snat = nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    agg = joined.groupBy("o_year").agg(
+        _micros(F.when(F.col("supp_nation") == target_nation, F.col("volume")).otherwise(F.lit(0.0))).alias("num"),
+        _micros(F.col("volume")).alias("den"),
+    )
+    return agg.select(
+        "o_year",
+        normalize_float(
+            F.col("num").cast("double") / F.col("den").cast("double"), None
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def market_share_oracle(
+    target_nation: str = "NATION_7", region: str = "EUROPE", p_type: str = "ECONOMY"
+) -> str:
+    num = (
+        f"(sum((CASE WHEN supp_nation = '{target_nation}' THEN volume ELSE 0.0 END)"
+        f"::{ORACLE_DEC}) * {MICRO})::BIGINT"
+    )
+    den = f"(sum(volume::{ORACLE_DEC}) * {MICRO})::BIGINT"
+    return f"""
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1.0 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = '{p_type}' AND r_name = '{region}'
+    AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01')
+SELECT o_year, ({num}::DOUBLE / {den}::DOUBLE + 0.0) AS mkt_share
+FROM base
+GROUP BY o_year
+ORDER BY o_year
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q14-style promo revenue share: conditional-sum / sum ratio over one
+# ship-month. Same micro-unit ratio discipline as Q8.
+# --------------------------------------------------------------------------
+
+def promo_revenue(
+    spark: SparkSession, sf_dir: str, date_from: str = "1995-09-01", date_to: str = "1995-10-01"
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(date_from)) & (F.col("l_shipdate") < F.lit(date_to))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    agg = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        _micros(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))).alias("num"),
+        _micros(vol).alias("den"),
+    )
+    return agg.select(
+        normalize_float(
+            F.lit(100.0) * F.col("num").cast("double") / F.col("den").cast("double"), None
+        ).alias("promo_share")
+    )
+
+
+def promo_revenue_oracle(date_from: str = "1995-09-01", date_to: str = "1995-10-01") -> str:
+    num = (
+        f"(sum((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount)"
+        f" ELSE 0.0 END)::{ORACLE_DEC}) * {MICRO})::BIGINT"
+    )
+    den = f"(sum((l_extendedprice * (1.0 - l_discount))::{ORACLE_DEC}) * {MICRO})::BIGINT"
+    return f"""
+SELECT (100.0 * {num}::DOUBLE / {den}::DOUBLE + 0.0) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '{date_from}' AND l_shipdate < '{date_to}'
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q17-style small-quantity revenue: lineitems below 20% of their part's
+# average quantity. The avg comparison is cleared of division entirely:
+# l_quantity < 0.2 * (sq / n)  <=>  5 * qty * n < sq  in exact BIGINTs
+# (quantities are integral), so membership can never flip on float error.
+# --------------------------------------------------------------------------
+
+def small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#13", p_type: str = "SMALL"
+) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == brand) & (F.col("p_type") == p_type)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = li_b.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    small = li_b.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk")).filter(
+        F.lit(5) * F.col("l_quantity").cast("long") * F.col("n") < F.col("sq")
+    )
+    return small.agg(
+        normalize_float(
+            (_micros(F.col("l_extendedprice")).cast("double") / F.lit(float(MICRO)))
+            / F.lit(7.0),
+            None,
+        ).alias("avg_yearly")
+    )
+
+
+def small_quantity_revenue_oracle(brand: str = "Brand#13", p_type: str = "SMALL") -> str:
+    micro = f"(sum(l_extendedprice::{ORACLE_DEC}) * {MICRO})::BIGINT"
+    return f"""
+WITH li_b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{brand}' AND p_type = '{p_type}'),
+per_part AS (
+  SELECT l_partkey AS pk, sum(l_quantity::BIGINT) AS sq, count(*) AS n
+  FROM li_b GROUP BY l_partkey)
+SELECT ({micro}::DOUBLE / {MICRO}.0 / 7.0 + 0.0) AS avg_yearly
+FROM li_b JOIN per_part ON l_partkey = pk
+WHERE 5 * l_quantity::BIGINT * n < sq
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Q19-style disjunctive predicate join: OR of three (brand, size-range,
+# quantity-range) conjunctions. Catalyst extracts the common l_partkey =
+# p_partkey equi-key so this stays a hash join with the disjunction as a
+# post-join filter, and pushes the per-side implied predicates
+# (p_size >= 1, quantity bounds) into the scans.
+# --------------------------------------------------------------------------
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    b1 = (
+        (F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(b1 | b2 | b3).agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue")
+    )
+
+
+def disjunctive_revenue_oracle() -> str:
+    return f"""
+SELECT {osum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""".strip()

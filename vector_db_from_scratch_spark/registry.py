@@ -204,6 +204,10 @@ def build() -> dict[str, Entry]:
     reg["tpch_customer_distribution"] = (r.customer_distribution, r.customer_distribution_oracle())
     reg["tpch_top_supplier"] = (r.top_supplier, r.top_supplier_oracle())
     reg["tpch_sales_opportunity"] = (r.sales_opportunity, r.sales_opportunity_oracle())
+    reg["tpch_market_share"] = (r.market_share, r.market_share_oracle())
+    reg["tpch_promo_revenue"] = (r.promo_revenue, r.promo_revenue_oracle())
+    reg["tpch_small_qty_revenue"] = (r.small_quantity_revenue, r.small_quantity_revenue_oracle())
+    reg["tpch_disjunctive_revenue"] = (r.disjunctive_revenue, r.disjunctive_revenue_oracle())
     reg["agg_value_percentiles"] = (r.value_percentiles, r.value_percentiles_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
