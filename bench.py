@@ -35,6 +35,7 @@ def main() -> None:
     from vector_db_from_scratch_spark.plans import plan_fingerprint
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     plans: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         if name in EXCLUDE:
@@ -49,6 +50,13 @@ def main() -> None:
             plans[name] = plan_fingerprint(df)
         except Exception:
             plans[name] = "n/a"
+        # warm re-run: same plan with codegen, parquet footers, broadcast
+        # vars and any persisted subtrees hot -- the steady-state number a
+        # long-lived cluster session would see. `queries`/`value` keep the
+        # first-run (cold-ish) semantics for round-over-round comparability.
+        t1 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t1, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -60,6 +68,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "plans": plans,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 3),
             }
         )
     )
