@@ -1,0 +1,114 @@
+"""Composed training-corpus preparation pipeline: the end-to-end "clean a
+raw document dump for LLM training" query that chains the engine's text /
+dedup primitives into one declarative plan.
+
+Stages (each a named building block elsewhere in the engine):
+  1. quality gate    -- token count + mean token length bounds
+                        (language-agnostic; operators/textops.py signals)
+  2. language gate   -- keep an allow-listed language set
+  3. exact dedup     -- keep min(doc_id) per md5(text)
+                        (operators/dedup.py:exact_dedup discipline)
+  4. near-dup drop   -- n-gram Jaccard pairs over the SHARED shingle index;
+                        a doc is dropped if it is the higher id (d2) of any
+                        pair whose BOTH endpoints survived stages 1-3
+                        (keep-first rule; deterministic and one-shot, no
+                        iterative connected components)
+
+Scale notes: the shingle index is built over the RAW corpus (memoized /
+persisted -- at 100 TB it is the materialized index table shared by every
+pipeline variant and the standalone dedup queries), so re-running the
+pipeline with different gates never rebuilds it. All gates are predicates
+on scan columns (pushed down); the only shuffles are the dedup groupBys
+and the pair self-join, both over hashed ints. The keep-first rule is the
+standard single-pass form of MinHash-dedup pipelines (transitive chains
+collapse to their minimum id only after the id ordering is fixed, which
+md5-grouping + min() already guarantees for exact dups).
+
+Reference parity: the reference has no pipeline surface (its API is CRUD +
+search, vector_db/api.py:226-384); this composition is a north-star
+extension over the same documents table the driver provides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.text import token_count_sql
+from ..sources.tables import load_table
+from .dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_oracle
+
+QUALITY_MIN_TOKENS = 6
+QUALITY_TOKEN_LEN = (2.0, 12.0)
+ALLOWED_LANGS = ("de", "en", "es", "fr")
+NEAR_DUP_THRESHOLD = 0.3
+
+
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    avg_len = F.length("text").cast("double") / n_tok.cast("double")
+    gated = docs.filter(
+        (n_tok >= QUALITY_MIN_TOKENS)
+        & (avg_len >= QUALITY_TOKEN_LEN[0])
+        & (avg_len <= QUALITY_TOKEN_LEN[1])
+        & F.col("lang").isin(*ALLOWED_LANGS)
+    ).select("doc_id", "lang", "text", n_tok.alias("n_tok"))
+
+    # exact dedup: survivors carry the min doc_id of their text group
+    exact = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = gated.join(exact.select("doc_id"), "doc_id", "left_semi")
+
+    # near-dup drop over the shared raw-corpus shingle index: drop d2 of
+    # every pair whose both endpoints survived stages 1-3
+    pairs = ngram_jaccard_pairs(spark, sf_dir, NEAR_DUP_THRESHOLD)
+    surv_ids = survivors.select("doc_id")
+    drops = (
+        pairs.join(surv_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
+        .join(surv_ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    clean = survivors.join(drops, "doc_id", "left_anti")
+
+    return (
+        clean.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_prep_oracle() -> str:
+    nt = token_count_sql("text")
+    langs = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
+    pairs_sql = ngram_jaccard_pairs_oracle(NEAR_DUP_THRESHOLD)
+    return f"""
+WITH gated AS (
+  SELECT doc_id, lang, text, {nt}::BIGINT AS n_tok
+  FROM documents
+  WHERE {nt} >= {QUALITY_MIN_TOKENS}
+    AND (length(text)::DOUBLE / {nt}::DOUBLE) >= {QUALITY_TOKEN_LEN[0]}
+    AND (length(text)::DOUBLE / {nt}::DOUBLE) <= {QUALITY_TOKEN_LEN[1]}
+    AND lang IN ({langs})),
+exact AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+survivors AS (SELECT g.* FROM gated g JOIN exact USING (doc_id)),
+pairs AS (SELECT * FROM ({pairs_sql})),
+drops AS (SELECT DISTINCT p.d2 AS doc_id
+          FROM pairs p
+          JOIN survivors s1 ON p.d1 = s1.doc_id
+          JOIN survivors s2 ON p.d2 = s2.doc_id),
+clean AS (SELECT * FROM survivors
+          WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+       min(doc_id) AS first_doc
+FROM clean
+GROUP BY lang
+ORDER BY lang
+""".strip()

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, entity, ivf, knn, lsh, multimodal, pq, relational, skew, textops
+from .operators import corpus, dedup, entity, ivf, knn, lsh, multimodal, pq, relational, skew, textops
 from .streaming import windows as stream_windows
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
@@ -142,6 +142,7 @@ def build() -> dict[str, Entry]:
     # --- dedup family (exact, ngram-jaccard, minhash-LSH, simhash, cosine) ---
     d = dedup
     reg["dedup_exact"] = (d.exact_dedup, d.exact_dedup_oracle())
+    reg["pipeline_corpus_prep"] = (corpus.corpus_prep, corpus.corpus_prep_oracle())
     reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs, d.ngram_jaccard_pairs_oracle())
     reg["dedup_ngram_jaccard_dfcap"] = (d.ngram_jaccard_pairs_dfcap, d.ngram_jaccard_pairs_dfcap_oracle())
     reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
