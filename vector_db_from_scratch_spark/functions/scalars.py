@@ -165,3 +165,72 @@ SELECT vec_id, rank, pos, component
 FROM ranked WHERE rank <= {top}
 ORDER BY vec_id, rank
 """.strip()
+
+
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / coalesce / nullif / least / greatest family over orders --
+    pure branching on already-materialized values, no float arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.when(F.col("o_orderpriority") == "1-URGENT", "hot")
+            .when(F.col("o_orderpriority") == "2-HIGH", "warm")
+            .otherwise("cold")
+            .alias("priority_class"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+                "status_or_open"
+            ),
+            F.least(F.col("o_totalprice"), F.lit(50000.0)).alias("capped_price"),
+            F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias("floored_price"),
+            (F.col("o_orderstatus") == "F").cast("boolean").alias("is_final"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def conditional_functions_oracle() -> str:
+    return """
+SELECT o_orderkey,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+            WHEN o_orderpriority = '2-HIGH' THEN 'warm'
+            ELSE 'cold' END AS priority_class,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+       least(o_totalprice, 50000.0) AS capped_price,
+       greatest(o_totalprice, 1000.0) AS floored_price,
+       (o_orderstatus = 'F') AS is_final
+FROM orders
+ORDER BY o_orderkey
+""".strip()
+
+
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract / match / count / split-index. Patterns avoid
+    engine-specific syntax (no lookaround, POSIX classes only)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.regexp_extract(F.col("p_name"), "([a-z]+)", 1).alias("first_lower_run"),
+            F.regexp_extract(F.col("p_brand"), "#([0-9]+)", 1).alias("brand_num"),
+            F.col("p_type").rlike("^(PROMO|SMALL)").alias("is_promo_small"),
+            F.regexp_count(F.col("p_name"), F.lit("[0-9]")).cast("long").alias("n_digits"),
+            F.element_at(F.split(F.col("p_name"), "_"), 1).alias("name_head"),
+            F.element_at(F.split(F.col("p_name"), "_"), -1).alias("name_tail"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def regex_functions_oracle() -> str:
+    return """
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_lower_run,
+       regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+       regexp_matches(p_type, '^(PROMO|SMALL)') AS is_promo_small,
+       len(regexp_extract_all(p_name, '[0-9]'))::BIGINT AS n_digits,
+       str_split(p_name, '_')[1] AS name_head,
+       str_split(p_name, '_')[-1] AS name_tail
+FROM part
+ORDER BY p_partkey
+""".strip()

@@ -138,6 +138,8 @@ def build() -> dict[str, Entry]:
     reg["functions_datetime"] = (sc.datetime_functions, sc.datetime_functions_oracle())
     reg["functions_math"] = (sc.math_functions, sc.math_functions_oracle())
     reg["functions_array"] = (sc.array_functions, sc.array_functions_oracle())
+    reg["functions_conditional"] = (sc.conditional_functions, sc.conditional_functions_oracle())
+    reg["functions_regex"] = (sc.regex_functions, sc.regex_functions_oracle())
 
     # --- dedup family (exact, ngram-jaccard, minhash-LSH, simhash, cosine) ---
     d = dedup
