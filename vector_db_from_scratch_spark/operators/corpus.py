@@ -112,3 +112,58 @@ FROM clean
 GROUP BY lang
 ORDER BY lang
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling / dataset splits: hash-range assignment instead of
+# RNG. sample(fraction) is irreproducible across engines, partitionings and
+# reruns; bucketing md5(doc_id) is stable under repartition, backfill and
+# engine swap -- the only splitting discipline that survives a 100 TB
+# pipeline rebuild (and it needs no shuffle: the split is a scan-side
+# projection).
+# --------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 100
+SPLIT_BOUNDS = (80, 90)  # [0,80) train, [80,90) val, [90,100) test
+
+
+def _split_bucket(c):
+    from ..functions.hashing import hash60
+
+    return hash60(c.cast("string")) % SPLIT_BUCKETS
+
+
+def corpus_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < SPLIT_BOUNDS[0], "train")
+        .when(bucket < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    n_tok = T.token_count(F.col("text"))
+    return (
+        docs.select(split.alias("split"), "lang", n_tok.alias("n_tok"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def corpus_sample_split_oracle() -> str:
+    from ..functions.hashing import hash60_sql
+
+    nt = token_count_sql("text")
+    b = f"({hash60_sql('doc_id::VARCHAR')} % {SPLIT_BUCKETS})"
+    return f"""
+SELECT CASE WHEN {b} < {SPLIT_BOUNDS[0]} THEN 'train'
+            WHEN {b} < {SPLIT_BOUNDS[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, sum({nt}::BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+""".strip()
