@@ -220,3 +220,51 @@ FROM assign p JOIN probe USING (cell), q
 ORDER BY distance, vec_id
 LIMIT {k}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids as an ORACLE-CHECKED vector aggregate. A double sum
+# over rows is order-dependent, so each element is quantized to 6dp
+# (decimal cast -- identical in both engines on full-mantissa floats, whose
+# decimal expansions never terminate at the tie digit) and summed EXACTLY
+# in decimal; the mean is then one IEEE division of an integral micro-unit
+# BIGINT. This is the same determinism contract as the money sums
+# (relational.py:_micros) applied elementwise, and it is what makes this
+# the engine's first hash-checkable vector aggregation (kmeans_train is
+# rows-only checked for exactly this float-order reason).
+# Output is (label, pos, c) exploded scalars: value-hash-stable, unlike
+# stringified float arrays.
+# --------------------------------------------------------------------------
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import DEC, MICRO
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("p0", "val")
+    ).select(
+        "label",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.col("val").cast("double").cast(DEC).alias("v"),
+    )
+    return (
+        el.groupBy("label", "pos")
+        .agg(
+            ((F.sum("v") * MICRO).cast("long").cast("double") / F.lit(float(MICRO))
+             / F.count(F.lit(1)).cast("double")).alias("c")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+def label_centroids_oracle() -> str:
+    from .relational import MICRO, ORACLE_DEC
+
+    return f"""
+SELECT label, i AS pos,
+       ((sum(embedding[i]::DOUBLE::{ORACLE_DEC}) * {MICRO})::BIGINT::DOUBLE
+        / {MICRO}.0 / count(*)::DOUBLE) AS c
+FROM embeddings CROSS JOIN range(1, 65) t(i)
+GROUP BY label, i
+ORDER BY label, pos
+""".strip()

@@ -89,6 +89,9 @@ def build() -> dict[str, Entry]:
     reg["entity_patch_update"] = (entity.patch_documents, entity.patch_documents_oracle())
     reg["entity_batch_insert"] = (entity.batch_insert_documents, entity.batch_insert_documents_oracle())
 
+    # single-pass vector aggregate: quantize-to-6dp + exact decimal sums
+    # make the centroid hash-checkable (unlike the iterative kmeans below)
+    reg["agg_label_centroids"] = (ivf.label_centroids, ivf.label_centroids_oracle())
     # iterative k-means IVF training: rows-only (float centroid means are
     # not portably SQL-reproducible); convergence asserted in tests
     reg["ivf_kmeans_train"] = (
