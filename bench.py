@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 EXCLUDE = {
     "dedup_simhash_pairs",  # O(n^2) pair report; fine at sf0.01 gate, not a bench target
+    "dedup_simhash_banded",  # 16-bit test fingerprint saturates its bands at sf0.1
+    # (band cardinality 32 << docs); production form is 64-bit / 16-bit bands
 }
 
 

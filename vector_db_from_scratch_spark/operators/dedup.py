@@ -391,6 +391,83 @@ ORDER BY d1, d2
 """.strip()
 
 
+
+def simhash_banded_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 2) -> DataFrame:
+    """The 100 TB simhash path: pigeonhole banding. Split the 16-bit
+    fingerprint into 3 bands (5/5/6 bits); any pair within hamming
+    distance <= 2 agrees exactly on >= 1 band, so candidates come from an
+    equi-join on (band, band_value) -- never the quadratic cross join --
+    and exact bit_count verification filters the survivors. Produces
+    IDENTICAL rows to simhash_near_pairs (pigeonhole guarantee), which the
+    shared oracle checks; unlike the quadratic form this one is benchable.
+    Scale note: linearity needs band cardinality >> corpus/bucket target;
+    at 16 test bits the 5-bit bands saturate quickly, so the production
+    form is SIMHASH_BITS=64 with 4x16-bit bands (2^16 buckets/band) -- the
+    plan shape (explode -> equi-join -> bit_count verify) is unchanged.
+    """
+    assert max_hamming <= 2, "3 bands guarantee recall only for <= 2 flips"
+    sim = simhash_table(spark, sf_dir)
+    bands = [
+        (F.col("simhash").bitwiseAND(F.lit(31))),
+        (F.shiftright(F.col("simhash"), 5).bitwiseAND(F.lit(31))),
+        (F.shiftright(F.col("simhash"), 10).bitwiseAND(F.lit(63))),
+    ]
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), bv.alias("bv"))
+                for i, bv in enumerate(bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.select("d1", "d2", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("d1", "d2")
+    )
+
+
+def simhash_banded_pairs_oracle(max_hamming: int = 2) -> str:
+    base = simhash_table_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH sim AS ({base}),
+bands AS (
+  SELECT doc_id, simhash, 0 AS band, simhash & 31 AS bv FROM sim
+  UNION ALL
+  SELECT doc_id, simhash, 1, (simhash >> 5) & 31 FROM sim
+  UNION ALL
+  SELECT doc_id, simhash, 2, (simhash >> 10) & 63 FROM sim),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                a.simhash AS s1, b.simhash AS s2
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.bv = b.bv
+                     AND a.doc_id < b.doc_id)
+SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(s1, s2)) <= {max_hamming}
+ORDER BY d1, d2
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # Embedding-cosine near-dup (blocked by label as the scale-path bucketing)
 # --------------------------------------------------------------------------
