@@ -217,6 +217,7 @@ def build() -> dict[str, Entry]:
     reg["tpch_small_qty_revenue"] = (r.small_quantity_revenue, r.small_quantity_revenue_oracle())
     reg["tpch_disjunctive_revenue"] = (r.disjunctive_revenue, r.disjunctive_revenue_oracle())
     reg["agg_value_percentiles"] = (r.value_percentiles, r.value_percentiles_oracle())
+    reg["window_order_analytics"] = (r.window_order_analytics, r.window_order_analytics_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
     w = stream_windows
