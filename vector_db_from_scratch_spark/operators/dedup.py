@@ -149,6 +149,26 @@ def _shingle_index(spark: SparkSession, sf_dir: str, fast: bool = True) -> DataF
     return out
 
 
+_DF_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingle_df_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shingle document frequency (sh, df) -- the index's stats table.
+
+    Memoized + persisted like the index itself: the df-capped family reads
+    it 2-3x per query (histogram, cap filter, rare-shingle set) and both
+    dfcap variants share it. At 100 TB this is the stats sidecar you
+    materialize next to the inverted index; locally cache() stands in.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DF_MEMO:
+        return _DF_MEMO[key]
+    sh = _shingle_index(spark, sf_dir)
+    out = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).cache()
+    _DF_MEMO[key] = out
+    return out
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     sh = _shingle_index(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -602,7 +622,7 @@ def ngram_jaccard_pairs_dfcap(
     only hot shingles are the (deliberate, tunable) recall trade-off.
     """
     sh = _shingle_index(spark, sf_dir)
-    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    df_counts = _shingle_df_counts(spark, sf_dir)
     rare = sh.join(
         F.broadcast(df_counts.filter(F.col("df") <= max_df).select("sh")), "sh"
     )
@@ -670,7 +690,7 @@ def ngram_jaccard_pairs_dfcap_auto(
     docs_n = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    df_counts = _shingle_df_counts(spark, sf_dir)
     hist = df_counts.groupBy("df").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, 0)
     mass = (F.col("cnt") * F.col("df") * (F.col("df") - 1) / F.lit(2)).cast("long")
