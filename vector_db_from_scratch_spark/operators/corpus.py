@@ -167,3 +167,51 @@ FROM documents
 GROUP BY 1, 2
 ORDER BY split, lang
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Stratified hash sampling: per-stratum keep rates (e.g. downsample
+# over-represented languages) with the same md5-bucket determinism as the
+# split -- the up/down-weighting step of corpus mixing, reproducible under
+# repartition and engine swap. Rates are percentages of SPLIT_BUCKETS.
+# --------------------------------------------------------------------------
+
+STRATUM_RATES = {"en": 100, "de": 50, "es": 50, "fr": 25, "zh": 25}
+DEFAULT_RATE = 10
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket(F.col("doc_id"))
+    rate = F.lit(DEFAULT_RATE)
+    for lang, pct in sorted(STRATUM_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    n_tok = T.token_count(F.col("text"))
+    return (
+        docs.filter(bucket < rate)
+        .select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("n_tok").cast("long")).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_stratified_sample_oracle() -> str:
+    from ..functions.hashing import hash60_sql
+
+    nt = token_count_sql("text")
+    b = f"({hash60_sql('doc_id::VARCHAR')} % {SPLIT_BUCKETS})"
+    whens = "\n            ".join(
+        f"WHEN lang = '{lang}' THEN {pct}"
+        for lang, pct in sorted(STRATUM_RATES.items())
+    )
+    return f"""
+SELECT lang, count(*) AS n_kept, sum({nt}::BIGINT) AS kept_tokens
+FROM documents
+WHERE {b} < (CASE {whens} ELSE {DEFAULT_RATE} END)
+GROUP BY lang
+ORDER BY lang
+""".strip()

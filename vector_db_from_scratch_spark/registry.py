@@ -149,6 +149,7 @@ def build() -> dict[str, Entry]:
     reg["dedup_exact"] = (d.exact_dedup, d.exact_dedup_oracle())
     reg["pipeline_corpus_prep"] = (corpus.corpus_prep, corpus.corpus_prep_oracle())
     reg["pipeline_sample_split"] = (corpus.corpus_sample_split, corpus.corpus_sample_split_oracle())
+    reg["pipeline_stratified_sample"] = (corpus.corpus_stratified_sample, corpus.corpus_stratified_sample_oracle())
     reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs, d.ngram_jaccard_pairs_oracle())
     reg["dedup_ngram_jaccard_dfcap"] = (d.ngram_jaccard_pairs_dfcap, d.ngram_jaccard_pairs_dfcap_oracle())
     reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
