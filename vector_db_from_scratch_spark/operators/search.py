@@ -1,0 +1,323 @@
+"""Keyword search (BM25), TF-IDF vocabulary stats, and hybrid
+vector+keyword fusion (reciprocal-rank fusion) over ``documents`` and
+``embeddings``.
+
+The reference engine searches by embedding only (vector_db/services.py:
+164-181); any production retrieval stack next to it pairs the vector path
+with lexical ranking and fuses the two lists. These operators add that
+surface Spark-first:
+
+  - BM25 (Robertson/Sparck Jones, the Okapi formulation): the inverted
+    index is a plain DataFrame aggregation -- ``explode(split(text))`` ->
+    ``groupBy(doc_id, term)`` -- i.e. ONE shuffle keyed by (doc_id, term),
+    the classic map-side-combinable wordcount shape that scales linearly.
+    Query-time cost is bounded by filtering postings to the query's terms
+    BEFORE any join; corpus statistics (N, avgdl, per-term df) are tiny
+    aggregates broadcast into the scoring join, so scoring never shuffles
+    the corpus again. At 100 TB the postings build would be materialized
+    once (partitioned/bucketed by term) and each query touches only its
+    terms' partitions -- the same partition-pruned probe pattern as the
+    LSH index table (operators/lsh.py).
+  - TF-IDF top terms per language: a per-language vocabulary report
+    (corpus analytics / feature selection). Two aggregations and a
+    window top-n; the window partitions by ``lang`` -- bounded
+    cardinality, no skew funnel.
+  - Hybrid RRF: rank lists from exact cosine k-NN (operators/knn.py) and
+    BM25 are full-outer-joined on id and fused with
+    ``1/(60+rank)`` (Cormack et al., reciprocal rank fusion). Ranks are
+    exact integers and the fusion sum has two IEEE terms, so the fused
+    scores are bit-exact cross-engine without rounding.
+
+Float-parity contract (matches functions/vector.py): per-term scores are
+computed in double with identical literal constants and expression shape
+in Spark and DuckDB; the per-document sum is rounded half-up to 6 dp and
+normalized (+0.0) before ordering, and ties break on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import oracle_distance_sql
+from ..sources.tables import load_table
+from .knn import flat_knn
+
+# Fixed in-vocabulary query for the registry entries (deterministic; the
+# synthetic corpus draws from a small wordlist, so these hit real postings).
+DEFAULT_QUERY_TERMS = ["table", "scan", "hash", "join"]
+
+# Okapi BM25 constants. 0.75 and 0.25 are exact binary doubles; 1.2 and 2.2
+# are spelled as literals (not computed) so both engines parse the same
+# nearest-double values.
+K1 = "1.2"
+K1P1 = "2.2"  # k1 + 1, as a literal on purpose
+B = "0.75"
+ONE_MINUS_B = "0.25"
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl): the inverted-index build -- wordcount-shaped,
+    map-side combinable, one shuffle."""
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("dl"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: list[str] | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents by BM25 for a bag of query terms.
+
+    Plan shape: postings filtered to the query's terms (tiny) -> broadcast
+    join with per-term df stats (<= |query| rows) -> broadcast corpus
+    stats (1 row) -> per-doc sum -> TakeOrderedAndProject. The only
+    full-corpus shuffle is the postings groupBy.
+    """
+    terms = query_terms or DEFAULT_QUERY_TERMS
+    docs = load_table(spark, sf_dir, "documents")
+    post = _postings(docs).filter(F.col("term").isin(terms))
+
+    # corpus stats: N documents, average document length (exact: integer
+    # sum / integer count, one IEEE division in both engines)
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    # document frequency per query term (over the whole corpus)
+    dfreq = post.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf").cast("double") * F.expr(K1P1))
+                    / (
+                        F.col("tf").cast("double")
+                        + F.expr(K1)
+                        * (
+                            F.expr(ONE_MINUS_B)
+                            + F.expr(B)
+                            * (F.col("dl").cast("double") / F.col("avgdl"))
+                        )
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg((F.round(F.sum("term_score"), 6) + F.lit(0.0)).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def _bm25_scored_sql(terms: list[str]) -> str:
+    """Shared DuckDB CTE chain producing (doc_id, bm25) for ``terms`` --
+    identical formula shape and literals as :func:`bm25_topk`."""
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+toks AS (
+  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS dl,
+         unnest(str_split(text, ' ')) AS term
+  FROM documents),
+post AS (
+  SELECT doc_id, term, dl, count(*)::BIGINT AS tf
+  FROM toks WHERE term IN ({lst}) GROUP BY doc_id, term, dl),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         (sum(len(str_split(text, ' '))::BIGINT)::DOUBLE / count(*)::DOUBLE) AS avgdl
+  FROM documents),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM post GROUP BY term),
+bm25 AS (
+  SELECT p.doc_id AS doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((p.tf::DOUBLE * {K1P1})
+              / (p.tf::DOUBLE + {K1} * ({ONE_MINUS_B} + {B} * (p.dl::DOUBLE / s.avgdl))))
+         ), 6) + 0.0 AS bm25
+  FROM post p JOIN dfreq d USING (term), stats s
+  GROUP BY p.doc_id)
+""".strip()
+
+
+def bm25_topk_oracle(query_terms: list[str] | None = None, k: int = 20) -> str:
+    terms = query_terms or DEFAULT_QUERY_TERMS
+    return f"""
+WITH {_bm25_scored_sql(terms)}
+SELECT doc_id, bm25 FROM bm25
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+""".strip()
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, top_n: int = 10) -> DataFrame:
+    """Per-language top-n vocabulary terms by summed TF-IDF weight
+    (``total_tf * ln(N_lang / df)``) -- corpus analytics for feature
+    selection / vocabulary building.
+
+    Scale shape: one wordcount shuffle keyed by (lang, term), a tiny
+    per-language stats broadcast, and a window partitioned by ``lang``
+    (bounded cardinality). Terms present in every document of a language
+    get weight 0 (ln 1) and lose to informative terms, as intended.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    term_stats = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct("doc_id").cast("double").alias("df"),
+    )
+    lang_n = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    weighted = term_stats.join(F.broadcast(lang_n), "lang").select(
+        "lang",
+        "term",
+        F.col("total_tf"),
+        (
+            F.round(
+                F.col("total_tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("lang", "rank", "term", "total_tf", "tfidf")
+        .orderBy("lang", "rank")
+    )
+
+
+def tfidf_top_terms_oracle(top_n: int = 10) -> str:
+    return f"""
+WITH toks AS (
+  SELECT lang, doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+term_stats AS (
+  SELECT lang, term, count(*)::BIGINT AS total_tf,
+         count(DISTINCT doc_id)::DOUBLE AS df
+  FROM toks GROUP BY lang, term),
+lang_n AS (
+  SELECT lang, count(*)::DOUBLE AS n_docs FROM documents GROUP BY lang),
+weighted AS (
+  SELECT t.lang AS lang, t.term AS term, t.total_tf AS total_tf,
+         round(t.total_tf::DOUBLE * ln(l.n_docs / t.df), 6) + 0.0 AS tfidf,
+         row_number() OVER (PARTITION BY t.lang
+                            ORDER BY round(t.total_tf::DOUBLE * ln(l.n_docs / t.df), 6) + 0.0 DESC,
+                                     t.term) AS rank
+  FROM term_stats t JOIN lang_n l USING (lang))
+SELECT lang, rank, term, total_tf, tfidf
+FROM weighted WHERE rank <= {top_n}
+ORDER BY lang, rank
+""".strip()
+
+
+def hybrid_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    query_terms: list[str] | None = None,
+    pool: int = 100,
+    k: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the exact cosine k-NN
+    list (embeddings.vec_id) and the BM25 list (documents.doc_id), which
+    share the id space in the testdata.
+
+    ``rrf = 1/(rrf_k + vec_rank) + 1/(rrf_k + kw_rank)`` with absent ranks
+    contributing 0 (full outer join). Both rank lists are capped at
+    ``pool`` before fusion, so the join fuses two tiny DataFrames no
+    matter the corpus size -- the expensive parts are the two retrievals,
+    each already scale-shaped (TakeOrderedAndProject / filtered postings).
+    Fusion arithmetic is exact: integer ranks, one IEEE division per leg,
+    a two-term sum -- no rounding needed for oracle parity.
+    """
+    terms = query_terms or DEFAULT_QUERY_TERMS
+    vec = flat_knn(spark, sf_dir, "cosine", k=pool, query_vec_id=query_vec_id)
+    vec_ranked = vec.withColumn(
+        "vec_rank",
+        F.row_number().over(Window.orderBy("distance", "vec_id")).cast("long"),
+    ).select(F.col("vec_id").alias("id"), "vec_rank")
+
+    kw = bm25_topk(spark, sf_dir, terms, k=pool)
+    kw_ranked = kw.withColumn(
+        "kw_rank",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")).cast("long"),
+    ).select(F.col("doc_id").alias("id"), "kw_rank")
+
+    fused = vec_ranked.join(kw_ranked, "id", "full_outer").select(
+        "id",
+        "vec_rank",
+        "kw_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vec_rank").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("kw_rank").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "id").limit(k)
+
+
+def hybrid_rrf_oracle(
+    query_vec_id: int = 0,
+    query_terms: list[str] | None = None,
+    pool: int = 100,
+    k: int = 20,
+    rrf_k: int = 60,
+) -> str:
+    terms = query_terms or DEFAULT_QUERY_TERMS
+    d = oracle_distance_sql("cosine", "e.ee", "q.qe")
+    return f"""
+WITH {_bm25_scored_sql(terms)},
+vec AS (
+  SELECT e.vec_id AS id,
+         row_number() OVER (ORDER BY {d}, e.vec_id) AS vec_rank
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e,
+       (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+        WHERE vec_id = {query_vec_id}) q
+  ORDER BY vec_rank LIMIT {pool}),
+kw AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS kw_rank
+  FROM bm25 ORDER BY kw_rank LIMIT {pool}),
+fused AS (
+  SELECT coalesce(vec.id, kw.id) AS id, vec.vec_rank AS vec_rank,
+         kw.kw_rank AS kw_rank,
+         coalesce(1.0 / ({rrf_k}.0 + vec.vec_rank::DOUBLE), 0.0)
+         + coalesce(1.0 / ({rrf_k}.0 + kw.kw_rank::DOUBLE), 0.0) AS rrf
+  FROM vec FULL OUTER JOIN kw ON vec.id = kw.id)
+SELECT id, vec_rank, kw_rank, rrf FROM fused
+ORDER BY rrf DESC, id
+LIMIT {k}
+""".strip()

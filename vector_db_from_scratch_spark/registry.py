@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import corpus, dedup, entity, ivf, knn, lsh, multimodal, pq, relational, skew, textops
+from .operators import corpus, dedup, entity, ivf, knn, lsh, multimodal, pq, relational, search, skew, textops
 from .streaming import windows as stream_windows
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
@@ -134,6 +134,11 @@ def build() -> dict[str, Entry]:
     reg["text_fingerprints"] = (t.fingerprints, t.fingerprints_oracle())
     reg["text_token_counts_bpe"] = (t.token_counts_bpe, t.token_counts_bpe_oracle())
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
+
+    # --- keyword search + hybrid retrieval (lexical twin of the vector path) ---
+    reg["search_bm25"] = (search.bm25_topk, search.bm25_topk_oracle())
+    reg["search_tfidf_top_terms"] = (search.tfidf_top_terms, search.tfidf_top_terms_oracle())
+    reg["search_hybrid_rrf"] = (search.hybrid_rrf, search.hybrid_rrf_oracle())
 
     # --- scalar function families (SURVEY §2.7 inherited built-ins) ---
     from .functions import scalars as sc
