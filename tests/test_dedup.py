@@ -112,3 +112,25 @@ def test_autotuned_minhash_candidates_subset_of_exact(spark, sf_dir):
     auto = {(r["d1"], r["d2"]) for r in minhash_lsh_pairs_autotuned(spark, sf_dir, 0.5).collect()}
     assert auto <= exact
     assert auto  # planted near-dups survive banding at 0.5
+
+
+def test_cluster_components_closed_and_minimal(spark, sf_dir):
+    """Every near-dup pair's endpoints land in the same cluster; the rep is
+    the minimum doc_id of its cluster (and therefore labels itself)."""
+    from vector_db_from_scratch_spark.operators.dedup import neardup_clusters
+
+    labels = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in neardup_clusters(spark, sf_dir, threshold=0.3).collect()
+    }
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=0.3).collect()
+    assert pairs, "fixture must contain planted near-dups"
+    for p in pairs:
+        assert labels[p["d1"]] == labels[p["d2"]]
+    for doc, rep in labels.items():
+        assert rep <= doc
+        assert labels[rep] == rep
+    # reps are exactly the cluster minima
+    for rep in set(labels.values()):
+        members = [d for d, r in labels.items() if r == rep]
+        assert min(members) == rep

@@ -110,3 +110,28 @@ def test_autotune_bands_optimal_within_budget(threshold, max_hashes):
         for bb in range(1, max_hashes // rr + 1)
     )
     assert abs(t_chosen - threshold) <= best + 1e-12
+
+
+def test_decontaminate_excludes_benchmark_docs(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.corpus import (
+        BENCH_MOD,
+        corpus_decontaminate,
+    )
+
+    rows = corpus_decontaminate(spark, sf_dir).collect()
+    assert rows, "corpus must contain contaminated training docs"
+    assert all(r["doc_id"] % BENCH_MOD != 0 and r["n_overlap"] >= 1 for r in rows)
+
+
+def test_repetition_metrics_bounds(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.textops import repetition_metrics
+
+    rows = repetition_metrics(spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs_n
+    for r in rows:
+        assert 0.0 < r["top_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] < 1.0
+        assert r["repetitive"] == (
+            r["top_word_frac"] > 0.20 or r["dup_bigram_frac"] > 0.20
+        )

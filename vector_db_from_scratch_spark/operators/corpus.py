@@ -215,3 +215,113 @@ WHERE {b} < (CASE {whens} ELSE {DEFAULT_RATE} END)
 GROUP BY lang
 ORDER BY lang
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: drop/flag training documents that share n-grams
+# with a held-out evaluation set (the GPT-3 / Dolma discipline -- n-gram
+# overlap against benchmarks, not similarity). The "benchmark" here is a
+# deterministic doc_id slice of the same corpus so the driver tables
+# suffice; in production it is the eval suites' text.
+# --------------------------------------------------------------------------
+
+BENCH_MOD = 17  # doc_id % BENCH_MOD == 0 -> benchmark member (~6% of corpus)
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by shingle overlap with the benchmark set.
+
+    Reuses the memoized 3-gram shingle index (operators/dedup.py): the
+    benchmark's distinct shingle set is tiny relative to the corpus (eval
+    suites are MBs, corpora are TBs), so at 100 TB it broadcasts and the
+    contamination check is a map-side semi-join on the training scan -- no
+    wide shuffle at all. Returns (doc_id, n_overlap) per contaminated
+    training doc: the count of distinct shingles it shares with ANY
+    benchmark doc (the shingle index is distinct per doc by construction).
+    """
+    from .dedup import _shingle_index
+
+    sh = _shingle_index(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("sh").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .orderBy("doc_id")
+    )
+
+
+def corpus_decontaminate_oracle() -> str:
+    from .dedup import _shingle_index_sql
+
+    return f"""
+WITH {_shingle_index_sql()},
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_MOD} = 0)
+SELECT s.doc_id, count(*) AS n_overlap
+FROM sh s JOIN bench USING (sh)
+WHERE s.doc_id % {BENCH_MOD} <> 0
+GROUP BY s.doc_id
+ORDER BY doc_id
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concatenate-and-chop docs into fixed token-context
+# windows (the standard pretraining batch-prep step). A doc's window is the
+# one its first token lands in under a greedy sequential fill.
+# --------------------------------------------------------------------------
+
+CTX_TOKENS = 256
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-context-window packing stats from a greedy sequential fill.
+
+    Docs are laid out in (lang, doc_id) order; the running token prefix-sum
+    assigns each doc the window floor(tokens_before / CTX) its first token
+    occupies; output is per-(lang, window) fill statistics. Scale note: the
+    window function partitions by lang, and a whole language in one
+    partition is exactly the 100 TB hazard -- the production form adds a
+    deterministic range-bucket key (e.g. doc_id DIV bucket_span) to the
+    partition so packing is bucket-local and embarrassingly parallel;
+    packing quality is unaffected because windows never need to cross
+    bucket boundaries (each bucket starts a fresh window). The lang-only
+    form here keeps the oracle simple and exercises the same plan shape.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text")).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_bin = (
+        docs.select("doc_id", "lang", n_tok.alias("n_tok"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("bin", F.expr(f"(cum - n_tok) DIV {CTX_TOKENS}"))
+    )
+    return (
+        with_bin.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+def corpus_pack_sequences_oracle() -> str:
+    nt = token_count_sql("text")
+    return f"""
+WITH d AS (SELECT doc_id, lang, {nt}::BIGINT AS n_tok FROM documents),
+c AS (SELECT doc_id, lang, n_tok,
+             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+SELECT lang, ((cum - n_tok) // {CTX_TOKENS}) AS bin,
+       count(*) AS n_docs, sum(n_tok)::BIGINT AS bin_tokens
+FROM c GROUP BY lang, bin ORDER BY lang, bin
+""".strip()

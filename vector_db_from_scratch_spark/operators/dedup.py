@@ -754,6 +754,86 @@ ORDER BY d1, d2
 """.strip()
 
 
+# --------------------------------------------------------------------------
+# Connected components over the near-dup pair graph: the step that turns
+# pairwise similarity into dedup DECISIONS (keep one representative per
+# cluster). Iterative min-label propagation in Spark; transitive-closure
+# recursive CTE in the oracle -- both converge to rep = min(doc_id in
+# component), so the outputs are hash-identical.
+# --------------------------------------------------------------------------
+
+def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    """Connected components of the n-gram Jaccard near-dup graph.
+
+    Returns (doc_id, cluster_rep) for every document that appears in at
+    least one near-dup pair; cluster_rep is the minimum doc_id reachable
+    through the pair graph, so "keep rep, drop the rest" is a deterministic
+    dedup policy. Spark side: iterative min-label propagation -- each round
+    every node takes min(own label, neighbors' labels); rounds needed =
+    graph diameter. localCheckpoint() per round truncates the lineage so
+    the plan does not grow with iterations. At 100 TB the same loop holds
+    (near-dup components are overwhelmingly tiny -- pairs/triples -- so
+    diameter is small); for adversarial long-chain graphs the drop-in
+    upgrade is alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), which converges in
+    O(log^2 n) rounds with the same (node, label) dataflow shape.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select("d1", "d2")
+    edges = pairs.unionAll(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("d2"), "label"), "d2"
+            )
+            .groupBy("d1")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["d1"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("prev"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("label") != F.col("prev")).count()
+        labels = updated.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_rep")).orderBy("doc_id")
+
+
+def neardup_clusters_oracle(threshold: float = 0.3) -> str:
+    pairs_body = ngram_jaccard_pairs_oracle(threshold)
+    # strip the leading WITH and trailing ORDER BY; reuse the CTE list inline
+    assert pairs_body.startswith("WITH ")
+    ctes, final = pairs_body[5:].rsplit("SELECT", 1)
+    final = "SELECT" + final.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE {ctes.rstrip().rstrip(',')},
+pairs AS ({final}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL
+          SELECT d2, d1 FROM pairs),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+FROM reach GROUP BY a ORDER BY doc_id
+""".strip()
+
+
 def ngram_jaccard_pairs_dfcap_oracle(threshold: float = 0.3, max_df: int = 3) -> str:
     return f"""
 WITH {_shingle_index_sql()},
@@ -770,4 +850,46 @@ SELECT d1, d2, c::DOUBLE / (s1.n + s2.n - c)::DOUBLE AS jaccard
 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 WHERE c::DOUBLE / (s1.n + s2.n - c)::DOUBLE >= {threshold}
 ORDER BY d1, d2
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Normalized exact dedup: casefold + strip punctuation + collapse whitespace
+# before hashing, so trivially-reformatted copies collapse to one group
+# (the standard step between byte-exact and fuzzy dedup).
+# --------------------------------------------------------------------------
+
+def exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized text key. The normalization (lowercase,
+    drop [^a-z0-9\\s], collapse runs of whitespace, trim) uses only ASCII
+    character classes so Java regex (Spark) and RE2 (DuckDB) agree
+    byte-for-byte. Same shuffle discipline as exact_dedup: the md5 of the
+    normalized text is the grouping key, so the exchange moves 32-byte
+    digests regardless of document size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select(F.md5(norm).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("rep_doc_id", "n_copies")
+        .orderBy("rep_doc_id")
+    )
+
+
+def exact_dedup_normalized_oracle() -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5({norm}) ORDER BY rep_doc_id
 """.strip()

@@ -289,3 +289,89 @@ SELECT doc_id, unnest(list_distinct(fps)) AS fp
 FROM win
 ORDER BY doc_id, fp
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules, Rae et al. 2021 §A1.1):
+# within-document repetition is the strongest single predictor of junk in
+# web corpora. Two signals per doc: the fraction of tokens taken by the
+# single most frequent token, and the fraction of duplicated bigrams.
+# --------------------------------------------------------------------------
+
+TOP_WORD_FRAC_MAX = 0.20
+DUP_BIGRAM_FRAC_MAX = 0.20
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals + the composite repetitive flag.
+
+    Pure expressions over the token array for the bigram side (no shuffle);
+    the top-word side is an explode + two-level groupBy, which at 100 TB is
+    a map-side-combinable count whose keys are (doc_id, token) -- bounded
+    by document length, never corpus-wide hot keys. A single IEEE division
+    on identical operands keeps both engines bit-equal (no rounding).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(
+        "doc_id",
+        F.size(bigrams).alias("bg_total"),
+        F.size(F.array_distinct(bigrams)).alias("bg_distinct"),
+    )
+    tok = docs.select("doc_id", F.explode(toks).alias("t"))
+    tc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    ws = tc.groupBy("doc_id").agg(
+        F.max("c").alias("max_c"), F.sum("c").alias("n_tokens")
+    )
+    top_frac = F.col("max_c").cast("double") / F.col("n_tokens").cast("double")
+    dup_frac = F.when(F.col("bg_total") > 0,
+        (F.col("bg_total") - F.col("bg_distinct")).cast("double")
+        / F.col("bg_total").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        ws.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            top_frac.alias("top_word_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_word_frac") > TOP_WORD_FRAC_MAX)
+            | (F.col("dup_bigram_frac") > DUP_BIGRAM_FRAC_MAX),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repetition_metrics_oracle() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+ws AS (SELECT doc_id, max(c) AS max_c, sum(c)::BIGINT AS n_tokens FROM tc GROUP BY doc_id),
+bg AS (SELECT doc_id,
+              len(b) AS bg_total,
+              len(list_distinct(b)) AS bg_distinct
+       FROM (SELECT doc_id,
+                    list_transform(range(1, len(str_split(text, ' '))),
+                                   i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]) AS b
+             FROM documents)),
+j AS (SELECT ws.doc_id, n_tokens,
+             max_c::DOUBLE / n_tokens::DOUBLE AS top_word_frac,
+             CASE WHEN bg_total > 0
+                  THEN (bg_total - bg_distinct)::DOUBLE / bg_total::DOUBLE
+                  ELSE 0.0 END AS dup_bigram_frac
+      FROM ws JOIN bg ON ws.doc_id = bg.doc_id)
+SELECT doc_id, n_tokens, top_word_frac, dup_bigram_frac,
+       (top_word_frac > {TOP_WORD_FRAC_MAX} OR dup_bigram_frac > {DUP_BIGRAM_FRAC_MAX}) AS repetitive
+FROM j ORDER BY doc_id
+""".strip()

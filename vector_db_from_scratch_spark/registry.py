@@ -134,6 +134,7 @@ def build() -> dict[str, Entry]:
     reg["text_fingerprints"] = (t.fingerprints, t.fingerprints_oracle())
     reg["text_token_counts_bpe"] = (t.token_counts_bpe, t.token_counts_bpe_oracle())
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
+    reg["text_repetition_metrics"] = (t.repetition_metrics, t.repetition_metrics_oracle())
 
     # --- keyword search + hybrid retrieval (lexical twin of the vector path) ---
     reg["search_bm25"] = (search.bm25_topk, search.bm25_topk_oracle())
@@ -152,9 +153,12 @@ def build() -> dict[str, Entry]:
     # --- dedup family (exact, ngram-jaccard, minhash-LSH, simhash, cosine) ---
     d = dedup
     reg["dedup_exact"] = (d.exact_dedup, d.exact_dedup_oracle())
+    reg["dedup_exact_normalized"] = (d.exact_dedup_normalized, d.exact_dedup_normalized_oracle())
     reg["pipeline_corpus_prep"] = (corpus.corpus_prep, corpus.corpus_prep_oracle())
     reg["pipeline_sample_split"] = (corpus.corpus_sample_split, corpus.corpus_sample_split_oracle())
     reg["pipeline_stratified_sample"] = (corpus.corpus_stratified_sample, corpus.corpus_stratified_sample_oracle())
+    reg["pipeline_decontaminate"] = (corpus.corpus_decontaminate, corpus.corpus_decontaminate_oracle())
+    reg["pipeline_pack_sequences"] = (corpus.corpus_pack_sequences, corpus.corpus_pack_sequences_oracle())
     reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs, d.ngram_jaccard_pairs_oracle())
     reg["dedup_ngram_jaccard_dfcap"] = (d.ngram_jaccard_pairs_dfcap, d.ngram_jaccard_pairs_dfcap_oracle())
     reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
@@ -169,6 +173,7 @@ def build() -> dict[str, Entry]:
     reg["dedup_simhash_table"] = (d.simhash_table, d.simhash_table_oracle())
     reg["dedup_simhash_pairs"] = (d.simhash_near_pairs, d.simhash_near_pairs_oracle())
     reg["dedup_simhash_banded"] = (d.simhash_banded_pairs, d.simhash_banded_pairs_oracle())
+    reg["dedup_cluster_components"] = (d.neardup_clusters, d.neardup_clusters_oracle())
     reg["dedup_embedding_cosine"] = (d.embedding_neardup, d.embedding_neardup_oracle())
     reg["dedup_embedding_lsh_blocked"] = (d.embedding_neardup_lsh, d.embedding_neardup_lsh_oracle())
 
