@@ -58,3 +58,27 @@ def test_plan_fingerprint_stable_and_discriminating(spark, sf_dir):
     assert a == b
     c = plan_fingerprint(flat_knn(spark, sf_dir, "euclidean", k=10))
     assert a != c
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(spark, sf_dir):
+    """The benchmark shingle set must broadcast (it is eval-suite-sized at
+    100 TB); a sort-merge join here would shuffle the full training corpus."""
+    from vector_db_from_scratch_spark.operators.corpus import corpus_decontaminate
+
+    plan = plan_string(corpus_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_wide_exchange(spark, sf_dir):
+    """Packing = one hash exchange on the window partition key; the
+    groupBy reuses that partitioning (partial agg only), so the static
+    plan carries at most 2 exchanges and no global sort."""
+    from vector_db_from_scratch_spark.operators.corpus import corpus_pack_sequences
+    from vector_db_from_scratch_spark.plans.audit import count_shuffles
+
+    df = corpus_pack_sequences(spark, sf_dir)
+    # exchanges: window hash-partitioning (+ final orderBy range exchange)
+    assert count_shuffles(df) <= 3
+    plan = plan_string(df)
+    assert "Window" in plan
