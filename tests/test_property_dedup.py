@@ -135,3 +135,46 @@ def test_repetition_metrics_bounds(spark, sf_dir):
         assert r["repetitive"] == (
             r["top_word_frac"] > 0.20 or r["dup_bigram_frac"] > 0.20
         )
+
+
+def test_repetition_fast_equals_expression(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.textops import repetition_metrics
+
+    cols = ["doc_id", "n_tokens", "top_word_frac", "dup_bigram_frac", "repetitive"]
+    fast = [tuple(r[c] for c in cols) for r in repetition_metrics(spark, sf_dir, fast=True).collect()]
+    expr = [tuple(r[c] for c in cols) for r in repetition_metrics(spark, sf_dir, fast=False).collect()]
+    assert fast == expr
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_match_union_find(spark, raw_pairs):
+    """Spark min-label propagation == a Python union-find on random graphs."""
+    from vector_db_from_scratch_spark.operators.dedup import connected_components
+
+    pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs]
+    pdf = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {r["node"]: r["cluster_rep"] for r in connected_components(pdf).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    nodes = {n for p in pairs for n in p}
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comp.values() for n in members}
+    assert got == want

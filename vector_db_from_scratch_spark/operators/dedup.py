@@ -779,27 +779,37 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -
     O(log^2 n) rounds with the same (node, label) dataflow shape.
     """
     pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select("d1", "d2")
-    edges = pairs.unionAll(
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_rep"
+    ).orderBy("doc_id")
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(node, cluster_rep) for every node of an undirected pair list
+    (columns d1, d2); cluster_rep = min node id reachable. Iterative
+    min-label propagation; see :func:`neardup_clusters` for the scale
+    discussion."""
+    edges = pairs.select("d1", "d2").unionAll(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint()
     labels = (
-        edges.select(F.col("d1").alias("doc_id"))
+        edges.select(F.col("d1").alias("node"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
+        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
     while True:
         nbr_min = (
             edges.join(
-                labels.select(F.col("doc_id").alias("d2"), "label"), "d2"
+                labels.select(F.col("node").alias("d2"), "label"), "d2"
             )
             .groupBy("d1")
             .agg(F.min("label").alias("nbr_min"))
         )
         updated = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["d1"], "left")
+            labels.join(nbr_min, labels["node"] == nbr_min["d1"], "left")
             .select(
-                "doc_id",
+                "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
@@ -808,10 +818,10 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -
             .localCheckpoint()
         )
         changed = updated.filter(F.col("label") != F.col("prev")).count()
-        labels = updated.select("doc_id", "label")
+        labels = updated.select("node", "label")
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("label").alias("cluster_rep")).orderBy("doc_id")
+    return labels.select("node", F.col("label").alias("cluster_rep"))
 
 
 def neardup_clusters_oracle(threshold: float = 0.3) -> str:

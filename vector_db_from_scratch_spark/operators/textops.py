@@ -302,16 +302,48 @@ TOP_WORD_FRAC_MAX = 0.20
 DUP_BIGRAM_FRAC_MAX = 0.20
 
 
-def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _repetition_batches(it):
+    """Arrow-batch token/bigram counting (module-level for plan-cache
+    identity, like dedup._shingle_batches). Counter/set per doc replaces an
+    explode + two groupBys and a per-element HOF lambda chain -- integer
+    counts only, so the downstream fraction expressions are untouched."""
+    from collections import Counter
+
+    import pandas as pd
+
+    for pdf in it:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = text.split(" ")
+            n = len(toks)
+            max_c = max(Counter(toks).values())
+            bg_total = max(n - 1, 0)
+            bg_distinct = len({(toks[i], toks[i + 1]) for i in range(n - 1)})
+            rows.append((doc_id, n, max_c, bg_total, bg_distinct))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_tokens", "max_c", "bg_total", "bg_distinct"]
+        )
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str, fast: bool = True) -> DataFrame:
     """Per-doc repetition signals + the composite repetitive flag.
 
-    Pure expressions over the token array for the bigram side (no shuffle);
-    the top-word side is an explode + two-level groupBy, which at 100 TB is
-    a map-side-combinable count whose keys are (doc_id, token) -- bounded
-    by document length, never corpus-wide hot keys. A single IEEE division
-    on identical operands keeps both engines bit-equal (no rounding).
+    Fast path (default): one Arrow pass computes all four integer counts
+    per doc -- no shuffle at all (the expression path's explode +
+    groupBy(doc_id, token) exchange and the interpreted per-bigram lambdas
+    made this the slowest query in the bench at 4.8s/sf0.1; the Arrow pass
+    is a single mapInPandas scan). The expression path remains for parity
+    testing; both feed the SAME fraction expressions (single IEEE division
+    on identical integer operands -- bit-equal across engines and paths).
+    At 100 TB both forms are embarrassingly parallel scans.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if fast:
+        base = docs.select("doc_id", "text").mapInPandas(
+            _repetition_batches,
+            "doc_id long, n_tokens long, max_c long, bg_total long, bg_distinct long",
+        )
+        return _repetition_fractions(base)
     toks = T.tokens(F.col("text"))
     n = F.size(toks)
     bigrams = F.when(
@@ -331,13 +363,17 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = tc.groupBy("doc_id").agg(
         F.max("c").alias("max_c"), F.sum("c").alias("n_tokens")
     )
+    return _repetition_fractions(ws.join(bg, "doc_id"))
+
+
+def _repetition_fractions(base: DataFrame) -> DataFrame:
     top_frac = F.col("max_c").cast("double") / F.col("n_tokens").cast("double")
     dup_frac = F.when(F.col("bg_total") > 0,
         (F.col("bg_total") - F.col("bg_distinct")).cast("double")
         / F.col("bg_total").cast("double"),
     ).otherwise(F.lit(0.0))
     return (
-        ws.join(bg, "doc_id")
+        base
         .select(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
