@@ -68,17 +68,29 @@ def _train_books_np(x: np.ndarray, m: int, ks: int, iters: int) -> np.ndarray:
     return books
 
 
+_SAMPLE_MEMO: dict[tuple[str, str], np.ndarray] = {}
+
+
 def _sample_matrix(spark: SparkSession, sf_dir: str) -> np.ndarray:
     """Bounded, deterministic training sample: ``vec_id < TRAIN_SAMPLE``
     keeps the collect fixed-size regardless of table size (the 100 TB story
-    trains on a sample, never the table)."""
+    trains on a sample, never the table). Memoized per application -- one
+    collect, every PQ/IVFPQ build shares it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SAMPLE_MEMO:
+        return _SAMPLE_MEMO[key]
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < TRAIN_SAMPLE)
         .orderBy("vec_id")
         .select("embedding")
     )
-    return np.array([r["embedding"] for r in emb.collect()], dtype=np.float32)
+    out = np.array([r["embedding"] for r in emb.collect()], dtype=np.float32)
+    _SAMPLE_MEMO[key] = out
+    return out
+
+
+_BOOKS_MEMO: dict[tuple[str, str, int, int, int], np.ndarray] = {}
 
 
 def train_codebooks(
@@ -88,8 +100,12 @@ def train_codebooks(
     ks: int = KS_CODES,
     iters: int = LLOYD_ITERS,
 ) -> np.ndarray:
-    """(m, ks, dsub) float32 codebooks from the bounded sample."""
-    return _train_books_np(_sample_matrix(spark, sf_dir), m, ks, iters)
+    """(m, ks, dsub) float32 codebooks from the bounded sample. Memoized:
+    codebooks are a persisted train-once artifact at scale."""
+    key = (spark.sparkContext.applicationId, sf_dir, m, ks, iters)
+    if key not in _BOOKS_MEMO:
+        _BOOKS_MEMO[key] = _train_books_np(_sample_matrix(spark, sf_dir), m, ks, iters)
+    return _BOOKS_MEMO[key]
 
 
 def encode(df: DataFrame, books: np.ndarray, col: str = "embedding") -> DataFrame:
@@ -111,6 +127,24 @@ def encode(df: DataFrame, books: np.ndarray, col: str = "embedding") -> DataFram
         return pd.Series(list(out))
 
     return df.withColumn("codes", _codes(F.col(col)))
+
+
+_CODED_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _coded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (vec_id, codes) PQ index table -- encode once per
+    application (one Arrow pass), persisted at scale."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CODED_MEMO:
+        books = train_codebooks(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CODED_MEMO[key] = (
+            encode(emb.select("vec_id", "embedding"), books)
+            .select("vec_id", "codes")
+            .cache()
+        )
+    return _CODED_MEMO[key]
 
 
 def _adc_lut(books: np.ndarray, qv: np.ndarray) -> list[list[float]]:
@@ -137,7 +171,7 @@ def pq_knn(
     column; full vectors are read just for the shortlist semi-join."""
     books = train_codebooks(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    coded = encode(emb.select("vec_id", "embedding"), books).select("vec_id", "codes")
+    coded = _coded_table(spark, sf_dir)
 
     qv = np.array(
         emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()["embedding"],
@@ -166,32 +200,23 @@ def pq_knn(
     )
 
 
-def ivfpq_knn(
-    spark: SparkSession,
-    sf_dir: str,
-    metric: str = "cosine",
-    k: int = 10,
-    query_vec_id: int = 0,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    oversample: int = 5,
-) -> DataFrame:
-    """IVF + PQ residual codes -- the composed FAISS-style IVFADC layout
-    (Jegou et al. 2011, §IV): coarse cells prune the scan to nprobe/n_cells
-    of the data, and within probed cells distances come from PQ codes of
-    the RESIDUAL (vector - cell centroid), which quantizes a much tighter
-    distribution than raw vectors. At 100 TB the index table is
-    (vec_id, cell, 8-byte codes) partitioned by cell: the query reads only
-    probed partitions and only code bytes; full vectors are touched just
-    for the final shortlist re-rank.
+_IVFPQ_MEMO: dict[tuple[str, str, int], tuple[np.ndarray, np.ndarray, DataFrame]] = {}
 
-    Plan shape: centroid assignment = broadcast-join + windowed argmin (no
-    vector shuffle); residual = JVM zip_with; encode = one Arrow pass; the
-    per-cell ADC lookup tables ride a tiny broadcast join keyed by cell;
-    ADC itself is a codegen'd fold over the codes column.
-    """
-    from .ivf import train_centroids
+
+def _ivfpq_index(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """(centroids, residual codebooks, cached (vec_id, cell, codes) index)
+    -- the IVFADC build phase, memoized per application: at 100 TB all
+    three are persisted artifacts (tiny numpy + a cell-partitioned table)
+    built once and shared by every query."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells)
+    if key in _IVFPQ_MEMO:
+        return _IVFPQ_MEMO[key]
+
     from pyspark.sql import Window
+
+    from .ivf import train_centroids
 
     cents_list = train_centroids(spark, sf_dir, n_cells, iterations=2)
     cents = np.array(cents_list, dtype=np.float64)
@@ -228,7 +253,37 @@ def ivfpq_knn(
             ).alias("resid"),
         )
     )
-    index = encode(assigned, books, col="resid").select("vec_id", "cell", "codes")
+    index = encode(assigned, books, col="resid").select("vec_id", "cell", "codes").cache()
+    _IVFPQ_MEMO[key] = (cents, books, index)
+    return _IVFPQ_MEMO[key]
+
+
+def ivfpq_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    oversample: int = 5,
+) -> DataFrame:
+    """IVF + PQ residual codes -- the composed FAISS-style IVFADC layout
+    (Jegou et al. 2011, §IV): coarse cells prune the scan to nprobe/n_cells
+    of the data, and within probed cells distances come from PQ codes of
+    the RESIDUAL (vector - cell centroid), which quantizes a much tighter
+    distribution than raw vectors. At 100 TB the index table is
+    (vec_id, cell, 8-byte codes) partitioned by cell: the query reads only
+    probed partitions and only code bytes; full vectors are touched just
+    for the final shortlist re-rank.
+
+    Plan shape: centroid assignment = broadcast-join + windowed argmin (no
+    vector shuffle); residual = JVM zip_with; encode = one Arrow pass; the
+    per-cell ADC lookup tables ride a tiny broadcast join keyed by cell;
+    ADC itself is a codegen'd fold over the codes column.
+    """
+    cents, books, index = _ivfpq_index(spark, sf_dir, n_cells)
+    emb = load_table(spark, sf_dir, "embeddings")
 
     qv = np.array(
         emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()["embedding"],
