@@ -583,9 +583,9 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0
     similarity straddles buckets are the recall trade-off (dial with
     multi-probe banding exactly as in search).
     """
-    from .lsh import build_index
+    from .lsh import index_table
 
-    emb = build_index(load_table(spark, sf_dir, "embeddings"))
+    emb = index_table(spark, sf_dir)
     return _neardup_blocks(
         emb.select("vec_id", F.col("bucket"), "embedding"), "bucket", threshold
     )

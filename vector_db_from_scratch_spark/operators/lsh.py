@@ -111,6 +111,22 @@ def build_index(emb: DataFrame, fast: bool = True) -> DataFrame:
     return emb.mapInPandas(batches, out_schema)
 
 
+_LSH_INDEX_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached bucket-indexed embeddings table for the driver testdata --
+    built once per application (the in-session analog of the persisted
+    ``partitionBy("bucket")`` artifact in :func:`save_index`) and shared by
+    every LSH query and the LSH-blocked dedup."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LSH_INDEX_MEMO:
+        _LSH_INDEX_MEMO[key] = build_index(
+            load_table(spark, sf_dir, "embeddings")
+        ).cache()
+    return _LSH_INDEX_MEMO[key]
+
+
 def save_index(emb: DataFrame, path: str) -> None:
     """S10 analog: persist partitioned by bucket so probes prune partitions."""
     build_index(emb).write.mode("overwrite").partitionBy("bucket").parquet(path)
@@ -132,7 +148,7 @@ def lsh_knn(
     """Approximate k-NN with bucket probe + exact-semantics fallback."""
     if k <= 0:
         raise ValueError("k must be > 0")
-    emb = index_df if index_df is not None else build_index(load_table(spark, sf_dir, "embeddings"))
+    emb = index_df if index_df is not None else index_table(spark, sf_dir)
     qrow = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == query_vec_id)
@@ -183,7 +199,7 @@ def lsh_knn_multiprobe(
     the probe is still partition-pruned (bucket IN (<=9 values))."""
     if k <= 0:
         raise ValueError("k must be > 0")
-    emb = build_index(load_table(spark, sf_dir, "embeddings"))
+    emb = index_table(spark, sf_dir)
     qrow = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == query_vec_id)
@@ -237,9 +253,9 @@ def lsh_knn_batch(
     variant tops up; batch probing is where the bucket equi-join shines at
     scale (one shuffle-free broadcast join instead of Q driver round trips).
     """
-    emb = build_index(load_table(spark, sf_dir, "embeddings"))
+    emb = index_table(spark, sf_dir)
     queries = (
-        build_index(load_table(spark, sf_dir, "embeddings"))
+        emb
         .filter(F.col("vec_id") < num_queries)
         .select(
             F.col("vec_id").alias("query_id"),
