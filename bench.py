@@ -5,6 +5,12 @@
 Each query is executed with a noop sink (full plan computed, no driver
 transfer) and timed wall-clock. The exclusion list holds only operators
 that are intentionally quadratic at bench scale.
+
+The printed line must stay SMALL (the round driver keeps only the tail of
+stdout -- 2000 chars in round 1 -- so a full 110-query dict cannot fit).
+The line carries the BASELINE.md headline subset plus totals over ALL
+queries; the complete per-query breakdown (cold + warm timings and plan
+fingerprints) is written to ``BENCH_DETAIL.json`` next to this script.
 """
 
 from __future__ import annotations
@@ -14,13 +20,45 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 EXCLUDE = {
     "dedup_simhash_pairs",  # O(n^2) pair report; fine at sf0.01 gate, not a bench target
     "dedup_simhash_banded",  # 16-bit test fingerprint saturates its bands at sf0.1
     # (band cardinality 32 << docs); production form is 64-bit / 16-bit bands
 }
+
+# The BASELINE.md measurement-plan set: exact/filtered/batch k-NN on all
+# metrics, each ANN index family, TPC-H join+agg, window functions, the
+# dedup family, corpus prep, search. Everything else still runs and is
+# counted in `value`; per-query numbers live in BENCH_DETAIL.json.
+HEADLINE = [
+    "knn_cosine_flat",
+    "knn_euclidean_flat",
+    "knn_dot_product_flat",
+    "knn_filtered",
+    "knn_cosine_flat_fast",
+    "knn_batch",
+    "lsh_knn",
+    "lsh_knn_batch",
+    "ivf_knn",
+    "ivf_knn_trained",
+    "pq_knn_rerank",
+    "ivfpq_knn",
+    "tpch_pricing_summary",
+    "tpch_shipping_priority",
+    "tpch_local_supplier_volume",
+    "window_top_orders_per_customer",
+    "window_tumbling_events",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh_blocked",
+    "pipeline_corpus_prep",
+    "search_bm25",
+    "text_quality_scores",
+]
 
 
 def main() -> None:
@@ -61,20 +99,35 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t1, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "plans": plans,
-                "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 3),
-            }
-        )
-    )
+    total_warm = round(sum(warm.values()), 3)
+    detail = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": timings,
+        "queries_warm": warm,
+        "value_warm": total_warm,
+        "plans": plans,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    headline = {n: timings[n] for n in HEADLINE if n in timings}
+    line = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf,
+        "n_queries": len(timings),
+        "value_warm": total_warm,
+        "detail": "BENCH_DETAIL.json",
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    assert len(out) < 1900, f"bench line too long for driver tail capture: {len(out)}"
+    print(out)
     spark.stop()
 
 

@@ -36,4 +36,4 @@ def test_approx_stats_error_bounds(spark, sf_dir):
     for et, a in approx.items():
         e = exact[et]
         assert abs(a["approx_users"] - e["users"]) <= max(2, 0.1 * e["users"])
-        assert abs(a["value_p50_p95"][0] - e["p50"]) <= 0.1 * max(1.0, abs(e["p50"]))
+        assert abs(a["value_p50"] - e["p50"]) <= 0.1 * max(1.0, abs(e["p50"]))

@@ -33,6 +33,20 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def nested_columns(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/ndarray/dict cells. The driver's canonicalizer
+    sorts every column before hashing and pandas cannot factorize such
+    cells (round-1: 'unhashable type: list'), so ANY queries() entry --
+    oracle-checked or rows-only -- must be free of them."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object and len(df):
+            v = df[c].iloc[0]
+            if isinstance(v, (list, dict, np.ndarray)):
+                bad.append(c)
+    return bad
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -56,6 +70,13 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         return False, f"row count {len(a)} != {len(b)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # int-vs-float divergence: numpy == would pass (1002 == 1002.0)
+        # but the driver hashes canonical values, so dtype families must
+        # agree (round-1 pivot_order_status: DuckDB HUGEINT -> float64)
+        fam = lambda d: ("f" if np.issubdtype(d, np.floating)
+                         else "i" if np.issubdtype(d, np.integer) else "o")
+        if fam(av.dtype) != fam(bv.dtype):
+            return False, f"col {c}: dtype family {av.dtype} != {bv.dtype} (driver hash would diverge)"
         if np.issubdtype(av.dtype, np.floating):
             same = (av == bv) | (np.isnan(av) & np.isnan(bv))
             if not same.all():
@@ -71,9 +92,13 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 def check_one(spark, con, name: str, fn, oracle: str | None, sf_dir: str):
     """Returns (status, message); status in {PASS, FAIL, SKIP}."""
     try:
-        sdf = normalize(fn(spark, sf_dir).toPandas())
+        raw = fn(spark, sf_dir).toPandas()
     except Exception as e:
         return "FAIL", f"spark error: {e}"
+    bad = nested_columns(raw)
+    if bad:
+        return "FAIL", f"nested-typed result columns {bad} (driver canonicalizer cannot hash)"
+    sdf = normalize(raw)
     if oracle is None:
         return "SKIP", f"no oracle (rows-only: {len(sdf)} rows)"
     try:

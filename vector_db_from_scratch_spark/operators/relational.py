@@ -552,8 +552,11 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_status_pivot_oracle() -> str:
+    # CAST: DuckDB sum(int) yields HUGEINT, which fetchdf() converts to
+    # float64 -- the driver then hashes 1002.0 vs Spark's bigint 1002 and
+    # mismatches. BIGINT keeps both engines int64. (round-1 driver finding)
     cols = ", ".join(
-        f"sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS n_{s.lower()}"
+        f"CAST(sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s.lower()}"
         for s in ("O", "F", "P")
     )
     return f"SELECT o_orderpriority, {cols} FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
@@ -668,13 +671,24 @@ LIMIT {limit} OFFSET {skip}
 # --------------------------------------------------------------------------
 
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar columns only: the round-1 driver canonicalizer cannot hash
+    # array-typed cells ("unhashable type: 'list'"), so the percentile
+    # pair is split into value_p50 / value_p95
     ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000))
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
             F.count(F.lit(1)).alias("n"),
+            pcts.alias("_pcts"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("_pcts", 1).alias("value_p50"),
+            F.element_at("_pcts", 2).alias("value_p95"),
+            "n",
         )
         .orderBy("event_type")
     )

@@ -20,6 +20,31 @@ Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
 ZERO64 = [0.0] * 64
 
 
+def _scalarize(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Serialize array/struct/map result columns to JSON strings.
+
+    The driver's canonicalizer sorts every result column before hashing;
+    pandas cannot sort list-valued cells ("unhashable type: 'list'",
+    round-1 failures on ivf_kmeans_train / multimodal_features), so any
+    registry entry whose natural output carries nested types goes through
+    this wrapper. Operators keep their rich types for library callers and
+    tests -- only the driver-facing surface is stringified.
+    """
+    from pyspark.sql import functions as F
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        cols = [
+            F.to_json(f.name).alias(f.name)
+            if f.dataType.typeName() in ("array", "struct", "map")
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        return df.select(*cols)
+
+    return wrapped
+
+
 def build() -> dict[str, Entry]:
     reg: dict[str, Entry] = {}
 
@@ -95,7 +120,7 @@ def build() -> dict[str, Entry]:
     # iterative k-means IVF training: rows-only (float centroid means are
     # not portably SQL-reproducible); convergence asserted in tests
     reg["ivf_kmeans_train"] = (
-        lambda spark, sf: ivf.kmeans_train(spark, sf, n_cells=8, iterations=2),
+        _scalarize(lambda spark, sf: ivf.kmeans_train(spark, sf, n_cells=8, iterations=2)),
         None,
     )
     # trained-quantizer ANN paths: rows-only for the same reason; recall
@@ -120,7 +145,7 @@ def build() -> dict[str, Entry]:
     # --- multimodal binary plumbing + skew mitigation ---
     reg["multimodal_binary_stats"] = (multimodal.binary_stats, multimodal.binary_stats_oracle())
     # mapInPandas feature extraction: not SQL-expressible -> rows-only check
-    reg["multimodal_features"] = (multimodal.extract_features, None)
+    reg["multimodal_features"] = (_scalarize(multimodal.extract_features), None)
     reg["multimodal_frame_sample"] = (multimodal.sample_frames, None)
     reg["skew_salted_agg"] = (skew.salted_event_totals, skew.salted_event_totals_oracle())
     reg["skew_salted_join"] = (skew.salted_weighted_join, skew.salted_weighted_join_oracle())
