@@ -15,6 +15,9 @@ def spark():
 
     s = get_spark("tests", cpus=8)
     yield s
+    from vector_db_from_scratch_spark.operators import _memo
+
+    _memo.clear()
     s.stop()
 
 

@@ -106,7 +106,7 @@ drops AS (SELECT DISTINCT p.d2 AS doc_id
           JOIN survivors s2 ON p.d2 = s2.doc_id),
 clean AS (SELECT * FROM survivors
           WHERE doc_id NOT IN (SELECT doc_id FROM drops))
-SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
        min(doc_id) AS first_doc
 FROM clean
 GROUP BY lang
@@ -162,7 +162,7 @@ def corpus_sample_split_oracle() -> str:
 SELECT CASE WHEN {b} < {SPLIT_BOUNDS[0]} THEN 'train'
             WHEN {b} < {SPLIT_BOUNDS[1]} THEN 'val'
             ELSE 'test' END AS split,
-       lang, count(*) AS n_docs, sum({nt}::BIGINT) AS total_tokens
+       lang, count(*) AS n_docs, sum({nt}::BIGINT)::BIGINT AS total_tokens
 FROM documents
 GROUP BY 1, 2
 ORDER BY split, lang
@@ -209,7 +209,7 @@ def corpus_stratified_sample_oracle() -> str:
         for lang, pct in sorted(STRATUM_RATES.items())
     )
     return f"""
-SELECT lang, count(*) AS n_kept, sum({nt}::BIGINT) AS kept_tokens
+SELECT lang, count(*) AS n_kept, sum({nt}::BIGINT)::BIGINT AS kept_tokens
 FROM documents
 WHERE {b} < (CASE {whens} ELSE {DEFAULT_RATE} END)
 GROUP BY lang
@@ -321,7 +321,7 @@ c AS (SELECT doc_id, lang, n_tok,
              sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
                               ROWS UNBOUNDED PRECEDING) AS cum
       FROM d)
-SELECT lang, ((cum - n_tok) // {CTX_TOKENS}) AS bin,
+SELECT lang, ((cum - n_tok) // {CTX_TOKENS})::BIGINT AS bin,
        count(*) AS n_docs, sum(n_tok)::BIGINT AS bin_tokens
 FROM c GROUP BY lang, bin ORDER BY lang, bin
 """.strip()

@@ -26,6 +26,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _memo
 from ..functions.hashing import MERSENNE31, hash31, hash31_sql, minhash_params
 from ..functions.text import tokens
 from ..functions.vector import distance_expr, normalize_float, oracle_distance_sql
@@ -98,7 +99,7 @@ def _shingle_batches(it):
     for pdf in it:
         out_id, out_h = [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            toks = text.split(" ")
+            toks = (text or "").split(" ")
             seen = set()
             for i in range(len(toks) - (SHINGLE_WIDTH - 1)):
                 s = " ".join(toks[i : i + SHINGLE_WIDTH])
@@ -110,7 +111,7 @@ def _shingle_batches(it):
         yield pd.DataFrame({"doc_id": out_id, "sh": out_h})
 
 
-_INDEX_MEMO: dict[tuple[str, str, bool], DataFrame] = {}
+_INDEX_MEMO: dict[tuple[str, str, bool], DataFrame] = _memo.register({})
 
 
 def _shingle_index(spark: SparkSession, sf_dir: str, fast: bool = True) -> DataFrame:
@@ -149,7 +150,7 @@ def _shingle_index(spark: SparkSession, sf_dir: str, fast: bool = True) -> DataF
     return out
 
 
-_DF_MEMO: dict[tuple[str, str], DataFrame] = {}
+_DF_MEMO: dict[tuple[str, str], DataFrame] = _memo.register({})
 
 
 def _shingle_df_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,18 +200,29 @@ sh AS (SELECT doc_id, {hash31_sql('s')} AS sh
 """.strip()
 
 
-def ngram_jaccard_pairs_oracle(threshold: float = 0.3) -> str:
-    return f"""
-WITH {_shingle_index_sql()},
+def _jaccard_pairs_cte(threshold: float) -> tuple[str, str]:
+    """(cte_list, final_select) halves of the n-gram Jaccard pairs query,
+    shared by the standalone oracle and the clustering oracle so neither
+    has to slice the other's rendered SQL (a WITH-list and an unordered
+    SELECT compose into both forms structurally)."""
+    ctes = f"""
+{_shingle_index_sql()},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
+""".strip()
+    final = f"""
 SELECT d1, d2, c::DOUBLE / (s1.n + s2.n - c)::DOUBLE AS jaccard
 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 WHERE c::DOUBLE / (s1.n + s2.n - c)::DOUBLE >= {threshold}
-ORDER BY d1, d2
 """.strip()
+    return ctes, final
+
+
+def ngram_jaccard_pairs_oracle(threshold: float = 0.3) -> str:
+    ctes, final = _jaccard_pairs_cte(threshold)
+    return f"WITH {ctes}\n{final}\nORDER BY d1, d2"
 
 
 # --------------------------------------------------------------------------
@@ -825,13 +837,9 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
 
 def neardup_clusters_oracle(threshold: float = 0.3) -> str:
-    pairs_body = ngram_jaccard_pairs_oracle(threshold)
-    # strip the leading WITH and trailing ORDER BY; reuse the CTE list inline
-    assert pairs_body.startswith("WITH ")
-    ctes, final = pairs_body[5:].rsplit("SELECT", 1)
-    final = "SELECT" + final.rsplit("ORDER BY", 1)[0]
+    ctes, final = _jaccard_pairs_cte(threshold)
     return f"""
-WITH RECURSIVE {ctes.rstrip().rstrip(',')},
+WITH RECURSIVE {ctes},
 pairs AS ({final}),
 edges AS (SELECT d1 AS a, d2 AS b FROM pairs
           UNION ALL
@@ -871,17 +879,20 @@ ORDER BY d1, d2
 
 def exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized text key. The normalization (lowercase,
-    drop [^a-z0-9\\s], collapse runs of whitespace, trim) uses only ASCII
-    character classes so Java regex (Spark) and RE2 (DuckDB) agree
-    byte-for-byte. Same shuffle discipline as exact_dedup: the md5 of the
-    normalized text is the grouping key, so the exchange moves 32-byte
+    drop non-alphanumerics, collapse runs of whitespace, trim) spells the
+    whitespace class out as [ \\t\\n\\r\\f] rather than \\s: Java regex
+    counts vertical tab (\\x0B) in \\s while RE2 does not, so the shorthand
+    would collapse-to-space in Spark but delete in DuckDB, diverging the
+    md5 grouping key. Same shuffle discipline as exact_dedup: the md5 of
+    the normalized text is the grouping key, so the exchange moves 32-byte
     digests regardless of document size.
     """
     docs = load_table(spark, sf_dir, "documents")
+    ws = "[ \\t\\n\\r\\f]"
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", ""),
-            "\\s+",
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 \\t\\n\\r\\f]", ""),
+            f"{ws}+",
             " ",
         )
     )
@@ -896,8 +907,8 @@ def exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exact_dedup_normalized_oracle() -> str:
     norm = (
-        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), "
-        "'\\s+', ' ', 'g'))"
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r\\f]', '', 'g'), "
+        "'[ \\t\\n\\r\\f]+', ' ', 'g'))"
     )
     return f"""
 SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies

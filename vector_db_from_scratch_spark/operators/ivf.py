@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import _memo
 from ..functions.vector import distance_expr, oracle_distance_sql
 from ..sources.tables import load_table
 
@@ -77,7 +78,7 @@ def ivf_knn(
     )
 
 
-_CENTROID_MEMO: dict[tuple[str, str, int, int], list[list[float]]] = {}
+_CENTROID_MEMO: dict[tuple[str, str, int, int], list[list[float]]] = _memo.register({})
 
 
 def train_centroids(
@@ -159,7 +160,7 @@ def kmeans_train(
     return final.orderBy("cell")
 
 
-_ASSIGN_MEMO: dict[tuple[str, str, int, int], DataFrame] = {}
+_ASSIGN_MEMO: dict[tuple[str, str, int, int], DataFrame] = _memo.register({})
 
 
 def _trained_assignment(

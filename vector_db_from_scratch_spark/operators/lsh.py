@@ -29,6 +29,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _memo
+
 from ..functions.vector import distance_expr, dot, oracle_distance_sql
 from ..sources.tables import load_table
 
@@ -111,7 +113,7 @@ def build_index(emb: DataFrame, fast: bool = True) -> DataFrame:
     return emb.mapInPandas(batches, out_schema)
 
 
-_LSH_INDEX_MEMO: dict[tuple[str, str], DataFrame] = {}
+_LSH_INDEX_MEMO: dict[tuple[str, str], DataFrame] = _memo.register({})
 
 
 def index_table(spark: SparkSession, sf_dir: str) -> DataFrame:

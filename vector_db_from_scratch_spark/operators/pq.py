@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import _memo
 from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions.vector import distance_expr
@@ -68,7 +70,7 @@ def _train_books_np(x: np.ndarray, m: int, ks: int, iters: int) -> np.ndarray:
     return books
 
 
-_SAMPLE_MEMO: dict[tuple[str, str], np.ndarray] = {}
+_SAMPLE_MEMO: dict[tuple[str, str], np.ndarray] = _memo.register({})
 
 
 def _sample_matrix(spark: SparkSession, sf_dir: str) -> np.ndarray:
@@ -90,7 +92,7 @@ def _sample_matrix(spark: SparkSession, sf_dir: str) -> np.ndarray:
     return out
 
 
-_BOOKS_MEMO: dict[tuple[str, str, int, int, int], np.ndarray] = {}
+_BOOKS_MEMO: dict[tuple[str, str, int, int, int], np.ndarray] = _memo.register({})
 
 
 def train_codebooks(
@@ -129,7 +131,7 @@ def encode(df: DataFrame, books: np.ndarray, col: str = "embedding") -> DataFram
     return df.withColumn("codes", _codes(F.col(col)))
 
 
-_CODED_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CODED_MEMO: dict[tuple[str, str], DataFrame] = _memo.register({})
 
 
 def _coded_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +202,7 @@ def pq_knn(
     )
 
 
-_IVFPQ_MEMO: dict[tuple[str, str, int], tuple[np.ndarray, np.ndarray, DataFrame]] = {}
+_IVFPQ_MEMO: dict[tuple[str, str, int], tuple[np.ndarray, np.ndarray, DataFrame]] = _memo.register({})
 
 
 def _ivfpq_index(

@@ -792,7 +792,11 @@ GROUP BY bucket_start ORDER BY bucket_start
 
 def trailing_hour_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    # events.ts arrives as TIMESTAMP_NTZ (parquet timestamp[us] without UTC
+    # flag); unix_micros needs TIMESTAMP proper. The cast is safe here: only
+    # relative ordering and microsecond differences feed the RANGE frame,
+    # both invariant under the NTZ->instant reinterpretation.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(us)
@@ -937,9 +941,9 @@ def priority_shipping_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def priority_shipping_split_oracle() -> str:
     return """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
          AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
          AS low_line_count
 FROM lineitem, orders
 WHERE l_orderkey = o_orderkey

@@ -314,7 +314,7 @@ def _repetition_batches(it):
     for pdf in it:
         rows = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            toks = text.split(" ")
+            toks = (text or "").split(" ")
             n = len(toks)
             max_c = max(Counter(toks).values())
             bg_total = max(n - 1, 0)
