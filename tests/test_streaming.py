@@ -178,3 +178,31 @@ def test_multibatch_replay_advances_watermark(spark, sf_dir, tmp_path):
     )
     cols = ["window_start", "event_type", "n"]
     assert _rows(res, cols) == _rows(batch, cols)
+
+
+def test_streaming_dedup_keys_match_batch_twin(spark, sf_dir):
+    """dedup_stream's surviving key set == the oracle-checked batch twin
+    (stream keeps an arbitrary arrival-order row per key, so rows are not
+    comparable -- the key set is)."""
+    from vector_db_from_scratch_spark.operators.analytics import first_event_per_key
+    from vector_db_from_scratch_spark.streaming.windows import dedup_stream
+
+    q = (
+        dedup_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName("t_dedup_twin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_keys = {
+        (r["user_id"], r["event_type"])
+        for r in spark.sql("SELECT user_id, event_type FROM t_dedup_twin").collect()
+    }
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in first_event_per_key(spark, sf_dir).collect()
+    }
+    assert stream_keys == batch_keys and stream_keys

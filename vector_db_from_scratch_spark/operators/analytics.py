@@ -1,0 +1,188 @@
+"""Event-sequence analytics over the ``events`` table: funnel conversion,
+gaps-and-islands runs, and first-event-per-key -- the product-analytics
+query family a training-data platform runs next to its corpus pipelines.
+
+The reference engine has no event-sequence surface at all (its only
+time-ordered data is entity ``created_at`` bookkeeping,
+``vector_db/entities.py:16-24``); these are Spark-native extensions in the
+spirit of SURVEY.md §2.10.
+
+Scale notes (100 TB thinking):
+  - Everything here partitions by ``user_id`` -- one shuffle each, on a
+    high-cardinality well-distributed key; window functions then run
+    within partitions with no further exchange.
+  - The funnel is three narrow per-user aggregates joined on user_id; all
+    three derive from ONE scan of events (Spark reuses the exchange), and
+    the final count is a single-row reduce.
+  - No collect()/driver loops anywhere; islands use a running sum over a
+    lag flag, the textbook single-pass formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW = "INTERVAL 1 HOUR"  # each step within 1h of the previous
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel (view -> click -> purchase), each later
+    step within 1h of the user's qualifying previous step.
+
+    Per user: t1 = first view; t2 = first click in [t1, t1+1h];
+    t3 = first purchase in [t2, t2+1h]. Output is one row of step
+    cardinalities -- the canonical funnel report.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr(FUNNEL_WINDOW))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr(FUNNEL_WINDOW))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("step1_users"),
+            F.count("t2").alias("step2_users"),
+            F.count("t3").alias("step3_users"),
+        )
+    )
+
+
+def funnel_conversion_oracle() -> str:
+    v, c, p = FUNNEL_STEPS
+    return f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{v}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = '{c}' AND e.ts >= s1.t1
+         AND e.ts <= s1.t1 + {FUNNEL_WINDOW}
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = '{p}' AND e.ts >= s2.t2
+         AND e.ts <= s2.t2 + {FUNNEL_WINDOW}
+       GROUP BY e.user_id)
+SELECT count(*) AS step1_users,
+       count(t2) AS step2_users,
+       count(t3) AS step3_users
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+""".strip()
+
+
+def event_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events per
+    user (ordered by ts, event_id). Single-pass formulation: a lag-change
+    flag summed over the ordering window numbers the islands; one shuffle
+    on user_id serves both windows and the final grouping.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flag = F.when(
+        F.lag("event_type").over(order_w).isNull()
+        | (F.lag("event_type").over(order_w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("flag", flag)
+        .withColumn("island", F.sum("flag").over(run_w))
+        .groupBy("user_id", "island")
+        .agg(
+            F.first("event_type").alias("event_type"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+def event_islands_oracle() -> str:
+    return """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+islands AS (
+  SELECT user_id, event_id, event_type,
+         sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged)
+SELECT user_id, island::BIGINT AS island, min(event_type) AS event_type,
+       count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM islands
+GROUP BY user_id, island
+ORDER BY user_id, island
+""".strip()
+
+
+def first_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest event per (user_id, event_type) by event time -- the
+    deterministic batch twin of streaming dedup. The streaming analogs:
+    ``streaming.windows.dedup_stream`` (watermarked dropDuplicates; keeps
+    an arrival-order row, so only the KEY SET is deterministic) and
+    ``streaming.stateful.first_event_stream`` (explicit min-tracking
+    state). tests/test_streaming.py pins the key-set equivalence.
+    Timestamps surface as epoch micros so both engines hash the same
+    integer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            # ts is TIMESTAMP_NTZ; micros-since-naive-epoch via timestampdiff
+            # is timezone-free in both engines (a cast through TIMESTAMP
+            # would shift by the session zone)
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("first_ts_us"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+def first_event_per_key_oracle() -> str:
+    return """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS first_ts_us
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+ORDER BY user_id, event_type
+""".strip()

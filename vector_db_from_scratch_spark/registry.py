@@ -12,7 +12,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import corpus, dedup, entity, ivf, knn, lsh, multimodal, pq, relational, search, skew, textops
+from .operators import (
+    analytics,
+    corpus,
+    dedup,
+    entity,
+    ivf,
+    knn,
+    lsh,
+    multimodal,
+    pq,
+    relational,
+    search,
+    skew,
+    textops,
+)
 from .streaming import windows as stream_windows
 
 Entry = tuple[Callable[[SparkSession, str], DataFrame], "str | None"]
@@ -254,6 +268,11 @@ def build() -> dict[str, Entry]:
     reg["tpch_disjunctive_revenue"] = (r.disjunctive_revenue, r.disjunctive_revenue_oracle())
     reg["agg_value_percentiles"] = (r.value_percentiles, r.value_percentiles_oracle())
     reg["window_order_analytics"] = (r.window_order_analytics, r.window_order_analytics_oracle())
+
+    # --- event-sequence analytics (funnel, islands, stream-dedup twin) ---
+    reg["funnel_view_click_purchase"] = (analytics.funnel_conversion, analytics.funnel_conversion_oracle())
+    reg["window_event_islands"] = (analytics.event_islands, analytics.event_islands_oracle())
+    reg["stream_first_event_per_key"] = (analytics.first_event_per_key, analytics.first_event_per_key_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
     w = stream_windows

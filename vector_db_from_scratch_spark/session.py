@@ -23,6 +23,11 @@ def get_spark(app_name: str = "vector-db-spark", cpus: int | None = None) -> Spa
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32")
+        # pin the session zone: streaming event-time columns must be cast
+        # NTZ->TIMESTAMP for watermarks, and only under UTC is that cast the
+        # identity on rendered values (keeps stream twins equal to the
+        # NTZ-based batch/oracle forms on any host)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -49,10 +49,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    from pyspark.sql.types import LongType
+    return _event_time(raw)
+
+
+def _event_time(raw: DataFrame) -> DataFrame:
+    """Normalize ts to TIMESTAMP for watermarking: a nanos file arrives as
+    LongType (ns->us shim), a plain timestamp[us] file as TIMESTAMP_NTZ --
+    and ``withWatermark`` accepts only TIMESTAMP proper
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session timezone is pinned
+    to UTC (session.py), so the NTZ->instant reinterpretation is the
+    identity and streaming window bounds equal the batch/NTZ forms."""
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if isinstance(raw.schema["ts"].dataType, LongType):
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw.schema["ts"].dataType, TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -236,7 +248,7 @@ def events_stream_from(spark: SparkSession, path: str, files_per_trigger: int = 
     """File-source stream over a replay directory, rate-limited to
     files_per_trigger per micro-batch."""
     schema = spark.read.parquet(path).schema
-    return (
+    return _event_time(
         spark.readStream.schema(schema)
         .format("parquet")
         .option("maxFilesPerTrigger", str(files_per_trigger))
