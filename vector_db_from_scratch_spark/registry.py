@@ -25,6 +25,7 @@ from .operators import (
     relational,
     search,
     skew,
+    sq,
     textops,
 )
 from .streaming import windows as stream_windows
@@ -155,6 +156,13 @@ def build() -> dict[str, Entry]:
     # sketch aggregates: rows-only (HLL/quantile internals differ per
     # engine); error-bounded against exact values in tests
     reg["agg_approx_stats"] = (r.approx_stats, None)
+    # SQ8 scalar quantization: min/max training is exact and portable, so
+    # this ANN compressor is FULLY hash-checked (unlike k-means IVF/PQ)
+    for metric in ("cosine", "euclidean", "dot_product"):
+        reg[f"sq8_knn_{metric}"] = (
+            (lambda m: lambda spark, sf: sq.sq8_knn(spark, sf, m, k=10, query_vec_id=0))(metric),
+            sq.sq8_knn_oracle(metric, k=10, query_vec_id=0),
+        )
 
     # --- multimodal binary plumbing + skew mitigation ---
     reg["multimodal_binary_stats"] = (multimodal.binary_stats, multimodal.binary_stats_oracle())
@@ -268,6 +276,10 @@ def build() -> dict[str, Entry]:
     reg["tpch_disjunctive_revenue"] = (r.disjunctive_revenue, r.disjunctive_revenue_oracle())
     reg["agg_value_percentiles"] = (r.value_percentiles, r.value_percentiles_oracle())
     reg["window_order_analytics"] = (r.window_order_analytics, r.window_order_analytics_oracle())
+
+    # --- JSONL source/sink round-trip (S4/S7 analog; fidelity hash-gated) ---
+    from .sources import jsonl
+    reg["source_jsonl_roundtrip"] = (jsonl.jsonl_roundtrip_stats, jsonl.jsonl_roundtrip_stats_oracle())
 
     # --- event-sequence analytics (funnel, islands, stream-dedup twin) ---
     reg["funnel_view_click_purchase"] = (analytics.funnel_conversion, analytics.funnel_conversion_oracle())
