@@ -56,3 +56,27 @@ def test_foreach_batch_snapshot(spark, sf_dir, tmp_path):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     want = {r["event_type"]: r["count"] for r in ev.groupBy("event_type").count().collect()}
     assert got == want
+
+
+def test_partition_pruned_stats_plan_prunes(spark, sf_dir):
+    """The registry's sink_partition_pruned query must resolve its lang
+    filter to directory pruning (a real PartitionFilters entry), and the
+    interchange round-trips must preserve row counts exactly."""
+    from vector_db_from_scratch_spark.plans import plan_string
+    from vector_db_from_scratch_spark.sources.csvio import (
+        PRUNE_LANGS,
+        partition_pruned_stats,
+        read_documents_csv,
+        documents_csv_dir,
+    )
+    from vector_db_from_scratch_spark.sources.jsonl import (
+        documents_jsonl_dir,
+        read_documents_jsonl,
+    )
+
+    plan = plan_string(partition_pruned_stats(spark, sf_dir))
+    assert "PartitionFilters" in plan and "lang" in plan
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert read_documents_csv(spark, documents_csv_dir(spark, sf_dir)).count() == n
+    assert read_documents_jsonl(spark, documents_jsonl_dir(spark, sf_dir)).count() == n
+    assert len(PRUNE_LANGS) == 2

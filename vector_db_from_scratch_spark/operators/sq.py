@@ -119,3 +119,61 @@ FROM r, q
 ORDER BY distance, vec_id
 LIMIT {k}
 """.strip()
+
+
+def sq8_knn_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    oversample: int = 3,
+) -> DataFrame:
+    """Two-stage ANN: SQ8 shortlist (k*oversample by asymmetric distance
+    over the compressed representation) -> exact re-rank over the full
+    vectors. The production shape: stage 1 scans 4x-smaller codes, stage 2
+    reads full precision for only k*oversample rows (a broadcast semi-join
+    -- the shortlist is tiny by construction).
+
+    Because SQ8 distances are deterministic, the WHOLE two-stage pipeline
+    is hash-checked -- the only shortlist+rerank form in the engine whose
+    intermediate stage the oracle reproduces exactly (PQ's k-means
+    shortlist is rows-only).
+    """
+    shortlist = sq8_knn(spark, sf_dir, metric, k=k * oversample, query_vec_id=query_vec_id)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").cast("array<double>").alias("q"))
+    )
+    return (
+        emb.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+        )
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+def sq8_knn_rerank_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    oversample: int = 3,
+    dim: int = DIM,
+) -> str:
+    inner = sq8_knn_oracle(metric, k=k * oversample, query_vec_id=query_vec_id, dim=dim)
+    d = oracle_distance_sql(metric, "e.ee", "q.qe")
+    return f"""
+WITH shortlist AS ({inner}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM shortlist)),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id AS vec_id, {d} AS distance
+FROM e, q
+ORDER BY distance, vec_id
+LIMIT {k}
+""".strip()

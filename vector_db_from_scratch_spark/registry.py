@@ -163,6 +163,12 @@ def build() -> dict[str, Entry]:
             (lambda m: lambda spark, sf: sq.sq8_knn(spark, sf, m, k=10, query_vec_id=0))(metric),
             sq.sq8_knn_oracle(metric, k=10, query_vec_id=0),
         )
+    # two-stage shortlist+rerank whose intermediate stage the oracle also
+    # reproduces (PQ's shortlist is rows-only; this one is end-to-end gated)
+    reg["sq8_knn_rerank"] = (
+        lambda spark, sf: sq.sq8_knn_rerank(spark, sf, "cosine", k=10, query_vec_id=0),
+        sq.sq8_knn_rerank_oracle("cosine", k=10, query_vec_id=0),
+    )
 
     # --- multimodal binary plumbing + skew mitigation ---
     reg["multimodal_binary_stats"] = (multimodal.binary_stats, multimodal.binary_stats_oracle())
@@ -277,9 +283,11 @@ def build() -> dict[str, Entry]:
     reg["agg_value_percentiles"] = (r.value_percentiles, r.value_percentiles_oracle())
     reg["window_order_analytics"] = (r.window_order_analytics, r.window_order_analytics_oracle())
 
-    # --- JSONL source/sink round-trip (S4/S7 analog; fidelity hash-gated) ---
-    from .sources import jsonl
+    # --- interchange sources/sinks (S4/S7 analog; fidelity hash-gated) ---
+    from .sources import csvio, jsonl
     reg["source_jsonl_roundtrip"] = (jsonl.jsonl_roundtrip_stats, jsonl.jsonl_roundtrip_stats_oracle())
+    reg["source_csv_roundtrip"] = (csvio.csv_roundtrip_stats, csvio.csv_roundtrip_stats_oracle())
+    reg["sink_partition_pruned"] = (csvio.partition_pruned_stats, csvio.partition_pruned_stats_oracle())
 
     # --- event-sequence analytics (funnel, islands, stream-dedup twin) ---
     reg["funnel_view_click_purchase"] = (analytics.funnel_conversion, analytics.funnel_conversion_oracle())
