@@ -65,6 +65,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
+    # local mode = one JVM for driver AND executors; the default 8g heap
+    # accumulates GC pressure across ~240 query executions (cold + warm
+    # passes over every registered query with their cached index tables).
+    # Size the heap to the bench box unless the caller pinned it.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+
     import __spark_entry__ as entrymod
     from vector_db_from_scratch_spark.session import get_spark
 

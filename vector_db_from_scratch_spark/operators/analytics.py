@@ -186,3 +186,49 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
 WHERE rn = 1
 ORDER BY user_id, event_type
 """.strip()
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity week
+    (the cohort), counted in every subsequent week they remain active.
+
+    Classic product-analytics shape; in a training-data platform the same
+    query tracks source/feed liveness (cohort = first-crawl week). Week
+    bucketing uses date_trunc('week') -- ISO Monday start in BOTH engines
+    -- and the offset is an exact integer day-diff / 7, so the matrix is
+    hash-stable. Cohort weeks surface as 'yyyy-MM-dd' strings (date dtype
+    families differ between engines' pandas bridges).
+
+    Scale notes: two shuffles -- user_id for the cohort min, then
+    (cohort_week, week_offset) for the matrix -- both on balanced keys;
+    the per-user week list never leaves the executors (distinct happens
+    map-side first).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def retention_cohorts_oracle() -> str:
+    return """
+WITH weekly AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', cohort_week, week) // 7)::BIGINT AS week_offset,
+       count(*) AS n_users
+FROM weekly JOIN cohort USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+""".strip()

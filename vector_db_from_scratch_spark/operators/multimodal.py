@@ -128,3 +128,41 @@ SELECT kind, count(*) AS n_media, sum(octet_length(encode(text)))::BIGINT AS tot
 FROM (SELECT ([{kinds}])[(doc_id % 3 + 1)::INT] AS kind, text FROM documents)
 GROUP BY kind ORDER BY kind
 """.strip()
+
+def blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of binary payloads by md5 digest -- the media twin of
+    dedup.exact_dedup (same shuffle discipline: 32-byte digests move, the
+    blobs never do; at 100 TB this is the only affordable way to group by
+    content). Oracle-checkable because md5 over the same bytes is the same
+    hex in both engines."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.groupBy("kind", F.md5(F.col("payload")).alias("digest"))
+        .agg(F.min("media_id").alias("rep_media_id"), F.count(F.lit(1)).alias("n_copies"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_blobs"),
+            F.sum("n_copies").alias("n_blobs"),
+            F.min("rep_media_id").alias("first_rep"),
+        )
+        .orderBy("kind")
+    )
+
+
+def blob_dedup_oracle() -> str:
+    kinds = ", ".join(f"'{k}'" for k in KINDS)
+    # DuckDB 1.0's md5() takes VARCHAR only; md5(text) hashes the same
+    # UTF-8 bytes as Spark's md5(encode(text, 'UTF-8')) payload digest
+    return f"""
+WITH media AS (SELECT doc_id AS media_id, ([{kinds}])[(doc_id % 3 + 1)::INT] AS kind,
+                      text
+               FROM documents),
+grouped AS (SELECT kind, md5(text) AS digest, min(media_id) AS rep_media_id,
+                   count(*) AS n_copies
+            FROM media GROUP BY kind, digest)
+SELECT kind, count(*) AS n_distinct_blobs, sum(n_copies)::BIGINT AS n_blobs,
+       min(rep_media_id) AS first_rep
+FROM grouped
+GROUP BY kind
+ORDER BY kind
+""".strip()

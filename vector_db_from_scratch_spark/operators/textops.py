@@ -411,3 +411,75 @@ SELECT doc_id, n_tokens, top_word_frac, dup_bigram_frac,
        (top_word_frac > {TOP_WORD_FRAC_MAX} OR dup_bigram_frac > {DUP_BIGRAM_FRAC_MAX}) AS repetitive
 FROM j ORDER BY doc_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model scoring: the KenLM-perplexity-filter stand-in
+# (CCNet / Llama-style corpus quality gates rank documents by LM score; a
+# unigram model over the corpus itself is the engine-native equivalent --
+# same dataflow as the real thing, with the n-gram model swapped in where a
+# trained LM would broadcast).
+# --------------------------------------------------------------------------
+
+LM_MICRO = 1_000_000
+
+
+def unigram_lm_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Bottom-k documents by average unigram log-probability.
+
+    Train: one groupBy over exploded tokens -> (token, ln p) vocabulary.
+    Score: explode again, broadcast-join the vocabulary, per-doc mean.
+    Determinism contract: each token's ln p is rounded to 6dp ONCE in the
+    vocabulary, scaled to an integral micro-unit BIGINT, and the per-doc
+    aggregation sums integers -- order-free, so the float-sum
+    nondeterminism of a parallel groupBy never touches the hash. The final
+    mean is one IEEE division on identical operands in both engines.
+
+    Scale notes: the vocabulary aggregate is partial-aggregated (token key
+    space ~ |vocab|, not corpus size) and broadcasts (a trained LM's
+    table); the scoring pass is one explode + broadcast join + groupBy on
+    doc_id -- high-cardinality balanced key, one shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("t"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            (F.round(F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6)
+             * F.lit(LM_MICRO)).cast("long").alias("logp_u"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("logp_u").alias("sum_u"))
+        .select(
+            "doc_id",
+            "n_tok",
+            ((F.col("sum_u").cast("double") / F.lit(float(LM_MICRO))) / F.col("n_tok").cast("double"))
+            .alias("avg_logp"),
+        )
+        .orderBy("avg_logp", "doc_id")
+        .limit(k)
+    )
+
+
+def unigram_lm_scores_oracle(k: int = 20) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+total AS (SELECT count(*) AS total FROM tok),
+vocab AS (SELECT t, (round(ln(count(*)::DOUBLE / (SELECT total FROM total)::DOUBLE), 6)
+                     * {LM_MICRO})::BIGINT AS logp_u
+          FROM tok GROUP BY t),
+scored AS (SELECT doc_id, count(*) AS n_tok, sum(logp_u)::BIGINT AS sum_u
+           FROM tok JOIN vocab USING (t) GROUP BY doc_id)
+SELECT doc_id, n_tok,
+       (sum_u::DOUBLE / {LM_MICRO}.0) / n_tok::DOUBLE AS avg_logp
+FROM scored
+ORDER BY avg_logp, doc_id
+LIMIT {k}
+""".strip()

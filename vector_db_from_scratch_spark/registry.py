@@ -175,6 +175,7 @@ def build() -> dict[str, Entry]:
     # mapInPandas feature extraction: not SQL-expressible -> rows-only check
     reg["multimodal_features"] = (_scalarize(multimodal.extract_features), None)
     reg["multimodal_frame_sample"] = (multimodal.sample_frames, None)
+    reg["multimodal_blob_dedup"] = (multimodal.blob_dedup, multimodal.blob_dedup_oracle())
     reg["skew_salted_agg"] = (skew.salted_event_totals, skew.salted_event_totals_oracle())
     reg["skew_salted_join"] = (skew.salted_weighted_join, skew.salted_weighted_join_oracle())
 
@@ -188,6 +189,7 @@ def build() -> dict[str, Entry]:
     reg["text_token_counts_bpe"] = (t.token_counts_bpe, t.token_counts_bpe_oracle())
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
     reg["text_repetition_metrics"] = (t.repetition_metrics, t.repetition_metrics_oracle())
+    reg["text_unigram_lm_scores"] = (t.unigram_lm_scores, t.unigram_lm_scores_oracle())
 
     # --- keyword search + hybrid retrieval (lexical twin of the vector path) ---
     reg["search_bm25"] = (search.bm25_topk, search.bm25_topk_oracle())
@@ -293,10 +295,14 @@ def build() -> dict[str, Entry]:
     reg["funnel_view_click_purchase"] = (analytics.funnel_conversion, analytics.funnel_conversion_oracle())
     reg["window_event_islands"] = (analytics.event_islands, analytics.event_islands_oracle())
     reg["stream_first_event_per_key"] = (analytics.first_event_per_key, analytics.first_event_per_key_oracle())
+    reg["window_retention_cohorts"] = (analytics.retention_cohorts, analytics.retention_cohorts_oracle())
 
     # --- event-time windows (batch forms of the streaming queries) ---
     w = stream_windows
     reg["window_tumbling_events"] = (w.tumbling_counts, w.tumbling_counts_oracle())
+    # the streaming engine itself under the gate: drain the watermarked
+    # stream through a memory sink, compare to the batch-SQL oracle
+    reg["stream_tumbling_drained"] = (w.tumbling_counts_drained, w.tumbling_counts_drained_oracle())
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins

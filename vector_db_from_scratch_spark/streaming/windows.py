@@ -303,3 +303,29 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog of exact dedup, with state the watermark can reap."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     return ev.dropDuplicates(["user_id", "event_type"])
+
+
+def tumbling_counts_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING tumbling aggregation, drained through a memory sink
+    and returned as a batch DataFrame -- this puts the streaming engine
+    itself (watermark, state store, availableNow trigger) under the
+    DuckDB-oracle gate, not just its batch twin. Window starts surface as
+    strings: the stream's event-time column is TIMESTAMP (UTC-pinned
+    session), the oracle's is naive, and text is the one rendering both
+    engines' pandas bridges agree on."""
+    res = run_stream_once(tumbling_counts_stream(spark, sf_dir), "t_gate_tumble")
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    ).orderBy("window_start", "event_type")
+
+
+def tumbling_counts_drained_oracle() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""".strip()
