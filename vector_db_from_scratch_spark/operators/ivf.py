@@ -7,13 +7,13 @@ probe the NPROBE cells closest to the query; exact distance within the
 probed cells. At 100 TB the assignment column is materialized and the index
 table is partitioned by ``cell`` (same pruning story as the LSH bucket);
 the per-vector assignment is a broadcast join against NC centroids followed
-by a windowed argmin -- no shuffle of the embedding payload beyond the one
-exchange for the window.
+by a min(struct(cd, cell)) hash-aggregated argmin -- the NC candidate rows
+collapse map-side, so the one exchange moves a single row per vector.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import _memo
@@ -31,6 +31,29 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def argmin_cell(
+    expanded: DataFrame, key: str, carry: list[str], win_cols: list[str] | None = None
+) -> DataFrame:
+    """(cd, cell)-argmin per key over the broadcast-expanded candidates as
+    a HASH AGGREGATION: min(struct(cd, cell, ...)) collapses the n_cells
+    candidate rows map-side before any exchange, so the shuffle moves one
+    row per key -- where the previous row_number() window shuffled the
+    full expansion and sorted it. The struct's (cd, cell) prefix makes the
+    tie-break identical to orderBy(cd, cell). ``carry`` columns are
+    constant per key (first() is safe); ``win_cols`` ride inside the
+    struct and surface from the winning candidate."""
+    win_cols = win_cols or []
+    agg = [F.min(F.struct("cd", "cell", *win_cols)).alias("_m")] + [
+        F.first(c).alias(c) for c in carry
+    ]
+    out = expanded.groupBy(key).agg(*agg)
+    cols = (
+        [F.col(key), *[F.col(c) for c in carry], F.col("_m.cell").alias("cell")]
+        + [F.col(f"_m.{c}").alias(c) for c in win_cols]
+    )
+    return out.select(*cols)
+
+
 def assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, embedding, cell): nearest centroid by (euclidean
     distance, cell) -- rounded distances so the argmin tie-break is
@@ -38,13 +61,9 @@ def assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _centroids(spark, sf_dir)
     d = distance_expr("euclidean", F.col("embedding"), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy("cd", "cell")
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("cd", d)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "cell")
+    expanded = emb.crossJoin(F.broadcast(cent)).withColumn("cd", d)
+    return argmin_cell(expanded, "vec_id", ["label", "embedding"]).select(
+        "vec_id", "label", "embedding", "cell"
     )
 
 
@@ -116,14 +135,11 @@ def train_centroids(
             [(i, c) for i, c in enumerate(cents)], "cell int, cv array<float>"
         )
         d = distance_expr("euclidean", F.col("embedding"), F.col("cv"))
-        w = Window.partitionBy("vec_id").orderBy("cd", "cell")
-        assigned = (
-            emb.crossJoin(F.broadcast(cent_df))
-            .withColumn("cd", d)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cell")
-        )
+        assigned = argmin_cell(
+            emb.crossJoin(F.broadcast(cent_df)).withColumn("cd", d),
+            "vec_id",
+            ["embedding"],
+        ).select("vec_id", "embedding", "cell")
         # mean per cell: aggregate element-wise sums + count, finalize driver-side
         dim = len(cents[0])
         sums = assigned.groupBy("cell").agg(
@@ -179,12 +195,12 @@ def _trained_assignment(
     )
     emb = load_table(spark, sf_dir, "embeddings")
     d = distance_expr("euclidean", F.col("embedding"), F.col("cv"))
-    w = Window.partitionBy("vec_id").orderBy("cd", "cell")
     out = (
-        emb.crossJoin(F.broadcast(cent_df))
-        .withColumn("cd", d)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        argmin_cell(
+            emb.crossJoin(F.broadcast(cent_df)).withColumn("cd", d),
+            "vec_id",
+            ["label", "embedding"],
+        )
         .select("vec_id", "label", "embedding", "cell")
         .cache()
     )

@@ -328,3 +328,33 @@ FROM pool p, q
 ORDER BY distance, vec_id
 LIMIT {k}
 """.strip()
+
+
+def bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index introspection: bucket occupancy histogram of the LSH index --
+    the engine analog of the reference's persisted index metadata
+    (bucket -> id list sizes, vector_db/indexes.py:262-287). Uses the
+    expression-path bucket (oracle-exact sign tests) rather than the BLAS
+    fast path, because this query IS the parity check of the bucket
+    function over every vector. One groupBy on an 8-bit key: at any scale
+    the shuffle moves at most 2^num_projections rows per partition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = emb.withColumn("bucket", bucket_expr(F.col("embedding")))
+    return (
+        idx.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("first_vec"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def bucket_stats_oracle() -> str:
+    return f"""
+SELECT {bucket_sql('embedding::DOUBLE[]')} AS bucket,
+       count(*) AS n_vectors, min(vec_id) AS first_vec
+FROM embeddings
+GROUP BY bucket
+ORDER BY bucket
+""".strip()

@@ -216,8 +216,6 @@ def _ivfpq_index(
     if key in _IVFPQ_MEMO:
         return _IVFPQ_MEMO[key]
 
-    from pyspark.sql import Window
-
     from .ivf import train_centroids
 
     cents_list = train_centroids(spark, sf_dir, n_cells, iterations=2)
@@ -238,22 +236,22 @@ def _ivfpq_index(
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents_list)], "cell int, cv array<float>"
     )
+    from .ivf import argmin_cell
+
     cd = distance_expr("euclidean", F.col("embedding"), F.col("cv"), round_to=None)
-    w = Window.partitionBy("vec_id").orderBy("cd", "cell")
-    assigned = (
-        emb.crossJoin(F.broadcast(cent_df))
-        .withColumn("cd", cd)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with(
-                F.col("embedding").cast("array<double>"),
-                F.col("cv").cast("array<double>"),
-                lambda a, b: a - b,
-            ).alias("resid"),
-        )
+    assigned = argmin_cell(
+        emb.crossJoin(F.broadcast(cent_df)).withColumn("cd", cd),
+        "vec_id",
+        ["embedding"],
+        win_cols=["cv"],
+    ).select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("cv").cast("array<double>"),
+            lambda a, b: a - b,
+        ).alias("resid"),
     )
     index = encode(assigned, books, col="resid").select("vec_id", "cell", "codes").cache()
     _IVFPQ_MEMO[key] = (cents, books, index)

@@ -483,3 +483,37 @@ FROM scored
 ORDER BY avg_logp, doc_id
 LIMIT {k}
 """.strip()
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary statistics per source: distinct tokens vs
+    total tokens, plus type-token ratio -- the corpus-health dashboard
+    number that catches template/boilerplate floods (TTR collapses) and
+    encoding corruption (TTR explodes). Two exact aggregates, one shuffle
+    each on balanced keys; the distinct count is per-(source, token)
+    map-side deduped before the count."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("t").alias("distinct_tokens"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.col("distinct_tokens").cast("double") / F.col("total_tokens").cast("double"),
+        )
+        .orderBy("source")
+    )
+
+
+def vocab_growth_oracle() -> str:
+    return """
+WITH tok AS (SELECT source, unnest(str_split(text, ' ')) AS t FROM documents)
+SELECT source, count(*) AS total_tokens, count(DISTINCT t) AS distinct_tokens,
+       count(DISTINCT t)::DOUBLE / count(*)::DOUBLE AS type_token_ratio
+FROM tok
+GROUP BY source
+ORDER BY source
+""".strip()

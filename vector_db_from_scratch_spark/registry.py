@@ -190,6 +190,7 @@ def build() -> dict[str, Entry]:
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
     reg["text_repetition_metrics"] = (t.repetition_metrics, t.repetition_metrics_oracle())
     reg["text_unigram_lm_scores"] = (t.unigram_lm_scores, t.unigram_lm_scores_oracle())
+    reg["text_vocab_growth"] = (t.vocab_growth, t.vocab_growth_oracle())
 
     # --- keyword search + hybrid retrieval (lexical twin of the vector path) ---
     reg["search_bm25"] = (search.bm25_topk, search.bm25_topk_oracle())
@@ -249,6 +250,8 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: lsh.lsh_knn_batch(spark, sf, "cosine", k=5, num_queries=8),
         lsh.lsh_knn_batch_oracle("cosine", k=5, num_queries=8),
     )
+    # index introspection: bucket occupancy histogram (S10-metadata analog)
+    reg["lsh_bucket_stats"] = (lsh.bucket_stats, lsh.bucket_stats_oracle())
     reg["lsh_knn_multiprobe"] = (
         lambda spark, sf: lsh.lsh_knn_multiprobe(spark, sf, "cosine", k=10, query_vec_id=0),
         lsh.lsh_knn_multiprobe_oracle("cosine", k=10, query_vec_id=0),
