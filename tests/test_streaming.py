@@ -132,43 +132,35 @@ def test_multibatch_replay_advances_watermark(spark, sf_dir, tmp_path):
         run_stream_collect_progress,
     )
 
+    import os
+
+    from vector_db_from_scratch_spark.streaming.windows import checkpoint_batches
+
     out = str(tmp_path / "replay_events")
     replay_events_dir(spark, sf_dir, out, n_files=4)
 
-    # Progress metrics (batch count, watermark advancement) are reported
-    # asynchronously by the runtime and can coalesce or go missing when the
-    # whole suite loads the JVM; retry the drain a few times before calling
-    # the multi-batch property violated. The batch-equivalence assert at
-    # the end stays unconditional on the final run's result.
-    for attempt in range(3):
-        src = events_stream_from(spark, out, files_per_trigger=1).withWatermark(
-            "ts", "10 minutes"
-        )
-        agg = src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        res, progress = run_stream_collect_progress(
-            agg.select(F.col("w.start").alias("window_start"), "event_type", "n"),
-            f"t_replay_{attempt}",
-        )
-        data_batches = [p for p in progress if p["numInputRows"] > 0]
-        watermarks = [
-            p["eventTime"]["watermark"]
-            for p in progress
-            if "watermark" in p.get("eventTime", {})
-        ]
-        moving = [w for w in watermarks if not w.startswith("1970")]
-        state_carried = any(
-            op["numRowsTotal"] > 0 for p in data_batches for op in p["stateOperators"]
-        )
-        if len(data_batches) >= 2 and len(set(moving)) >= 2 and state_carried:
-            break
+    ckpt = str(tmp_path / "ckpt")
+    src = events_stream_from(spark, out, files_per_trigger=1).withWatermark(
+        "ts", "10 minutes"
+    )
+    agg = src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    res, _progress = run_stream_collect_progress(
+        agg.select(F.col("w.start").alias("window_start"), "event_type", "n"),
+        "t_replay",
+        checkpoint_dir=ckpt,
+    )
 
-    # one batch per replay file nominally; require >=2 so the multi-batch
-    # property holds even if the runtime coalesces under load
-    assert len(data_batches) >= 2
-    assert len(set(moving)) >= 2, f"watermark never advanced: {watermarks}"
-    assert state_carried
+    # the checkpoint offsets log is the durable per-batch record (the async
+    # recentProgress buffer drops entries under load): one committed batch
+    # per replay file, watermark strictly advancing across batches
+    batches = checkpoint_batches(ckpt)
+    assert len(batches) >= 2, f"expected multi-batch replay, got {batches}"
+    moving = {b["watermark_ms"] for b in batches if b["watermark_ms"] > 0}
+    assert len(moving) >= 2, f"watermark never advanced: {batches}"
+    # state store materialized on disk for the windowed aggregation
+    assert os.path.isdir(os.path.join(ckpt, "state"))
 
     batch = (
         spark.read.parquet(out)

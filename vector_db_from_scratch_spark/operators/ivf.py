@@ -254,6 +254,83 @@ def ivf_knn_trained(
     )
 
 
+def ivf_knn_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 5,
+    num_queries: int = 8,
+) -> DataFrame:
+    """Multi-query IVF probe: every query ranks the centroid table once
+    (broadcast cross of Q x NC rows -- tiny), keeps its NPROBE cells, and
+    the (query_id, cell) probe list broadcast-joins the assignment table.
+    One scan of the index serves ALL queries (vs Q sequential probes in
+    the single-query form); the per-query top-k is the same two-level
+    window discipline as knn_batch. Fully oracle-checked -- assignment,
+    probe selection, and distances are all deterministic.
+    """
+    assigned = assign_cells(spark, sf_dir)
+    cent = _centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    from pyspark.sql import Window
+
+    qd = distance_expr("euclidean", F.col("cv"), F.col("q"))
+    wq = Window.partitionBy("query_id").orderBy("qd", "cell")
+    probe = (
+        cent.crossJoin(F.broadcast(queries))
+        .withColumn("qd", qd)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "cell", "q")
+    )
+    pool = assigned.join(F.broadcast(probe), "cell")
+    w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    return (
+        pool.select(
+            "query_id",
+            "vec_id",
+            distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_knn_batch_oracle(metric: str = "cosine", k: int = 5, num_queries: int = 8) -> str:
+    eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
+    equ = oracle_distance_sql("euclidean", "c.cv", "q.qv")
+    d = oracle_distance_sql(metric, "p.v", "probe.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {NUM_CELLS}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < {num_queries}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {eu}, c.cell) AS rn
+    FROM e, cent c)
+  WHERE rn = 1),
+probe AS (
+  SELECT query_id, cell, qv FROM (
+    SELECT q.query_id, c.cell, q.qv,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {equ}, c.cell) AS rn
+    FROM cent c, q)
+  WHERE rn <= {NPROBE}),
+scored AS (
+  SELECT probe.query_id, p.vec_id, {d} AS distance,
+         row_number() OVER (PARTITION BY probe.query_id
+                            ORDER BY {d}, p.vec_id) AS rank
+  FROM assign p JOIN probe USING (cell))
+SELECT query_id, vec_id, distance, rank
+FROM scored WHERE rank <= {k}
+""".strip()
+
+
 def ivf_knn_oracle(metric: str = "cosine", k: int = 10, query_vec_id: int = 0) -> str:
     eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
     equ = oracle_distance_sql("euclidean", "c.cv", "q.qv")

@@ -250,6 +250,10 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: lsh.lsh_knn_batch(spark, sf, "cosine", k=5, num_queries=8),
         lsh.lsh_knn_batch_oracle("cosine", k=5, num_queries=8),
     )
+    reg["ivf_knn_batch"] = (
+        lambda spark, sf: ivf.ivf_knn_batch(spark, sf, "cosine", k=5, num_queries=8),
+        ivf.ivf_knn_batch_oracle("cosine", k=5, num_queries=8),
+    )
     # index introspection: bucket occupancy histogram (S10-metadata analog)
     reg["lsh_bucket_stats"] = (lsh.bucket_stats, lsh.bucket_stats_oracle())
     reg["lsh_knn_multiprobe"] = (

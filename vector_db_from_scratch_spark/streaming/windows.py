@@ -238,10 +238,29 @@ def replay_events_dir(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
 ) -> None:
     """Split events into n_files time-ordered parquet files -- the replay
-    fixture. Range-partitioning by ts makes each file a contiguous time
-    slice, so replaying file-by-file simulates in-order arrival."""
+    fixture. Each contiguous time slice is written as a SEPARATE job with a
+    small delay: the file stream source orders equal-option files by
+    modification time, and a single repartitionByRange write stamps every
+    part file with the same mtime, leaving arrival order -- and therefore
+    watermark advancement -- nondeterministic. Sequential writes pin
+    in-order arrival."""
+    import time as _time
+
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_dir, "events")
-    ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(out_dir)
+    sliced = ev.withColumn(
+        "_slice", F.ntile(n_files).over(W.orderBy("ts", "event_id"))
+    )
+    for i in range(1, n_files + 1):
+        (
+            sliced.filter(F.col("_slice") == i)
+            .drop("_slice")
+            .coalesce(1)
+            .write.mode("overwrite" if i == 1 else "append")
+            .parquet(out_dir)
+        )
+        _time.sleep(0.1)  # distinct mtimes -> deterministic arrival order
 
 
 def events_stream_from(spark: SparkSession, path: str, files_per_trigger: int = 1) -> DataFrame:
@@ -256,20 +275,39 @@ def events_stream_from(spark: SparkSession, path: str, files_per_trigger: int = 
     )
 
 
-def run_stream_collect_progress(df: DataFrame, query_name: str):
+def run_stream_collect_progress(df: DataFrame, query_name: str, checkpoint_dir: str | None = None):
     """Drain a rate-limited stream and return (result_df, progress list) --
-    progress entries carry per-batch watermark + state-store metrics."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    progress entries carry per-batch watermark + state-store metrics.
+    Pass ``checkpoint_dir`` to make the run's batch/watermark history
+    durably inspectable via :func:`checkpoint_batches` (recentProgress is
+    an async bounded buffer and drops entries under load)."""
+    w = df.writeStream.format("memory").queryName(query_name)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.outputMode("complete").trigger(availableNow=True).start()
     q.processAllAvailable()
     progress = [p for p in q.recentProgress]
     q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}"), progress
+
+
+def checkpoint_batches(checkpoint_dir: str) -> list[dict]:
+    """Authoritative per-batch record from the checkpoint's ``offsets`` log:
+    one entry per committed micro-batch with its event-time watermark (ms).
+    Unlike recentProgress this is the durable source of truth the engine
+    itself recovers from."""
+    import json
+
+    out = []
+    off_dir = os.path.join(checkpoint_dir, "offsets")
+    names = [n for n in os.listdir(off_dir) if n.isdigit()]  # skip .crc sidecars
+    for name in sorted(names, key=int):
+        with open(os.path.join(off_dir, name)) as f:
+            lines = f.read().splitlines()
+        # v1 format: line 0 = version, line 1 = {"batchWatermarkMs": ...}
+        meta = json.loads(lines[1])
+        out.append({"batch_id": int(name), "watermark_ms": meta.get("batchWatermarkMs", 0)})
+    return out
 
 
 # --------------------------------------------------------------------------
