@@ -317,4 +317,11 @@ def build() -> dict[str, Entry]:
         stream_joins.click_purchase_batch_join,
         stream_joins.click_purchase_join_oracle(),
     )
+    # custom stateful operator (applyInPandasWithState) under the gate:
+    # drain the stream, reduce to final per-key state, hash-match batch SQL
+    from .streaming import stateful
+    reg["stream_stateful_first_event"] = (
+        stateful.first_event_drained,
+        stateful.first_event_drained_oracle(),
+    )
     return reg

@@ -76,3 +76,32 @@ def run_first_event_once(spark: SparkSession, sf_dir: str, name: str = "t_first"
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def first_event_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator under the oracle gate: drain the
+    applyInPandasWithState stream, then take each key's FINAL state (update
+    mode re-emits a key per micro-batch; first_event_id only decreases and
+    n only grows, so min/max select the last update without caring how
+    many batches ran). Oracle = the batch groupBy the state converges to.
+    """
+    from pyspark.sql import functions as F
+
+    res = run_first_event_once(spark, sf_dir, name="t_gate_stateful")
+    return (
+        res.groupBy("user_id", "event_type")
+        .agg(
+            F.min("first_event_id").alias("first_event_id"),
+            F.max("n").alias("n"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+def first_event_drained_oracle() -> str:
+    return """
+SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""".strip()
