@@ -170,7 +170,19 @@ def _shingle_df_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+_PAIRS_MEMO: dict[tuple[str, str, float], DataFrame] = _memo.register({})
+
+
+def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Unordered verified near-dup pair table (d1, d2, jaccard) -- the
+    second derived artifact after the shingle index. Memoized + cached:
+    the pairs feed FOUR consumers (the pairs report, clustering, corpus
+    prep's drop set, tests), each of which re-ran the self-join +
+    intersection aggregation. At 100 TB this is the materialized pair
+    table every dedup job reads; locally cache() stands in."""
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    if key in _PAIRS_MEMO:
+        return _PAIRS_MEMO[key]
     sh = _shingle_index(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -183,14 +195,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
-    return (
+    out = (
         inter.join(sa, "d1")
         .join(sb, "d2")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
-        .orderBy("d1", "d2")
+        .cache()
     )
+    _PAIRS_MEMO[key] = out
+    return out
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+    return _jaccard_pairs_cached(spark, sf_dir, threshold).orderBy("d1", "d2")
 
 
 def _shingle_index_sql() -> str:
