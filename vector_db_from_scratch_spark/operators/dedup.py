@@ -283,6 +283,24 @@ def _minhash_signature(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+_SIG_MEMO: dict[tuple[str, str, int], DataFrame] = _memo.register({})
+
+
+def _minhash_signature_cached(
+    spark: SparkSession, sf_dir: str, num_hashes: int
+) -> DataFrame:
+    """Signature matrix as a cached artifact (keyed by hash count: the
+    default and autotuned banding schemes use different K). One groupBy
+    over the shingle index per scheme per application -- the signature
+    table a production MinHash pipeline materializes next to the index."""
+    key = (spark.sparkContext.applicationId, sf_dir, num_hashes)
+    if key in _SIG_MEMO:
+        return _SIG_MEMO[key]
+    out = _minhash_signature(_shingle_index(spark, sf_dir), num_hashes).cache()
+    _SIG_MEMO[key] = out
+    return out
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -291,7 +309,7 @@ def minhash_lsh_pairs(
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
     sh = _shingle_index(spark, sf_dir)
-    sig = _minhash_signature(sh, num_hashes)
+    sig = _minhash_signature_cached(spark, sf_dir, num_hashes)
     n_bands = num_hashes // band_size
     band_frames = []
     for band in range(n_bands):

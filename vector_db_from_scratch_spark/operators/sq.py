@@ -36,24 +36,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _memo
 from ..functions.vector import distance_expr, oracle_distance_sql
 from ..sources.tables import load_table
 
 DIM = 64
 LEVELS = 256
 
+_RANGES_MEMO: dict[tuple[str, str, int], tuple[list, list]] = _memo.register({})
+
 
 def sq8_ranges(spark: SparkSession, sf_dir: str, dim: int = DIM) -> DataFrame:
     """One-row DataFrame of per-dimension (mins, maxs) double arrays --
     the trained quantizer. Elementwise min/max as 2*dim scalar aggregates
     in one pass (partial aggregation; nothing but the 2*dim result moves).
+    Memoized per (application, sf_dir): the ranges are the train-once
+    artifact all four sq8 queries share, so only the first query pays the
+    training scan (mirrors the centroid/codebook memos).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding")
-    return emb.agg(
-        F.array(*[F.min(e[i].cast("double")) for i in range(dim)]).alias("mins"),
-        F.array(*[F.max(e[i].cast("double")) for i in range(dim)]).alias("maxs"),
-    )
+    key = (spark.sparkContext.applicationId, sf_dir, dim)
+    if key not in _RANGES_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        e = F.col("embedding")
+        row = emb.agg(
+            F.array(*[F.min(e[i].cast("double")) for i in range(dim)]).alias("mins"),
+            F.array(*[F.max(e[i].cast("double")) for i in range(dim)]).alias("maxs"),
+        ).collect()[0]
+        _RANGES_MEMO[key] = (list(row["mins"]), list(row["maxs"]))
+    mins, maxs = _RANGES_MEMO[key]
+    return spark.createDataFrame([(mins, maxs)], "mins array<double>, maxs array<double>")
 
 
 _RECON = (
