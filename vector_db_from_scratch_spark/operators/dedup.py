@@ -349,11 +349,12 @@ def minhash_lsh_pairs(
     )
 
 
-def minhash_lsh_pairs_oracle(
-    threshold: float = 0.3,
-    num_hashes: int = NUM_HASHES,
-    band_size: int = BAND_SIZE,
-) -> str:
+def _minhash_pairs_cte(
+    threshold: float, num_hashes: int, band_size: int
+) -> tuple[str, str]:
+    """(cte_list, final_select) halves of the MinHash-LSH pairs query --
+    same composition contract as :func:`_jaccard_pairs_cte`, so the
+    clustering oracle reuses the CTE list structurally."""
     params = minhash_params(num_hashes)
     mins = ",\n       ".join(
         f"min(({a} * sh + {b}) % {MERSENNE31}) AS m{j}" for j, (a, b) in enumerate(params)
@@ -365,8 +366,8 @@ def minhash_lsh_pairs_oracle(
         key = " || ',' || ".join(f"{c}::VARCHAR" for c in cols)
         band_selects.append(f"SELECT doc_id, {band} AS band, {key} AS bkey FROM sig")
     bands = "\nUNION ALL\n".join(band_selects)
-    return f"""
-WITH {_shingle_index_sql()},
+    ctes = f"""
+{_shingle_index_sql()},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -377,11 +378,22 @@ inter AS (SELECT d1, d2, count(*) AS c
           FROM cand JOIN sh sa ON sa.doc_id = d1
                     JOIN sh sb ON sb.doc_id = d2 AND sa.sh = sb.sh
           GROUP BY d1, d2)
+""".strip()
+    final = f"""
 SELECT d1, d2, c::DOUBLE / (s1.n + s2.n - c)::DOUBLE AS jaccard
 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 WHERE c::DOUBLE / (s1.n + s2.n - c)::DOUBLE >= {threshold}
-ORDER BY d1, d2
 """.strip()
+    return ctes, final
+
+
+def minhash_lsh_pairs_oracle(
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> str:
+    ctes, final = _minhash_pairs_cte(threshold, num_hashes, band_size)
+    return f"WITH {ctes}\n{final}\nORDER BY d1, d2"
 
 
 # --------------------------------------------------------------------------
@@ -872,11 +884,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     return labels.select("node", F.col("label").alias("cluster_rep"))
 
 
-def neardup_clusters_oracle(threshold: float = 0.3) -> str:
-    ctes, final = _jaccard_pairs_cte(threshold)
-    return f"""
-WITH RECURSIVE {ctes},
-pairs AS ({final}),
+_CLUSTER_TAIL = """
 edges AS (SELECT d1 AS a, d2 AS b FROM pairs
           UNION ALL
           SELECT d2, d1 FROM pairs),
@@ -886,6 +894,35 @@ reach(a, b) AS (SELECT a, b FROM edges
 SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
 FROM reach GROUP BY a ORDER BY doc_id
 """.strip()
+
+
+def neardup_clusters_oracle(threshold: float = 0.3) -> str:
+    ctes, final = _jaccard_pairs_cte(threshold)
+    return f"WITH RECURSIVE {ctes},\npairs AS ({final}),\n{_CLUSTER_TAIL}"
+
+
+def neardup_clusters_minhash(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """Connected components over the MinHash-LSH pair graph -- the
+    composition a 100 TB dedup job actually runs (candidate generation by
+    banding, exact verify, then clustering), where the exact all-pairs
+    graph behind :func:`neardup_clusters` is unaffordable. Same min-label
+    propagation; the oracle replays the full banding scheme inside the
+    recursive-CTE clustering."""
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("d1", "d2")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_rep"
+    ).orderBy("doc_id")
+
+
+def neardup_clusters_minhash_oracle(
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> str:
+    ctes, final = _minhash_pairs_cte(threshold, num_hashes, band_size)
+    return f"WITH RECURSIVE {ctes},\npairs AS ({final}),\n{_CLUSTER_TAIL}"
 
 
 def ngram_jaccard_pairs_dfcap_oracle(threshold: float = 0.3, max_df: int = 3) -> str:

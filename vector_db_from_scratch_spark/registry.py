@@ -230,6 +230,7 @@ def build() -> dict[str, Entry]:
     reg["dedup_simhash_pairs"] = (d.simhash_near_pairs, d.simhash_near_pairs_oracle())
     reg["dedup_simhash_banded"] = (d.simhash_banded_pairs, d.simhash_banded_pairs_oracle())
     reg["dedup_cluster_components"] = (d.neardup_clusters, d.neardup_clusters_oracle())
+    reg["dedup_cluster_minhash"] = (d.neardup_clusters_minhash, d.neardup_clusters_minhash_oracle())
     reg["dedup_embedding_cosine"] = (d.embedding_neardup, d.embedding_neardup_oracle())
     reg["dedup_embedding_lsh_blocked"] = (d.embedding_neardup_lsh, d.embedding_neardup_lsh_oracle())
 
