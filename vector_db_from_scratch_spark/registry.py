@@ -311,6 +311,7 @@ def build() -> dict[str, Entry]:
     # the streaming engine itself under the gate: drain the watermarked
     # stream through a memory sink, compare to the batch-SQL oracle
     reg["stream_tumbling_drained"] = (w.tumbling_counts_drained, w.tumbling_counts_drained_oracle())
+    reg["stream_session_drained"] = (w.session_stats_drained, w.session_stats_drained_oracle())
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins

@@ -367,3 +367,42 @@ FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """.strip()
+
+
+def session_stats_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows -- the most stateful of the streaming aggregations
+    (dynamic per-key window MERGING, not fixed buckets) -- drained through
+    a memory sink and hash-checked against the gaps-and-islands SQL
+    oracle. Window bounds surface as strings for the same dtype-bridge
+    reason as :func:`tumbling_counts_drained`."""
+    res = run_stream_once(session_stats_stream(spark, sf_dir), "t_gate_session")
+    return res.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+def session_stats_drained_oracle() -> str:
+    return f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 5 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""".strip()
