@@ -134,3 +134,38 @@ def test_cluster_components_closed_and_minimal(spark, sf_dir):
     for rep in set(labels.values()):
         members = [d for d, r in labels.items() if r == rep]
         assert min(members) == rep
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark, sf_dir):
+    """Chunk windows: stride-spaced starts, full coverage (concatenating
+    the non-overlap prefixes + last chunk rebuilds the document), chunk_len
+    matches the text, ids unique."""
+    from vector_db_from_scratch_spark.operators.corpus import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        corpus_chunk_documents,
+    )
+
+    chunks = corpus_chunk_documents(spark, sf_dir).collect()
+    ids = [c["chunk_id"] for c in chunks]
+    assert len(ids) == len(set(ids))
+    docs = {
+        r["doc_id"]: r["text"] or ""
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0).collect()
+    }
+    # spot-check reconstruction on a handful of docs
+    full = {
+        r["doc_id"]: r["text"] or ""
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 5")
+        .collect()
+    }
+    for doc_id, text in full.items():
+        mine = sorted(
+            [c for c in chunks if c["doc_id"] == doc_id], key=lambda c: c["chunk_idx"]
+        )
+        assert all(c["chunk_len"] == len(c["chunk_text"]) for c in mine)
+        rebuilt = "".join(c["chunk_text"][:CHUNK_STRIDE] for c in mine[:-1]) + mine[-1]["chunk_text"]
+        assert rebuilt == text
+        for c in mine[:-1]:
+            assert len(c["chunk_text"]) <= CHUNK_SIZE

@@ -54,3 +54,22 @@ def test_fast_knn_matches_expression_path(spark, sf_dir):
         assert [(r["vec_id"], r["distance"]) for r in slow] == [
             (r["vec_id"], r["distance"]) for r in fast
         ], metric
+
+
+def test_knn_per_label_covers_every_label_and_matches_filtered(spark, sf_dir):
+    """Per-tenant top-k: one row set per label, each equal to the
+    label-filtered flat k-NN over that tenant's slice."""
+    from vector_db_from_scratch_spark.operators.knn import knn_per_label
+
+    rows = knn_per_label(spark, sf_dir, "cosine", k=3, query_vec_id=0).collect()
+    labels = sorted({r["label"] for r in rows})
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert labels == sorted(r["label"] for r in emb.select("label").distinct().collect())
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append((r["rnk"], r["vec_id"], r["distance"]))
+    lbl = labels[0]
+    single = flat_knn(spark, sf_dir, "cosine", k=3, query_vec_id=0, label_filter=lbl).collect()
+    assert [(v, d) for _, v, d in sorted(by_label[lbl])] == [
+        (r["vec_id"], r["distance"]) for r in single
+    ]

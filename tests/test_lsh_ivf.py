@@ -205,3 +205,32 @@ def test_ann_recall_quantified(spark, sf_dir):
     assert r_lsh >= 0.9          # fallback keeps plain LSH near-exact here
     assert r1 <= r3 <= r8 == 1.0  # probe radius is the recall dial
     assert r_ivf >= 0.5
+
+
+def test_recall_queries_consistent_with_direct_overlap(spark, sf_dir):
+    """The gated recall@k queries must report exactly the overlap of the
+    two result sets they summarize."""
+    from vector_db_from_scratch_spark.operators.ivf import ivf_recall
+    from vector_db_from_scratch_spark.operators.lsh import lsh_recall
+
+    for name, recall_fn, approx_fn in (
+        ("lsh", lsh_recall, lsh_knn),
+        ("ivf", ivf_recall, ivf_knn),
+    ):
+        row = recall_fn(spark, sf_dir, "cosine", k=10, query_vec_id=3).collect()[0]
+        flat = {r["vec_id"] for r in flat_knn(spark, sf_dir, "cosine", k=10, query_vec_id=3).collect()}
+        approx = {r["vec_id"] for r in approx_fn(spark, sf_dir, "cosine", k=10, query_vec_id=3).collect()}
+        assert row["k"] == 10, name
+        assert row["n_matched"] == len(flat & approx), name
+        assert row["recall_at_k"] == row["n_matched"] / 10.0, name
+        assert 0.0 <= row["recall_at_k"] <= 1.0, name
+
+
+def test_persisted_index_probe_equals_in_memory(spark, sf_dir):
+    """S10/S11 round trip: the query over the saved+loaded artifact returns
+    exactly the in-memory probe's results."""
+    from vector_db_from_scratch_spark.operators.lsh import lsh_index_persisted_knn
+
+    mem = lsh_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    disk = lsh_index_persisted_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    assert [tuple(r) for r in mem] == [tuple(r) for r in disk]

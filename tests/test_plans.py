@@ -82,3 +82,29 @@ def test_pack_sequences_single_wide_exchange(spark, sf_dir):
     assert count_shuffles(df) <= 3
     plan = plan_string(df)
     assert "Window" in plan
+
+
+def test_point_lookup_prunes_text_and_pushes_ids(spark, sf_dir):
+    """GET-by-id projection (P3 analog): the text column must not be read
+    and the id predicate must reach the parquet scan."""
+    from vector_db_from_scratch_spark.operators.entity import point_lookup_documents
+
+    df = point_lookup_documents(spark, sf_dir)
+    plan = plan_string(df)
+    scan_line = next(l for l in plan.split("\n") if "FileScan" in l and "documents" in l)
+    assert "text" not in scan_line, "embedding-analog column must be pruned"
+    assert any("doc_id" in f for f in pushed_filters(df)), "id filter must reach the scan"
+
+
+def test_persisted_lsh_probe_prunes_bucket_partition(spark, sf_dir):
+    """The saved-artifact probe must read only the query's bucket partition
+    (partition pruning on the bucket directory key)."""
+    from vector_db_from_scratch_spark.operators.lsh import lsh_index_persisted_knn
+
+    df = lsh_index_persisted_knn(spark, sf_dir, "cosine", k=3, query_vec_id=0)
+    plan = plan_string(df)
+    scan = next(l for l in plan.split("\n") if "FileScan" in l and "lsh-index" in l)
+    assert "PartitionFilters: [" in scan
+    # the pruned scan carries a bucket equality in its partition filters
+    pf = scan.split("PartitionFilters:", 1)[1]
+    assert "bucket" in pf

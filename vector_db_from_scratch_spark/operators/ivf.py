@@ -400,3 +400,59 @@ FROM embeddings CROSS JOIN range(1, 65) t(i)
 GROUP BY label, i
 ORDER BY label, pos
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# ANN quality gate for the IVF probe: recall@k against the exact flat scan
+# (same pattern as lsh.lsh_recall; see that docstring for the plan shape).
+# --------------------------------------------------------------------------
+
+def ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    from . import knn as knn_mod
+
+    exact = knn_mod.flat_knn(
+        spark, sf_dir, metric, k=k, query_vec_id=query_vec_id
+    ).select("vec_id")
+    approx = ivf_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id).select(
+        "vec_id"
+    )
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .select(
+            F.lit(k).alias("k"),
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )
+
+
+def ivf_recall_oracle(metric: str = "cosine", k: int = 10, query_vec_id: int = 0) -> str:
+    eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
+    equ = oracle_distance_sql("euclidean", "c.cv", "q.qv")
+    d = oracle_distance_sql(metric, "p.v", "q.qv")
+    df = oracle_distance_sql(metric, "e.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {NUM_CELLS}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+flat AS (SELECT e.vec_id FROM e, q ORDER BY {df}, e.vec_id LIMIT {k}),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {eu}, c.cell) AS rn
+    FROM e, cent c)
+  WHERE rn = 1),
+probe AS (SELECT cell FROM cent c, q ORDER BY {equ}, cell LIMIT {NPROBE}),
+approx AS (SELECT p.vec_id FROM assign p JOIN probe USING (cell), q
+           ORDER BY {d}, vec_id LIMIT {k}),
+m AS (SELECT count(*) AS n_matched FROM flat JOIN approx USING (vec_id))
+SELECT {k} AS k, n_matched, n_matched::DOUBLE / {float(k)!r} AS recall_at_k FROM m
+""".strip()

@@ -218,3 +218,59 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
 SELECT query_id, vec_id, distance, rank
 FROM scored WHERE rank <= {k}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Multi-tenant k-NN: top-k per label partition in ONE query -- the engine
+# analog of the reference's per-library index (every library owns its own
+# index and searches never cross libraries, vector_db/vector_store.py:267-271).
+# A Spark engine serves all tenants from one partitioned table instead of
+# N per-tenant indexes: the window is over (label), so each tenant's top-k
+# is computed inside its own hash partition -- one shuffle by label, no
+# cross-tenant data movement, and tenant count scales the parallelism, not
+# the per-task cost.
+# --------------------------------------------------------------------------
+
+def knn_per_label(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 3,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """(label, rnk, vec_id, distance): exact top-k nearest to the query
+    within every label group, deterministic (distance, vec_id) tie-break."""
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    emb = load_table(spark, sf_dir, EMB)
+    joined = emb.crossJoin(F.broadcast(query_vector_df(spark, sf_dir, query_vec_id)))
+    scored = joined.select(
+        "label",
+        "vec_id",
+        distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+    )
+    w = Window.partitionBy("label").orderBy("distance", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("label", "rnk", "vec_id", "distance")
+        .orderBy("label", "rnk")
+    )
+
+
+def knn_per_label_oracle(
+    metric: str = "cosine", k: int = 3, query_vec_id: int = 0
+) -> str:
+    d = oracle_distance_sql(metric, "e.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+scored AS (SELECT e.label, e.vec_id, {d} AS distance FROM e, q),
+ranked AS (SELECT label, vec_id, distance,
+                  row_number() OVER (PARTITION BY label
+                                     ORDER BY distance, vec_id) AS rnk
+           FROM scored)
+SELECT label, rnk, vec_id, distance
+FROM ranked WHERE rnk <= {k}
+ORDER BY label, rnk
+""".strip()

@@ -358,3 +358,101 @@ FROM embeddings
 GROUP BY bucket
 ORDER BY bucket
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Persisted-index round trip (SURVEY §2.1 S10/S11 under the gate): save the
+# bucket-partitioned index artifact, read it back, probe it. After the
+# first call the artifact exists and every probe is a partition-pruned
+# parquet read -- the exact lifecycle of the reference's
+# RandomProjectionIndex.save/load (vector_db/indexes.py:262-321), with
+# Catalyst partition pruning playing the bucket-dict lookup.
+# --------------------------------------------------------------------------
+
+_PERSISTED_MEMO: dict[tuple[str, str], str] = _memo.register({})
+
+
+def lsh_index_persisted_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Write the LSH index with :func:`save_index` (once per application),
+    :func:`load_index` it, and run the bucket probe against the on-disk
+    artifact. Same results as :func:`lsh_knn` -- the gate runs both against
+    the same oracle."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PERSISTED_MEMO:
+        path = tempfile.mkdtemp(prefix="lsh-index-")
+        save_index(load_table(spark, sf_dir, "embeddings"), path)
+        _PERSISTED_MEMO[key] = path
+    idx = load_index(spark, _PERSISTED_MEMO[key])
+    return lsh_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=idx)
+
+
+# --------------------------------------------------------------------------
+# ANN quality as a first-class gated query: recall@k of the approximate
+# probe against the exact flat scan. Both sides are deterministic (gated
+# elsewhere), so the overlap count is hash-checkable -- the engine measures
+# its own approximation error instead of asserting it only in tests.
+# --------------------------------------------------------------------------
+
+def lsh_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """(k, n_matched, recall_at_k): overlap of LSH top-k with exact top-k.
+
+    One plan: both top-k subtrees (each a TakeOrderedAndProject over the
+    shared cached index scan) feed a broadcast-able k-row join; at any
+    scale this adds only the k-row intersection to the two probes."""
+    from . import knn as knn_mod
+
+    exact = knn_mod.flat_knn(
+        spark, sf_dir, metric, k=k, query_vec_id=query_vec_id
+    ).select("vec_id")
+    approx = lsh_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id).select(
+        "vec_id"
+    )
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .select(
+            F.lit(k).alias("k"),
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )
+
+
+def lsh_recall_oracle(
+    metric: str = "cosine", k: int = 10, query_vec_id: int = 0
+) -> str:
+    d = oracle_distance_sql(metric, "p.v", "q.qv")
+    df = oracle_distance_sql(metric, "e.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {bucket_sql('embedding::DOUBLE[]')} AS bucket
+           FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv,
+             {bucket_sql('embedding::DOUBLE[]')} AS qbucket
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+flat AS (SELECT e.vec_id FROM e, q ORDER BY {df}, e.vec_id LIMIT {k}),
+cand AS (SELECT e.* FROM e, q WHERE e.bucket = q.qbucket),
+n AS (SELECT count(*) AS c FROM cand),
+pool AS (
+  SELECT * FROM cand WHERE (SELECT c FROM n) >= {k}
+  UNION ALL
+  SELECT * FROM e WHERE (SELECT c FROM n) < {k}
+),
+approx AS (SELECT p.vec_id FROM pool p, q ORDER BY {d}, p.vec_id LIMIT {k}),
+m AS (SELECT count(*) AS n_matched FROM flat JOIN approx USING (vec_id))
+SELECT {k} AS k, n_matched, n_matched::DOUBLE / {float(k)!r} AS recall_at_k FROM m
+""".strip()
