@@ -198,3 +198,15 @@ def test_streaming_dedup_keys_match_batch_twin(spark, sf_dir):
         for r in first_event_per_key(spark, sf_dir).collect()
     }
     assert stream_keys == batch_keys and stream_keys
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    from vector_db_from_scratch_spark.streaming.windows import (
+        sliding_counts,
+        sliding_counts_stream,
+    )
+
+    stream_res = run_stream_once(sliding_counts_stream(spark, sf_dir), "t_slide")
+    batch = sliding_counts(spark, sf_dir)
+    cols = ["window_start", "n", "total_value"]
+    assert _rows(stream_res, cols) == _rows(batch.select(*cols), cols)

@@ -619,20 +619,25 @@ def embedding_neardup(
     )
 
 
-def embedding_neardup_oracle(threshold: float = 0.4) -> str:
+def _embedding_pairs_cte(threshold: float) -> tuple[str, str]:
+    """(cte_body, final_select) halves of the embedding pair SQL, shared by
+    the pairs report and the clustering oracle (no rendered-string surgery)."""
     norm = "sqrt(list_inner_product(v, v))"
-    return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ctes = f"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, label,
              CASE WHEN {norm} = 0 THEN v
                   ELSE list_transform(v, x -> x / {norm}) END AS u
-      FROM e)
-SELECT a.vec_id AS v1, b.vec_id AS v2,
+      FROM e)"""
+    final = f"""SELECT a.vec_id AS v1, b.vec_id AS v2,
        (round(list_inner_product(a.u, b.u), 6) + 0.0) AS cos_sim
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE (round(list_inner_product(a.u, b.u), 6) + 0.0) >= {threshold}
-ORDER BY v1, v2
-""".strip()
+WHERE (round(list_inner_product(a.u, b.u), 6) + 0.0) >= {threshold}"""
+    return ctes, final
+
+
+def embedding_neardup_oracle(threshold: float = 0.4) -> str:
+    ctes, final = _embedding_pairs_cte(threshold)
+    return f"WITH {ctes}\n{final}\nORDER BY v1, v2"
 
 
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
@@ -902,16 +907,23 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     return labels.select("node", F.col("label").alias("cluster_rep"))
 
 
-_CLUSTER_TAIL = """
+def _cluster_tail(id_alias: str = "doc_id") -> str:
+    """Transitive-closure clustering over a ``pairs(d1, d2)`` CTE; the id
+    column is aliased per entity kind (doc_id for text graphs, vec_id for
+    embedding graphs)."""
+    return f"""
 edges AS (SELECT d1 AS a, d2 AS b FROM pairs
           UNION ALL
           SELECT d2, d1 FROM pairs),
 reach(a, b) AS (SELECT a, b FROM edges
                 UNION
                 SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
-FROM reach GROUP BY a ORDER BY doc_id
+SELECT a AS {id_alias}, least(a, min(b)) AS cluster_rep
+FROM reach GROUP BY a ORDER BY {id_alias}
 """.strip()
+
+
+_CLUSTER_TAIL = _cluster_tail("doc_id")
 
 
 def neardup_clusters_oracle(threshold: float = 0.3) -> str:
@@ -1005,3 +1017,27 @@ def exact_dedup_normalized_oracle() -> str:
 SELECT min(doc_id) AS rep_doc_id, count(*) AS n_copies
 FROM documents GROUP BY md5({norm}) ORDER BY rep_doc_id
 """.strip()
+
+
+def embedding_neardup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Connected components over the embedding-cosine pair graph -- semantic
+    dedup decisions (keep min vec_id per component), completing the
+    pairs -> clusters composition for the embedding modality exactly as
+    :func:`neardup_clusters` does for text."""
+    pairs = embedding_neardup(spark, sf_dir, threshold).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2")
+    )
+    return _clusters_cached(spark, sf_dir, threshold, "embedding", pairs).select(
+        F.col("node").alias("vec_id"), "cluster_rep"
+    ).orderBy("vec_id")
+
+
+def embedding_neardup_clusters_oracle(threshold: float = 0.4) -> str:
+    ctes, final = _embedding_pairs_cte(threshold)
+    return (
+        f"WITH RECURSIVE {ctes},\n"
+        f"pairs AS (SELECT v1 AS d1, v2 AS d2 FROM ({final}) t),\n"
+        f"{_cluster_tail('vec_id')}"
+    )

@@ -1434,3 +1434,35 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_custkey, o_orderkey
 """.strip()
+
+
+def sketch_accuracy_report(spark: SparkSession, sf_dir: str, tol: float = 0.1) -> DataFrame:
+    """Sketch aggregates under the gate: the HLL distinct-count estimate
+    per event type, reduced to a DETERMINISTIC verdict -- is the estimate
+    within ``tol`` of the exact count? Each engine's sketch is internally
+    deterministic for fixed data, and both sit far inside a 10% band at
+    default precision, so the boolean (plus the exact count it is judged
+    against) is hash-stable where the raw estimate is not -- this is how
+    the engine turns a rows-only sketch into an oracle-checked one."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id").alias("_est"),
+    )
+    within = (
+        F.abs(F.col("_est") - F.col("n_exact"))
+        <= F.col("n_exact").cast("double") * F.lit(tol)
+    )
+    return agg.select(
+        "event_type", "n_exact", within.alias("sketch_within_tol")
+    ).orderBy("event_type")
+
+
+def sketch_accuracy_report_oracle(tol: float = 0.1) -> str:
+    return f"""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= count(DISTINCT user_id) * {tol} AS sketch_within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()

@@ -90,7 +90,8 @@ _PRIORITY = [
     # dedup family, one per algorithm
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash_table", "dedup_cluster_components",
-    "dedup_embedding_lsh_blocked",
+    "dedup_embedding_lsh_blocked", "dedup_embedding_clusters",
+    "agg_sketch_accuracy",
     # text analysis
     "text_token_stats", "text_quality_scores", "text_language_id",
     "text_fingerprints",
@@ -237,6 +238,12 @@ def build() -> dict[str, Entry]:
     # sketch aggregates: rows-only (HLL/quantile internals differ per
     # engine); error-bounded against exact values in tests
     reg["agg_approx_stats"] = (r.approx_stats, None)
+    # the same sketch reduced to a deterministic within-tolerance verdict,
+    # which IS oracle-checkable (see sketch_accuracy_report docstring)
+    reg["agg_sketch_accuracy"] = (
+        r.sketch_accuracy_report,
+        r.sketch_accuracy_report_oracle(),
+    )
     # SQ8 scalar quantization: min/max training is exact and portable, so
     # this ANN compressor is FULLY hash-checked (unlike k-means IVF/PQ)
     for metric in ("cosine", "euclidean", "dot_product"):
@@ -318,6 +325,10 @@ def build() -> dict[str, Entry]:
     reg["dedup_cluster_components"] = (d.neardup_clusters, d.neardup_clusters_oracle())
     reg["dedup_cluster_minhash"] = (d.neardup_clusters_minhash, d.neardup_clusters_minhash_oracle())
     reg["dedup_embedding_cosine"] = (d.embedding_neardup, d.embedding_neardup_oracle())
+    reg["dedup_embedding_clusters"] = (
+        d.embedding_neardup_clusters,
+        d.embedding_neardup_clusters_oracle(),
+    )
     reg["dedup_embedding_lsh_blocked"] = (d.embedding_neardup_lsh, d.embedding_neardup_lsh_oracle())
 
     # --- approximate indexes: sign-bit LSH (reference Q3) and IVF ---
@@ -414,6 +425,7 @@ def build() -> dict[str, Entry]:
     # stream through a memory sink, compare to the batch-SQL oracle
     reg["stream_tumbling_drained"] = (w.tumbling_counts_drained, w.tumbling_counts_drained_oracle())
     reg["stream_session_drained"] = (w.session_stats_drained, w.session_stats_drained_oracle())
+    reg["stream_sliding_drained"] = (w.sliding_counts_drained, w.sliding_counts_drained_oracle())
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins

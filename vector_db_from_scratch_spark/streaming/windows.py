@@ -406,3 +406,45 @@ FROM sessions
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """.strip()
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of :func:`sliding_counts`: hopping windows (1 h / 30
+    min slide -- every event feeds two window states) with a watermark."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def sliding_counts_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming hopping-window aggregation drained through a memory
+    sink -- overlapping-window state (two live states per event) under the
+    DuckDB gate, completing the drained trio (tumbling / session /
+    sliding). Window starts surface as strings per the dtype-bridge note
+    on :func:`tumbling_counts_drained`."""
+    res = run_stream_once(sliding_counts_stream(spark, sf_dir), "t_gate_slide")
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "total_value",
+    ).orderBy("window_start")
+
+
+def sliding_counts_drained_oracle() -> str:
+    slot = (
+        "(date_trunc('hour', ts) + CASE WHEN extract(minute FROM ts) >= 30 "
+        "THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END)::TIMESTAMP"
+    )
+    return f"""
+WITH slots AS (
+  SELECT unnest([{slot}, {slot} - INTERVAL 30 MINUTE]) AS window_start, value
+  FROM events)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n, {osum('value')} AS total_value
+FROM slots
+GROUP BY window_start
+ORDER BY window_start
+""".strip()
