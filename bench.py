@@ -69,7 +69,11 @@ def main() -> None:
     # accumulates GC pressure across ~240 query executions (cold + warm
     # passes over every registered query with their cached index tables).
     # Size the heap to the bench box unless the caller pinned it.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    # 48g: at 138 registered queries the memoized artifacts (shingle index,
+    # LSH/IVF/PQ tables, pair tables, cluster labels) plus per-query state
+    # overflow a 32g old-gen and GC time leaks into warm samples (measured
+    # 2-6x inflation vs the same queries isolated).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
     import __spark_entry__ as entrymod
     from vector_db_from_scratch_spark.session import get_spark
@@ -83,7 +87,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     plans: dict[str, str] = {}
-    for name, fn in entrymod.queries().items():
+    # Execution order: batch queries first, streaming-engine queries LAST.
+    # The drained/stateful streaming queries spin up state stores,
+    # checkpoint checksum thread pools and streaming python workers that
+    # measurably poison subsequent batch timings in the same JVM (r02:
+    # skew_salted_join 0.8s -> 49s when it followed the stateful drain).
+    # queries() keeps its gate-facing priority order; only the bench
+    # iteration reorders.
+    all_queries = entrymod.queries()
+    ordered = [n for n in all_queries if not n.startswith("stream_")] + [
+        n for n in all_queries if n.startswith("stream_")
+    ]
+    for name in ordered:
+        fn = all_queries[name]
         if name in EXCLUDE:
             continue
         t0 = time.perf_counter()

@@ -45,7 +45,9 @@ ALLOWED_LANGS = ("de", "en", "es", "fr")
 NEAR_DUP_THRESHOLD = 0.3
 
 
-def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The pipeline's stage DataFrames (docs → gated → survivors → clean),
+    shared by the per-language report and the funnel observability query."""
     docs = load_table(spark, sf_dir, "documents")
     n_tok = T.token_count(F.col("text"))
     avg_len = F.length("text").cast("double") / n_tok.cast("double")
@@ -73,6 +75,11 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = survivors.join(drops, "doc_id", "left_anti")
+    return {"docs": docs, "gated": gated, "survivors": survivors, "clean": clean}
+
+
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = _corpus_stages(spark, sf_dir)["clean"]
 
     return (
         clean.groupBy("lang")
@@ -85,12 +92,12 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_prep_oracle() -> str:
+def _corpus_prep_ctes() -> str:
+    """CTE body shared by the per-language report and the funnel query."""
     nt = token_count_sql("text")
     langs = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
     pairs_sql = ngram_jaccard_pairs_oracle(NEAR_DUP_THRESHOLD)
-    return f"""
-WITH gated AS (
+    return f"""gated AS (
   SELECT doc_id, lang, text, {nt}::BIGINT AS n_tok
   FROM documents
   WHERE {nt} >= {QUALITY_MIN_TOKENS}
@@ -105,12 +112,46 @@ drops AS (SELECT DISTINCT p.d2 AS doc_id
           JOIN survivors s1 ON p.d1 = s1.doc_id
           JOIN survivors s2 ON p.d2 = s2.doc_id),
 clean AS (SELECT * FROM survivors
-          WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+          WHERE doc_id NOT IN (SELECT doc_id FROM drops))"""
+
+
+def corpus_prep_oracle() -> str:
+    return f"""
+WITH {_corpus_prep_ctes()}
 SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
        min(doc_id) AS first_doc
 FROM clean
 GROUP BY lang
 ORDER BY lang
+""".strip()
+
+
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: how many documents survive each stage
+    (raw → quality+language gate → exact dedup → near-dup drop). One row of
+    counts -- the numbers a 100 TB data-curation run reports per shard; each
+    stage count is a count-only aggregate over the shared stage plans, so
+    the funnel costs four scans of pruned columns and no extra shuffles."""
+    st = _corpus_stages(spark, sf_dir)
+    counts = [
+        st["docs"].agg(F.count(F.lit(1)).alias("n_raw")),
+        st["gated"].agg(F.count(F.lit(1)).alias("n_quality_lang")),
+        st["survivors"].agg(F.count(F.lit(1)).alias("n_after_exact")),
+        st["clean"].agg(F.count(F.lit(1)).alias("n_clean")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+def corpus_funnel_report_oracle() -> str:
+    return f"""
+WITH {_corpus_prep_ctes()}
+SELECT (SELECT count(*) FROM documents) AS n_raw,
+       (SELECT count(*) FROM gated) AS n_quality_lang,
+       (SELECT count(*) FROM survivors) AS n_after_exact,
+       (SELECT count(*) FROM clean) AS n_clean
 """.strip()
 
 

@@ -552,6 +552,9 @@ ORDER BY d1, d2
 # Embedding-cosine near-dup (blocked by label as the scale-path bucketing)
 # --------------------------------------------------------------------------
 
+_EMB_PAIRS_MEMO: dict[tuple[str, str, float], DataFrame] = _memo.register({})
+
+
 def _neardup_blocks(df: DataFrame, block_col: str, threshold: float) -> DataFrame:
     """Per-block pair similarity: each block's vectors cross the Arrow
     boundary once; the whole pair space is a single G = U.U^T matmul."""
@@ -595,9 +598,15 @@ def embedding_neardup(
     """
     emb = load_table(spark, sf_dir, "embeddings")
     if fast:
-        return _neardup_blocks(
-            emb.select("vec_id", "label", "embedding"), "label", threshold
-        )
+        # memoized: the verified pair table feeds both the pairs report and
+        # the clustering query (the materialized-artifact pattern of
+        # _jaccard_pairs_cached applied to the embedding modality)
+        key = (spark.sparkContext.applicationId, sf_dir, threshold)
+        if key not in _EMB_PAIRS_MEMO:
+            _EMB_PAIRS_MEMO[key] = _neardup_blocks(
+                emb.select("vec_id", "label", "embedding"), "label", threshold
+            ).cache()
+        return _EMB_PAIRS_MEMO[key]
 
     from ..functions.vector import dot, l2_norm
 

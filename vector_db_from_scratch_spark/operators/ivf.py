@@ -54,17 +54,28 @@ def argmin_cell(
     return out.select(*cols)
 
 
+_CELLS_MEMO: dict[tuple[str, str], DataFrame] = _memo.register({})
+
+
 def assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, embedding, cell): nearest centroid by (euclidean
     distance, cell) -- rounded distances so the argmin tie-break is
-    cross-engine deterministic."""
+    cross-engine deterministic. Memoized + cached like the trained
+    assignment: this IS the IVF index table (persisted partitionBy(cell)
+    at scale); five registry queries (per-metric probes, the batch probe,
+    the recall gate) were each re-running the full assignment cross-join."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CELLS_MEMO:
+        return _CELLS_MEMO[key]
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _centroids(spark, sf_dir)
     d = distance_expr("euclidean", F.col("embedding"), F.col("cv"))
     expanded = emb.crossJoin(F.broadcast(cent)).withColumn("cd", d)
-    return argmin_cell(expanded, "vec_id", ["label", "embedding"]).select(
+    out = argmin_cell(expanded, "vec_id", ["label", "embedding"]).select(
         "vec_id", "label", "embedding", "cell"
-    )
+    ).cache()
+    _CELLS_MEMO[key] = out
+    return out
 
 
 def ivf_knn(

@@ -308,6 +308,11 @@ def build() -> dict[str, Entry]:
         corpus.corpus_chunk_documents,
         corpus.corpus_chunk_documents_oracle(),
     )
+    # per-stage survivor counts: the curation run's observability row
+    reg["pipeline_funnel_report"] = (
+        corpus.corpus_funnel_report,
+        corpus.corpus_funnel_report_oracle(),
+    )
     reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs, d.ngram_jaccard_pairs_oracle())
     reg["dedup_ngram_jaccard_dfcap"] = (d.ngram_jaccard_pairs_dfcap, d.ngram_jaccard_pairs_dfcap_oracle())
     reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
