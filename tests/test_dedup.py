@@ -169,3 +169,32 @@ def test_chunk_documents_reconstructs_and_overlaps(spark, sf_dir):
         assert rebuilt == text
         for c in mine[:-1]:
             assert len(c["chunk_text"]) <= CHUNK_SIZE
+
+
+def test_incremental_ingest_verdicts_consistent(spark, sf_dir):
+    """Every delta doc gets exactly one verdict; exact_dup docs really have
+    an identical earlier/base text, and 'new' docs have none."""
+    from vector_db_from_scratch_spark.operators.dedup import (
+        INGEST_DELTA_BUCKETS,
+        INGEST_DELTA_MOD,
+        incremental_ingest_dedup,
+    )
+
+    rows = incremental_ingest_dedup(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    delta_ids = {i for i in docs if i % INGEST_DELTA_MOD in INGEST_DELTA_BUCKETS}
+    assert {r["doc_id"] for r in rows} == delta_ids
+    for r in rows:
+        i, text = r["doc_id"], docs[r["doc_id"]]
+        earlier_same = any(
+            docs[j] == text
+            for j in docs
+            if j != i and (j % INGEST_DELTA_MOD not in INGEST_DELTA_BUCKETS or j < i)
+        )
+        if r["verdict"] == "exact_dup":
+            assert earlier_same, i
+        elif r["verdict"] == "new":
+            assert not earlier_same, i

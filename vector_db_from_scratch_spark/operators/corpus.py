@@ -423,3 +423,70 @@ SELECT doc_id * 1000000 + (start // {stride}) AS chunk_id,
 FROM starts
 ORDER BY chunk_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Data-mixing schedule: allocate a token budget across sources by weight
+# (the Pile/Dolma-style corpus mixing step). Weights here are a
+# deterministic function of the source index (stand-in for the curated
+# per-domain weights of a production mix); the schedule solves
+# keep_rate_s = min(1, budget * w_s / sum(w) / tokens_s) -- i.e. how much
+# of each source to sample so the weighted mix fits the budget. One
+# aggregation by source; every derived number is integer arithmetic
+# followed by identical IEEE divisions in both engines.
+# --------------------------------------------------------------------------
+
+MIX_BUDGET_FRACTION = 2  # budget = total_tokens // 2
+
+
+def corpus_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("long")).alias("tokens"),
+    )
+    w = (F.regexp_extract("source", "[0-9]+", 0).cast("long") % 4) + 1
+    weighted = per_src.withColumn("weight", w)
+    totals = weighted.agg(
+        (F.sum("tokens") / F.lit(MIX_BUDGET_FRACTION)).cast("long").alias("budget"),
+        F.sum("weight").alias("sum_w"),
+    )
+    alloc = (
+        F.col("budget").cast("double")
+        * F.col("weight").cast("double")
+        / F.col("sum_w").cast("double")
+    )
+    keep = F.least(F.lit(1.0), alloc / F.col("tokens").cast("double"))
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "weight",
+            keep.alias("keep_rate"),
+            F.round(keep * F.col("tokens").cast("double")).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_mix_schedule_oracle() -> str:
+    nt = token_count_sql("text")
+    return f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs, sum({nt}::BIGINT)::BIGINT AS tokens,
+         (regexp_extract(source, '[0-9]+')::BIGINT % 4) + 1 AS weight
+  FROM documents GROUP BY source),
+tot AS (SELECT (sum(tokens) // {MIX_BUDGET_FRACTION})::BIGINT AS budget,
+               sum(weight)::BIGINT AS sum_w
+        FROM per_src)
+SELECT source, n_docs, tokens, weight,
+       least(1.0, budget::DOUBLE * weight::DOUBLE / sum_w::DOUBLE
+                  / tokens::DOUBLE) AS keep_rate,
+       round(least(1.0, budget::DOUBLE * weight::DOUBLE / sum_w::DOUBLE
+                  / tokens::DOUBLE) * tokens::DOUBLE)::BIGINT AS kept_tokens
+FROM per_src, tot
+ORDER BY source
+""".strip()

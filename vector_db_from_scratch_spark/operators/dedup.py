@@ -1050,3 +1050,126 @@ def embedding_neardup_clusters_oracle(threshold: float = 0.4) -> str:
         f"pairs AS (SELECT v1 AS d1, v2 AS d2 FROM ({final}) t),\n"
         f"{_cluster_tail('vec_id')}"
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental ingestion dedup: classify a DELTA batch of documents against
+# the already-ingested BASE corpus -- the operation a production pipeline
+# runs per arriving shard, where re-deduplicating the full corpus is
+# unaffordable. Verdict priority: exact duplicate (of base, or of an
+# earlier delta doc) > near-duplicate (shingle Jaccard vs base or earlier
+# delta) > new. The delta is a fixed deterministic slice here (doc_id mod
+# 10 in {8, 9}); in production it is the arriving partition.
+#
+# Scale shape: the delta is small relative to base, so every join below is
+# a broadcast of delta-side keys against the base scan / shingle index --
+# no base-sized shuffle. The base md5 set and shingle index are the
+# persisted artifacts exact_dedup / ngram_jaccard already maintain.
+# --------------------------------------------------------------------------
+
+INGEST_DELTA_MOD = 10
+INGEST_DELTA_BUCKETS = (8, 9)  # doc_id % 10 in {8,9} -> the arriving 20%
+
+
+def _ingest_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_delta = (F.col("doc_id") % INGEST_DELTA_MOD).isin(*INGEST_DELTA_BUCKETS)
+    return docs.filter(~is_delta), docs.filter(is_delta)
+
+
+def incremental_ingest_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """(doc_id, verdict) for every delta document: 'exact_dup',
+    'near_dup', or 'new'."""
+    base, delta = _ingest_split(spark, sf_dir)
+    sh = _shingle_index(spark, sf_dir)
+    is_delta_id = (F.col("doc_id") % INGEST_DELTA_MOD).isin(*INGEST_DELTA_BUCKETS)
+
+    base_h = base.select(F.md5("text").alias("h"))
+    delta_h = delta.select("doc_id", F.md5("text").alias("h"))
+    # exact vs base, or vs an earlier delta doc with the same text
+    exact_vs_base = delta_h.join(base_h, "h", "left_semi")
+    first_delta = delta_h.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    exact_vs_delta = delta_h.join(first_delta, "h").filter(
+        F.col("doc_id") > F.col("first_id")
+    )
+    exact_ids = (
+        exact_vs_base.select("doc_id")
+        .unionAll(exact_vs_delta.select("doc_id"))
+        .distinct()
+    )
+
+    # near-dup: Jaccard >= threshold against base or an earlier delta doc.
+    # Reuses the corpus shingle index; candidates form only on shared
+    # shingles (inverted-index discipline, no delta x base cross join).
+    sh_delta = sh.filter(is_delta_id)
+    sh_other = sh  # base + delta; the d2 > d1 guard keeps earlier docs only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh_other.alias("a"), sh_delta.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
+    near_ids = (
+        inter.join(sa, "d1").join(sb, "d2")
+        .filter(jac >= threshold)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+
+    verdict = (
+        F.when(F.col("is_exact"), F.lit("exact_dup"))
+        .when(F.col("is_near"), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        delta.select("doc_id")
+        .join(exact_ids.withColumn("is_exact", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("is_near", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def incremental_ingest_dedup_oracle(threshold: float = 0.3) -> str:
+    bkts = ", ".join(str(b) for b in INGEST_DELTA_BUCKETS)
+    return f"""
+WITH {_shingle_index_sql()},
+delta AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % {INGEST_DELTA_MOD} IN ({bkts})),
+base AS (SELECT doc_id, text FROM documents
+         WHERE doc_id % {INGEST_DELTA_MOD} NOT IN ({bkts})),
+dh AS (SELECT doc_id, md5(text) AS h FROM delta),
+exact_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT d.doc_id FROM dh d JOIN (SELECT md5(text) AS h FROM base) b USING (h)
+    UNION ALL
+    SELECT d.doc_id FROM dh d
+    JOIN (SELECT h, min(doc_id) AS first_id FROM dh GROUP BY h) f USING (h)
+    WHERE d.doc_id > f.first_id) t),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          WHERE b.doc_id % {INGEST_DELTA_MOD} IN ({bkts})
+          GROUP BY d1, d2),
+near_ids AS (
+  SELECT DISTINCT d2 AS doc_id
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE c::DOUBLE / (s1.n + s2.n - c)::DOUBLE >= {threshold})
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict
+FROM delta d
+LEFT JOIN exact_ids e ON d.doc_id = e.doc_id
+LEFT JOIN near_ids n ON d.doc_id = n.doc_id
+ORDER BY d.doc_id
+""".strip()

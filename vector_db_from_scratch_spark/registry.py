@@ -91,7 +91,7 @@ _PRIORITY = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash_table", "dedup_cluster_components",
     "dedup_embedding_lsh_blocked", "dedup_embedding_clusters",
-    "agg_sketch_accuracy",
+    "dedup_incremental_ingest", "agg_sketch_accuracy",
     # text analysis
     "text_token_stats", "text_quality_scores", "text_language_id",
     "text_fingerprints",
@@ -99,7 +99,8 @@ _PRIORITY = [
     "search_bm25", "search_hybrid_rrf",
     # corpus pipeline
     "pipeline_corpus_prep", "pipeline_decontaminate",
-    "pipeline_chunk_documents",
+    "pipeline_chunk_documents", "pipeline_funnel_report",
+    "pipeline_mix_schedule",
     # event-time windows + the streaming engine under the gate
     "window_tumbling_events", "window_session_events",
     "stream_tumbling_drained", "stream_stateful_first_event",
@@ -313,6 +314,11 @@ def build() -> dict[str, Entry]:
         corpus.corpus_funnel_report,
         corpus.corpus_funnel_report_oracle(),
     )
+    # token-budget allocation across weighted sources (corpus mixing)
+    reg["pipeline_mix_schedule"] = (
+        corpus.corpus_mix_schedule,
+        corpus.corpus_mix_schedule_oracle(),
+    )
     reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs, d.ngram_jaccard_pairs_oracle())
     reg["dedup_ngram_jaccard_dfcap"] = (d.ngram_jaccard_pairs_dfcap, d.ngram_jaccard_pairs_dfcap_oracle())
     reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
@@ -333,6 +339,12 @@ def build() -> dict[str, Entry]:
     reg["dedup_embedding_clusters"] = (
         d.embedding_neardup_clusters,
         d.embedding_neardup_clusters_oracle(),
+    )
+    # per-shard incremental ingestion: classify a delta batch against the
+    # ingested base (exact_dup / near_dup / new) without full re-dedup
+    reg["dedup_incremental_ingest"] = (
+        d.incremental_ingest_dedup,
+        d.incremental_ingest_dedup_oracle(),
     )
     reg["dedup_embedding_lsh_blocked"] = (d.embedding_neardup_lsh, d.embedding_neardup_lsh_oracle())
 
