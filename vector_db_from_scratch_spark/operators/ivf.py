@@ -467,3 +467,36 @@ approx AS (SELECT p.vec_id FROM assign p JOIN probe USING (cell), q
 m AS (SELECT count(*) AS n_matched FROM flat JOIN approx USING (vec_id))
 SELECT {k} AS k, n_matched, n_matched::DOUBLE / {float(k)!r} AS recall_at_k FROM m
 """.strip()
+
+
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index introspection: per-cell occupancy of the IVF assignment --
+    the IVF twin of lsh.bucket_stats (persisted index metadata, S10
+    analog). One groupBy on a small int key over the memoized assignment
+    table; at any scale the shuffle moves n_cells rows per partition."""
+    assigned = assign_cells(spark, sf_dir)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("first_vec"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_cell_stats_oracle() -> str:
+    eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {NUM_CELLS}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {eu}, c.cell) AS rn
+    FROM e, cent c)
+  WHERE rn = 1)
+SELECT cell, count(*) AS n_vectors, min(vec_id) AS first_vec
+FROM assign GROUP BY cell ORDER BY cell
+""".strip()

@@ -517,3 +517,61 @@ FROM tok
 GROUP BY source
 ORDER BY source
 """.strip()
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k bigrams per language by document frequency -- the
+    heavy-hitter extraction behind vocabulary building and boilerplate
+    detection. Distinct-per-doc first (document frequency, not term
+    frequency), then one aggregation and a per-language top-k window.
+    At 100 TB the bigram strings would be hashed before the shuffle with
+    the dictionary restored from a small join, exactly like the shingle
+    index; the window key (lang) is low-cardinality but the heavy
+    aggregation below it has already reduced rows to distinct bigrams."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    bigrams = F.array_distinct(
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    df = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), "bigram")
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("lang", "rnk", "bigram", "doc_freq")
+        .orderBy("lang", "rnk")
+    )
+
+
+def ngram_topk_oracle(k: int = 5) -> str:
+    t = "str_split(text, ' ')"
+    bi = (
+        f"list_distinct(list_transform(range(1, greatest(len({t}) - 1, 0) + 1), "
+        f"i -> {t}[i] || ' ' || {t}[i+1]))"
+    )
+    return f"""
+WITH ex AS (SELECT lang, unnest({bi}) AS bigram FROM documents),
+counts AS (SELECT lang, bigram, count(*) AS doc_freq
+           FROM ex GROUP BY lang, bigram),
+ranked AS (SELECT lang, bigram, doc_freq,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY doc_freq DESC, bigram) AS rnk
+           FROM counts)
+SELECT lang, rnk, bigram, doc_freq
+FROM ranked WHERE rnk <= {k}
+ORDER BY lang, rnk
+""".strip()

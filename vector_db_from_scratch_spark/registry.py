@@ -280,6 +280,7 @@ def build() -> dict[str, Entry]:
     reg["text_repetition_metrics"] = (t.repetition_metrics, t.repetition_metrics_oracle())
     reg["text_unigram_lm_scores"] = (t.unigram_lm_scores, t.unigram_lm_scores_oracle())
     reg["text_vocab_growth"] = (t.vocab_growth, t.vocab_growth_oracle())
+    reg["text_ngram_topk"] = (t.ngram_topk, t.ngram_topk_oracle())
 
     # --- keyword search + hybrid retrieval (lexical twin of the vector path) ---
     reg["search_bm25"] = (search.bm25_topk, search.bm25_topk_oracle())
@@ -371,6 +372,7 @@ def build() -> dict[str, Entry]:
     )
     # index introspection: bucket occupancy histogram (S10-metadata analog)
     reg["lsh_bucket_stats"] = (lsh.bucket_stats, lsh.bucket_stats_oracle())
+    reg["ivf_cell_stats"] = (ivf.ivf_cell_stats, ivf.ivf_cell_stats_oracle())
     # S10/S11 persisted-artifact round trip: save partitionBy(bucket),
     # load, probe -- the probe is a partition-pruned parquet read
     reg["lsh_index_persisted_knn"] = (
