@@ -1466,3 +1466,53 @@ SELECT event_type,
          <= count(DISTINCT user_id) * {tol} AS sketch_within_tol
 FROM events GROUP BY event_type ORDER BY event_type
 """.strip()
+
+
+def product_profit(spark: SparkSession, sf_dir: str, name_like: str = "widget") -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: per (supplier nation, order
+    year), profit over parts whose name contains ``name_like``. The
+    testdata has no partsupp table, so supply cost is proxied as 10% of
+    p_retailprice (amount = extprice*(1-disc) - 0.1*retailprice*qty) --
+    the join/aggregation SHAPE is Q9's (lineitem ⋈ part ⋈ supplier ⋈
+    orders ⋈ nation): the fact scan joins two broadcast dims and one
+    co-keyed orders join, then one (nation, year) group-by. Amounts carry
+    <= 6 decimal places, so the micro-unit decimal sum is exact
+    (docstring of dsum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(name_like)
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - (
+        F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("profit"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def product_profit_oracle(name_like: str = "widget") -> str:
+    amt = "l_extendedprice * (1.0 - l_discount) - 0.1 * p_retailprice * l_quantity"
+    return f"""
+SELECT n_name AS nation, extract(year FROM o_orderdate)::BIGINT AS o_year,
+       {osum(amt)} AS profit, count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE contains(p_name, '{name_like}')
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""".strip()

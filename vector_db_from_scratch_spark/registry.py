@@ -422,6 +422,7 @@ def build() -> dict[str, Entry]:
     reg["tpch_promo_revenue"] = (r.promo_revenue, r.promo_revenue_oracle())
     reg["tpch_small_qty_revenue"] = (r.small_quantity_revenue, r.small_quantity_revenue_oracle())
     reg["tpch_disjunctive_revenue"] = (r.disjunctive_revenue, r.disjunctive_revenue_oracle())
+    reg["tpch_product_profit"] = (r.product_profit, r.product_profit_oracle())
     reg["agg_value_percentiles"] = (r.value_percentiles, r.value_percentiles_oracle())
     reg["window_order_analytics"] = (r.window_order_analytics, r.window_order_analytics_oracle())
 
