@@ -259,6 +259,55 @@ ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# Deterministic fixed-size per-group sample: exactly K documents per
+# (lang, source) stratum, chosen by smallest portable hash -- the
+# distributed, reproducible analog of per-group reservoir sampling
+# (inspection samples, eval-set carve-outs, per-source spot checks).
+# Unlike rate-based sampling (corpus_stratified_sample) the output size is
+# exact per group. At 100 TB the window would be preceded by a cheap
+# hash-range pre-filter (keep bucket < ~2K/|group| * SPLIT_BUCKETS) so the
+# rank never scans a full giant stratum; group count bounds parallelism
+# either way, and the hash order makes the sample stable under
+# repartitioning, backfills, and engine swap.
+# --------------------------------------------------------------------------
+
+GROUP_SAMPLE_K = 3
+
+
+def corpus_group_sample(
+    spark: SparkSession, sf_dir: str, k: int = GROUP_SAMPLE_K
+) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang", "source").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "source", "rank", "doc_id")
+        .orderBy("lang", "source", "rank")
+    )
+
+
+def corpus_group_sample_oracle(k: int = GROUP_SAMPLE_K) -> str:
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql("doc_id::VARCHAR")
+    return f"""
+WITH ranked AS (
+  SELECT lang, source, doc_id,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY {h}, doc_id) AS rank
+  FROM documents)
+SELECT lang, source, rank, doc_id
+FROM ranked WHERE rank <= {k}
+ORDER BY lang, source, rank
+""".strip()
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination: drop/flag training documents that share n-grams
 # with a held-out evaluation set (the GPT-3 / Dolma discipline -- n-gram
 # overlap against benchmarks, not similarity). The "benchmark" here is a

@@ -244,6 +244,60 @@ def ngram_jaccard_pairs_oracle(threshold: float = 0.3) -> str:
 
 
 # --------------------------------------------------------------------------
+# Containment near-dup: |A ∩ B| / |A| -- the asymmetric twin of Jaccard
+# that catches a document EMBEDDED in a larger one (quote-expansion,
+# boilerplate wrapping, prefix/suffix duplication), which symmetric Jaccard
+# under-scores as the size ratio grows. Same inverted-index self-join as
+# the Jaccard family (the intersection table is computed once for the
+# unordered pair and fanned out to both directions -- no second shuffle).
+# --------------------------------------------------------------------------
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6
+) -> DataFrame:
+    """(src_doc, dst_doc, containment): ordered pairs where at least
+    ``threshold`` of src's distinct shingles also appear in dst. The
+    division is a single IEEE op on two integers, so no rounding is needed
+    for oracle parity."""
+    sh = _shingle_index(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    both = inter.select(
+        F.col("d1").alias("src_doc"), F.col("d2").alias("dst_doc"), "c"
+    ).unionAll(
+        inter.select(F.col("d2").alias("src_doc"), F.col("d1").alias("dst_doc"), "c")
+    )
+    cont = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        both.join(sizes.select(F.col("doc_id").alias("src_doc"), "n"), "src_doc")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("src_doc", "dst_doc", "containment")
+        .orderBy("src_doc", "dst_doc")
+    )
+
+
+def containment_pairs_oracle(threshold: float = 0.6) -> str:
+    ctes, _ = _jaccard_pairs_cte(threshold)  # sh / sizes / inter CTEs only
+    return f"""
+WITH {ctes},
+dirs AS (SELECT d1 AS src_doc, d2 AS dst_doc, c FROM inter
+         UNION ALL
+         SELECT d2 AS src_doc, d1 AS dst_doc, c FROM inter)
+SELECT src_doc, dst_doc, c::DOUBLE / s.n::DOUBLE AS containment
+FROM dirs JOIN sizes s ON src_doc = s.doc_id
+WHERE c::DOUBLE / s.n::DOUBLE >= {threshold}
+ORDER BY src_doc, dst_doc
+""".strip()
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH banding: K signatures, B bands; candidates = band-key
 # equi-join; final pairs verified with exact Jaccard. The oracle replicates
 # the complete pipeline, so Spark and DuckDB see identical candidates.

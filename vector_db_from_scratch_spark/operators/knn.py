@@ -220,6 +220,54 @@ FROM scored WHERE rank <= {k}
 """.strip()
 
 
+def radius_search(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    radius: float = 0.35,
+    query_vec_id: int = 0,
+    limit: int = 100,
+) -> DataFrame:
+    """Range (radius) search: every vector within ``radius`` of the query,
+    ascending -- the fixed-threshold twin of top-k (the reference caps by
+    count, vector_db/indexes.py:86-89; production retrieval also needs the
+    cap-by-distance form, e.g. "all near-duplicates of this embedding").
+
+    Plan shape is identical to :func:`flat_knn` except the cutoff is a
+    plain filter on the distance column: Catalyst keeps the scan
+    embarrassingly parallel and TakeOrderedAndProject bounds the driver
+    transfer by ``limit`` even when the radius over-matches.
+    """
+    emb = load_table(spark, sf_dir, EMB)
+    joined = emb.crossJoin(F.broadcast(query_vector_df(spark, sf_dir, query_vec_id)))
+    return (
+        joined.select(
+            "vec_id",
+            distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+        )
+        .filter(F.col("distance") <= radius)
+        .orderBy("distance", "vec_id")
+        .limit(limit)
+    )
+
+
+def radius_search_oracle(
+    metric: str = "cosine",
+    radius: float = 0.35,
+    query_vec_id: int = 0,
+    limit: int = 100,
+) -> str:
+    d = oracle_distance_sql(metric, "e.ee", "q.qe")
+    return f"""
+SELECT e.vec_id AS vec_id, {d} AS distance
+FROM (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings) e,
+     (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {query_vec_id}) q
+WHERE {d} <= {radius}
+ORDER BY distance, vec_id
+LIMIT {limit}
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # Multi-tenant k-NN: top-k per label partition in ONE query -- the engine
 # analog of the reference's per-library index (every library owns its own

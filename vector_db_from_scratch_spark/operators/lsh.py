@@ -26,7 +26,7 @@ Spark-first design:
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import _memo
@@ -430,6 +430,65 @@ def lsh_recall(
             (F.col("n_matched").cast("double") / F.lit(float(k))).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate k-NN graph: every vector's nearest neighbors WITHIN its LSH
+# bucket -- the all-pairs building block for graph-based dedup/clustering
+# (semantic dedup, SemDeDup-style) that a 100 TB pipeline runs instead of
+# the quadratic exact graph. The self-join key is the bucket column, so the
+# shuffle is an equi-join on an 8-bit key with w.h.p.-bounded bucket sizes
+# (occupancy is observable via bucket_stats); the per-vector top-n window
+# partitions by vec_id inside each bucket -- no global funnel anywhere.
+# --------------------------------------------------------------------------
+
+def knn_graph_blocked(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    neighbors: int = 2,
+) -> DataFrame:
+    """(vec_id, rank, nbr_id, distance): top-``neighbors`` nearest vectors
+    sharing the vector's LSH bucket (vectors alone in their bucket emit no
+    rows -- same contract as the oracle)."""
+    emb = index_table(spark, sf_dir)
+    a = emb.select("vec_id", "bucket", "embedding")
+    b = emb.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("bucket").alias("nbr_bucket"),
+        F.col("embedding").alias("nbr_emb"),
+    )
+    scored = (
+        a.join(b, (F.col("bucket") == F.col("nbr_bucket")) & (F.col("vec_id") != F.col("nbr_id")))
+        .select(
+            "vec_id",
+            "nbr_id",
+            distance_expr(metric, F.col("embedding"), F.col("nbr_emb")).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("distance", "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= neighbors)
+        .select("vec_id", "rank", "nbr_id", "distance")
+        .orderBy("vec_id", "rank")
+    )
+
+
+def knn_graph_blocked_oracle(metric: str = "cosine", neighbors: int = 2) -> str:
+    d = oracle_distance_sql(metric, "a.v", "b.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {bucket_sql('embedding::DOUBLE[]')} AS bucket
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, {d} AS distance,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY {d}, b.vec_id) AS rank
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+SELECT vec_id, rank, nbr_id, distance
+FROM pairs WHERE rank <= {neighbors}
+ORDER BY vec_id, rank
+""".strip()
 
 
 def lsh_recall_oracle(

@@ -292,6 +292,70 @@ ORDER BY doc_id, fp
 
 
 # --------------------------------------------------------------------------
+# Boilerplate fraction: how much of a document is corpus-common text --
+# the cross-document twin of the within-document repetition metrics below
+# (RefinedWeb/C4 drop lines that recur across many pages; on this corpus
+# the unit is the 3-word shingle). A document whose shingles mostly appear
+# in >= BOILERPLATE_MIN_DF other documents is template/boilerplate, not
+# content. Reuses the memoized shingle index and its df sidecar (the same
+# artifacts the dedup family shares), so the only new work is one
+# broadcast-joined aggregation -- at 100 TB this query rides the already
+# materialized index tables.
+# --------------------------------------------------------------------------
+
+BOILERPLATE_MIN_DF = 5
+BOILERPLATE_FRAC_MAX = 0.5
+
+
+def boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_common, common_frac, boilerplate_flag):
+    fraction of each doc's distinct shingles whose corpus document
+    frequency is >= BOILERPLATE_MIN_DF."""
+    from .dedup import _shingle_df_counts, _shingle_index
+
+    sh = _shingle_index(spark, sf_dir)
+    dfc = _shingle_df_counts(spark, sf_dir)
+    per_doc = (
+        sh.join(dfc, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= BOILERPLATE_MIN_DF, 1).otherwise(0)
+            ).cast("long").alias("n_common"),
+        )
+    )
+    frac = F.round(
+        F.col("n_common").cast("double") / F.col("n_shingles").cast("double"), 6
+    ) + F.lit(0.0)
+    return (
+        per_doc.withColumn("common_frac", frac)
+        .withColumn("boilerplate_flag", F.col("common_frac") > BOILERPLATE_FRAC_MAX)
+        .select("doc_id", "n_shingles", "n_common", "common_frac", "boilerplate_flag")
+        .orderBy("doc_id")
+    )
+
+
+def boilerplate_fraction_oracle() -> str:
+    from .dedup import _shingle_index_sql
+
+    return f"""
+WITH {_shingle_index_sql()},
+dfc AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+per_doc AS (
+  SELECT s.doc_id AS doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN d.df >= {BOILERPLATE_MIN_DF} THEN 1 ELSE 0 END)::BIGINT AS n_common
+  FROM sh s JOIN dfc d USING (sh)
+  GROUP BY s.doc_id)
+SELECT doc_id, n_shingles, n_common,
+       round(n_common::DOUBLE / n_shingles::DOUBLE, 6) + 0.0 AS common_frac,
+       (round(n_common::DOUBLE / n_shingles::DOUBLE, 6) + 0.0) > {BOILERPLATE_FRAC_MAX} AS boilerplate_flag
+FROM per_doc
+ORDER BY doc_id
+""".strip()
+
+
+# --------------------------------------------------------------------------
 # Repetition metrics (Gopher-style quality rules, Rae et al. 2021 §A1.1):
 # within-document repetition is the strongest single predictor of junk in
 # web corpora. Two signals per doc: the fraction of tokens taken by the

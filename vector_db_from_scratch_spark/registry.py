@@ -176,6 +176,17 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: knn.knn_per_label(spark, sf, "cosine", k=3, query_vec_id=0),
         knn.knn_per_label_oracle("cosine", k=3, query_vec_id=0),
     )
+    # range (radius) search: cap-by-distance twin of top-k (0.72 sits inside
+    # the testdata's near-neighbor band -- ~10 hits, a real cutoff)
+    reg["knn_radius"] = (
+        lambda spark, sf: knn.radius_search(spark, sf, "cosine", radius=0.72, query_vec_id=0),
+        knn.radius_search_oracle("cosine", radius=0.72, query_vec_id=0),
+    )
+    # approximate k-NN graph blocked by LSH bucket (all-pairs at scale)
+    reg["knn_graph_blocked"] = (
+        lambda spark, sf: lsh.knn_graph_blocked(spark, sf, "cosine", neighbors=2),
+        lsh.knn_graph_blocked_oracle("cosine", neighbors=2),
+    )
 
     # --- relational suite over the TPC-H-ish tables (SURVEY §2.1-2.6) ---
     r = relational
@@ -281,6 +292,11 @@ def build() -> dict[str, Entry]:
     reg["text_unigram_lm_scores"] = (t.unigram_lm_scores, t.unigram_lm_scores_oracle())
     reg["text_vocab_growth"] = (t.vocab_growth, t.vocab_growth_oracle())
     reg["text_ngram_topk"] = (t.ngram_topk, t.ngram_topk_oracle())
+    # cross-document boilerplate fraction over the shared shingle artifacts
+    reg["text_boilerplate_fraction"] = (
+        t.boilerplate_fraction,
+        t.boilerplate_fraction_oracle(),
+    )
 
     # --- keyword search + hybrid retrieval (lexical twin of the vector path) ---
     reg["search_bm25"] = (search.bm25_topk, search.bm25_topk_oracle())
@@ -320,7 +336,14 @@ def build() -> dict[str, Entry]:
         corpus.corpus_mix_schedule,
         corpus.corpus_mix_schedule_oracle(),
     )
+    # deterministic fixed-size per-group sample (reservoir analog)
+    reg["pipeline_group_sample"] = (
+        corpus.corpus_group_sample,
+        corpus.corpus_group_sample_oracle(),
+    )
     reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs, d.ngram_jaccard_pairs_oracle())
+    # asymmetric containment |A∩B|/|A| over the same inverted index
+    reg["dedup_containment"] = (d.containment_pairs, d.containment_pairs_oracle())
     reg["dedup_ngram_jaccard_dfcap"] = (d.ngram_jaccard_pairs_dfcap, d.ngram_jaccard_pairs_dfcap_oracle())
     reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
     reg["dedup_minhash_autotuned"] = (
@@ -445,6 +468,8 @@ def build() -> dict[str, Entry]:
     # stream through a memory sink, compare to the batch-SQL oracle
     reg["stream_tumbling_drained"] = (w.tumbling_counts_drained, w.tumbling_counts_drained_oracle())
     reg["stream_session_drained"] = (w.session_stats_drained, w.session_stats_drained_oracle())
+    # built-in streaming dedup (dropDuplicates + watermark) under the gate
+    reg["stream_dedup_drained"] = (w.dedup_drained, w.dedup_drained_oracle())
     reg["stream_sliding_drained"] = (w.sliding_counts_drained, w.sliding_counts_drained_oracle())
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())

@@ -343,6 +343,41 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.dropDuplicates(["user_id", "event_type"])
 
 
+def dedup_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in streaming dedup operator (dropDuplicates over a
+    watermarked stream -- bounded state, reaped as event time advances)
+    under the oracle gate. Which physical row survives per key is
+    batch-arrival-dependent, so the gated result is the DETERMINISTIC
+    reduction: the per-user count of distinct first-seen event types --
+    invariant to which duplicate won. Drained in append mode (dedup is not
+    an aggregation; complete mode does not apply)."""
+    deduped = dedup_stream(spark, sf_dir).select("user_id", "event_type")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_gate_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    res = spark.sql("SELECT * FROM t_gate_dedup")
+    return (
+        res.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_event_types"))
+        .orderBy("user_id")
+    )
+
+
+def dedup_drained_oracle() -> str:
+    return """
+SELECT user_id, count(DISTINCT event_type) AS n_event_types
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""".strip()
+
+
 def tumbling_counts_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING tumbling aggregation, drained through a memory sink
     and returned as a batch DataFrame -- this puts the streaming engine
