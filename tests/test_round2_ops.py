@@ -84,6 +84,55 @@ def test_group_sample_exact_k_per_group(spark, sf_dir):
     assert sorted(map(tuple, sampled)) == sorted(map(tuple, again))
 
 
+def test_scd2_versions_and_current_flags(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.entity import scd2_history
+
+    rows = scd2_history(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, hist in by_doc.items():
+        hist.sort(key=lambda r: r["version"])
+        # exactly one current row per key, and it is the max version
+        currents = [r for r in hist if r["is_current"]]
+        assert len(currents) == 1 and currents[0]["version"] == hist[-1]["version"]
+        # non-current rows chain to their successor version
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to_version"] == b["version"]
+        # updated docs gained exactly one version with +100 chars
+        if doc_id % 7 == 0:
+            assert len(hist) == 2
+            assert hist[1]["n_chars"] == hist[0]["n_chars"] + 100
+        else:
+            assert len(hist) == 1
+
+
+def test_range_partition_report_balanced_and_ordered(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.maintenance import (
+        RANGE_BUCKETS,
+        range_partition_report,
+    )
+
+    rows = range_partition_report(spark, sf_dir).collect()
+    assert [r["range_id"] for r in rows] == list(range(1, RANGE_BUCKETS + 1))
+    counts = [r["n_rows"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile's balance guarantee
+    # ranges tile the value axis in order (boundaries may share a value)
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo"] <= a["hi"] <= b["lo"] <= b["hi"]
+
+
+def test_oov_rate_bounds_and_vocab_coverage(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.textops import oov_rate
+
+    rows = oov_rate(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r["oov_frac"] <= 1.0 for r in rows)
+    assert all(r["n_oov"] <= r["n_tokens"] for r in rows)
+    # a giant vocab drives OOV to zero everywhere
+    full = oov_rate(spark, sf_dir, vocab_k=10_000_000).collect()
+    assert all(r["n_oov"] == 0 for r in full)
+
+
 def test_stream_dedup_drained_matches_batch_distinct(spark, sf_dir):
     from vector_db_from_scratch_spark.streaming.windows import dedup_drained
 

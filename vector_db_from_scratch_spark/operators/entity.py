@@ -409,6 +409,65 @@ FROM documents ORDER BY doc_id
 """.strip()
 
 
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: apply a versioned
+    update batch to the documents dimension keeping FULL history -- every
+    row carries (version, valid_to_version, is_current). The warehouse form
+    of the reference's PATCH update (P4 keeps only the latest state; SCD2
+    is what an auditable 100 TB dimension actually stores).
+
+    The update batch here is the deterministic delta "docs with
+    doc_id % 7 == 0 re-measured 100 chars longer" so the driver tables
+    suffice. Plan shape: union + one window partitioned by the dimension
+    key -- the key hash-distributes, so history assembly is one shuffle
+    regardless of scale, and the 'current snapshot' view is the
+    is_current filter (pushed to the scan of a materialized history)."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base = docs.withColumn("version", F.lit(1))
+    delta = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") + F.lit(100)).alias("n_chars"),
+    ).withColumn("version", F.lit(2))
+    hist = base.unionByName(delta)
+    w = Window.partitionBy("doc_id").orderBy("version")
+    valid_to = F.coalesce(F.lead("version").over(w), F.lit(0))
+    return (
+        hist.select(
+            "doc_id",
+            F.col("version").cast("long").alias("version"),
+            "n_chars",
+            valid_to.cast("long").alias("valid_to_version"),
+        )
+        .withColumn("is_current", F.col("valid_to_version") == 0)
+        .orderBy("doc_id", "version")
+    )
+
+
+def scd2_history_oracle() -> str:
+    return """
+WITH hist AS (
+  SELECT doc_id, n_chars, 1 AS version FROM documents
+  UNION ALL
+  SELECT doc_id, n_chars + 100, 2 FROM documents WHERE doc_id % 7 = 0),
+v AS (
+  SELECT doc_id, version::BIGINT AS version, n_chars,
+         coalesce(lead(version) OVER (PARTITION BY doc_id ORDER BY version),
+                  0)::BIGINT AS valid_to_version
+  FROM hist)
+SELECT doc_id, version, n_chars, valid_to_version,
+       valid_to_version = 0 AS is_current
+FROM v ORDER BY doc_id, version
+""".strip()
+
+
 def batch_insert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D8 batch append as a union with literal rows, then a derived count
     (naturally atomic per write at scale)."""

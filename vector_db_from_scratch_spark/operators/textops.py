@@ -292,6 +292,71 @@ ORDER BY doc_id, fp
 
 
 # --------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate: fix the vocabulary to the corpus's top-K
+# tokens by total frequency (deterministic (freq desc, token) tie-break),
+# then score every document by its out-of-vocabulary token fraction -- the
+# tokenizer-coverage check run before committing a vocab size, and a
+# quality signal (high OOV = noise/wrong language). Two aggregations: the
+# wordcount shuffle and the per-doc rollup; the K-row vocab broadcasts into
+# the scoring join, so corpus size never shuffles twice.
+# --------------------------------------------------------------------------
+
+OOV_VOCAB_K = 30
+
+
+def oov_rate(spark: SparkSession, sf_dir: str, vocab_k: int = OOV_VOCAB_K) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_frac): fraction of token OCCURRENCES
+    outside the top-``vocab_k`` corpus vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(vocab_k)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    frac = F.round(
+        F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+    ) + F.lit(0.0)
+    return (
+        per_doc.withColumn("oov_frac", frac)
+        .select("doc_id", "n_tokens", "n_oov", "oov_frac")
+        .orderBy("doc_id")
+    )
+
+
+def oov_rate_oracle(vocab_k: int = OOV_VOCAB_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n FROM toks GROUP BY term
+    ORDER BY n DESC, term LIMIT {vocab_k})),
+per_doc AS (
+  SELECT t.doc_id AS doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov::DOUBLE / n_tokens::DOUBLE, 6) + 0.0 AS oov_frac
+FROM per_doc
+ORDER BY doc_id
+""".strip()
+
+
+# --------------------------------------------------------------------------
 # Boilerplate fraction: how much of a document is corpus-common text --
 # the cross-document twin of the within-document repetition metrics below
 # (RefinedWeb/C4 drop lines that recur across many pages; on this corpus

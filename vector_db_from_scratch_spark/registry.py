@@ -222,6 +222,14 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: entity.embedding_validation_stats(spark, sf),
         entity.embedding_validation_stats_oracle(),
     )
+    # SCD2 versioned dimension history (the auditable form of P4's PATCH)
+    reg["entity_scd2_history"] = (entity.scd2_history, entity.scd2_history_oracle())
+    # range-partition boundary + balance audit (sorted-layout planning)
+    from .operators import maintenance
+    reg["maintenance_range_bounds"] = (
+        maintenance.range_partition_report,
+        maintenance.range_partition_report_oracle(),
+    )
 
     # single-pass vector aggregate: quantize-to-6dp + exact decimal sums
     # make the centroid hash-checkable (unlike the iterative kmeans below)
@@ -297,6 +305,8 @@ def build() -> dict[str, Entry]:
         t.boilerplate_fraction,
         t.boilerplate_fraction_oracle(),
     )
+    # vocabulary coverage: per-doc OOV fraction against the top-K vocab
+    reg["text_oov_rate"] = (t.oov_rate, t.oov_rate_oracle())
 
     # --- keyword search + hybrid retrieval (lexical twin of the vector path) ---
     reg["search_bm25"] = (search.bm25_topk, search.bm25_topk_oracle())
