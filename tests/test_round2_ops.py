@@ -84,6 +84,48 @@ def test_group_sample_exact_k_per_group(spark, sf_dir):
     assert sorted(map(tuple, sampled)) == sorted(map(tuple, again))
 
 
+def test_radius_monotone_in_radius(spark, sf_dir):
+    small = {r["vec_id"] for r in radius_search(spark, sf_dir, radius=0.70, limit=10_000).collect()}
+    big = {r["vec_id"] for r in radius_search(spark, sf_dir, radius=0.76, limit=10_000).collect()}
+    assert small <= big
+
+
+def test_knn_graph_monotone_in_neighbors(spark, sf_dir):
+    one = {(e["vec_id"], e["nbr_id"]) for e in knn_graph_blocked(spark, sf_dir, neighbors=1).collect()}
+    three = {(e["vec_id"], e["nbr_id"]) for e in knn_graph_blocked(spark, sf_dir, neighbors=3).collect()}
+    assert one <= three
+
+
+def test_oov_monotone_in_vocab_size(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.textops import oov_rate
+
+    small = {r["doc_id"]: r["n_oov"] for r in oov_rate(spark, sf_dir, vocab_k=5).collect()}
+    big = {r["doc_id"]: r["n_oov"] for r in oov_rate(spark, sf_dir, vocab_k=50).collect()}
+    assert set(small) == set(big)
+    assert all(big[d] <= small[d] for d in small)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """containment(A,B) = |A∩B|/|A| >= |A∩B|/|A∪B| = jaccard for every
+    surviving pair -- checked on the engine's own outputs at equal
+    thresholds."""
+    from vector_db_from_scratch_spark.operators.dedup import ngram_jaccard_pairs
+
+    jac = {
+        (p["d1"], p["d2"]): p["jaccard"]
+        for p in ngram_jaccard_pairs(spark, sf_dir, threshold=0.1).collect()
+    }
+    cont = {
+        (p["src_doc"], p["dst_doc"]): p["containment"]
+        for p in containment_pairs(spark, sf_dir, threshold=0.1).collect()
+    }
+    assert jac
+    for (d1, d2), j in jac.items():
+        for key in ((d1, d2), (d2, d1)):
+            if key in cont:
+                assert cont[key] >= j - 1e-12
+
+
 def test_scd2_versions_and_current_flags(spark, sf_dir):
     from vector_db_from_scratch_spark.operators.entity import scd2_history
 

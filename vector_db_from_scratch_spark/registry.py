@@ -488,6 +488,11 @@ def build() -> dict[str, Entry]:
         stream_joins.click_purchase_batch_join,
         stream_joins.click_purchase_join_oracle(),
     )
+    # the actual watermarked stream-stream join drained under the gate
+    reg["stream_join_drained"] = (
+        stream_joins.click_purchase_join_drained,
+        stream_joins.click_purchase_join_drained_oracle(),
+    )
     # custom stateful operator (applyInPandasWithState) under the gate:
     # drain the stream, reduce to final per-key state, hash-match batch SQL
     from .streaming import stateful

@@ -77,6 +77,38 @@ def run_join_once(spark: SparkSession, sf_dir: str, name: str = "t_ssjoin") -> D
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def click_purchase_join_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL stream-stream interval join (two watermarked sides, bounded
+    join state) drained through an append-mode memory sink and put under
+    the oracle gate -- the batch twin above checks the join algebra, this
+    checks the streaming engine executing it. Timestamps surface as
+    strings for the same dtype-bridge reason as the drained windows."""
+    res = run_join_once(spark, sf_dir, "t_gate_ssjoin")
+    return res.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    ).orderBy("user_id", "purchase_id", "click_id")
+
+
+def click_purchase_join_drained_oracle() -> str:
+    return """
+WITH c AS (SELECT user_id AS c_user, event_id AS click_id, ts::TIMESTAMP AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts::TIMESTAMP AS purchase_ts
+      FROM events WHERE event_type = 'purchase')
+SELECT p_user AS user_id, purchase_id, click_id,
+       strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM c JOIN p ON c_user = p_user
+             AND click_ts <= purchase_ts
+             AND click_ts >= purchase_ts - INTERVAL 10 MINUTE
+ORDER BY user_id, purchase_id, click_id
+""".strip()
+
+
 def click_purchase_join_oracle() -> str:
     """Oracle for the batch twin (CTEs cast ts to microsecond TIMESTAMP so
     the interval comparisons happen at Spark's precision)."""
