@@ -1516,3 +1516,90 @@ WHERE contains(p_name, '{name_like}')
 GROUP BY 1, 2
 ORDER BY nation, o_year DESC
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery: orders priced above their customer's average.
+# Catalyst DECORRELATES this into an aggregate + join (RewriteCorrelatedScalarSubquery),
+# so the declarative per-row subquery executes as one shuffle-grouped
+# aggregation joined back -- the optimizer feature the SQL surface exposes
+# beyond what the DataFrame API spells out by hand. Averages are exact
+# micro-unit sums divided in double (determinism contract).
+# --------------------------------------------------------------------------
+
+def above_avg_orders(spark: SparkSession, sf_dir: str, min_ratio: float = 1.5) -> DataFrame:
+    """Orders whose o_totalprice exceeds min_ratio x their customer's mean
+    order value -- a TRUE correlated scalar subquery in the SQL text; both
+    engines decorrelate it into a grouped aggregate joined back. The mean
+    follows the micro-unit contract (decimal sum -> BIGINT -> double /
+    1e6 / count), so the float threshold compare is bit-identical
+    cross-engine."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+               o.o_totalprice AS o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > {min_ratio} * (
+          SELECT (CAST(CAST(sum(CAST(o2.o_totalprice AS DECIMAL(25,6))) * 1000000 AS BIGINT) AS DOUBLE)
+                  / 1000000.0) / CAST(count(*) AS DOUBLE)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+    """)
+
+
+def above_avg_orders_oracle(min_ratio: float = 1.5) -> str:
+    return f"""
+SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+       o.o_totalprice AS o_totalprice
+FROM orders o
+WHERE o.o_totalprice > {min_ratio} * (
+  SELECT ((sum(o2.o_totalprice::DECIMAL(25,6)) * 1000000)::BIGINT::DOUBLE
+          / 1000000.0) / count(*)::DOUBLE
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# LATERAL join: per-customer top-2 orders via a correlated table subquery --
+# the SQL-standard form of "top-N per key". Spark plans LATERAL + LIMIT as
+# a window under the hood; DuckDB executes the same SQL natively, so the
+# surface is portable. (The window/TakeOrdered forms of top-N per key are
+# gated elsewhere: window_top_orders_per_customer.)
+# --------------------------------------------------------------------------
+
+def lateral_top_orders(spark: SparkSession, sf_dir: str, top_n: int = 2) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT c.c_custkey AS c_custkey, t.o_orderkey AS o_orderkey,
+               t.o_totalprice AS o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT {top_n}
+        ) t
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """)
+
+
+def lateral_top_orders_oracle(top_n: int = 2) -> str:
+    return f"""
+SELECT c.c_custkey AS c_custkey, t.o_orderkey AS o_orderkey,
+       t.o_totalprice AS o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT {top_n}
+) t
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+""".strip()

@@ -68,9 +68,9 @@ def _scalarize(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkS
 _PRIORITY = [
     # exact k-NN, every metric + filter + batch (reference flagship Q1/Q2)
     "knn_cosine_flat", "knn_euclidean_flat", "knn_dot_product_flat",
-    "knn_filtered", "knn_batch", "knn_per_label",
+    "knn_filtered", "knn_batch", "knn_per_label", "knn_radius",
     # approximate indexes, one per family (Q3 + beyond-reference ANN)
-    "lsh_knn", "lsh_knn_multiprobe", "ivf_knn",
+    "lsh_knn", "lsh_knn_multiprobe", "ivf_knn", "knn_graph_blocked",
     "sq8_knn_cosine", "sq8_knn_rerank",
     "lsh_index_persisted_knn", "ann_recall_lsh", "ann_recall_ivf",
     # relational: TPC-H joins+aggs, windows, multi-dim aggs, percentiles
@@ -84,28 +84,29 @@ _PRIORITY = [
     "asof_join_purchase_click", "range_join_year_buckets",
     "outer_join_order_counts",
     # DML / pagination / JSON predicate (SURVEY §2.8, T2, F1)
-    "entity_patch_update", "entity_batch_insert",
+    "entity_patch_update", "entity_batch_insert", "entity_scd2_history",
     "entity_point_lookup", "entity_embedding_validation",
     "pagination_with_total", "filter_events_json",
     # dedup family, one per algorithm
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
     "dedup_simhash_table", "dedup_cluster_components",
     "dedup_embedding_lsh_blocked", "dedup_embedding_clusters",
     "dedup_incremental_ingest", "agg_sketch_accuracy",
     # text analysis
     "text_token_stats", "text_quality_scores", "text_language_id",
-    "text_fingerprints",
+    "text_fingerprints", "text_oov_rate",
     # lexical + hybrid search
     "search_bm25", "search_hybrid_rrf",
     # corpus pipeline
     "pipeline_corpus_prep", "pipeline_decontaminate",
     "pipeline_chunk_documents", "pipeline_funnel_report",
-    "pipeline_mix_schedule",
+    "pipeline_mix_schedule", "pipeline_group_sample",
     # event-time windows + the streaming engine under the gate
     "window_tumbling_events", "window_session_events",
     "stream_tumbling_drained", "stream_stateful_first_event",
+    "stream_join_drained", "stream_dedup_drained",
     # multimodal + skew mitigation
-    "multimodal_binary_stats", "skew_salted_join",
+    "multimodal_binary_stats", "skew_salted_join", "maintenance_range_bounds",
     # interchange sources/sinks + scalar function families
     "source_jsonl_roundtrip", "source_csv_roundtrip",
     "functions_string", "functions_datetime",
@@ -458,11 +459,15 @@ def build() -> dict[str, Entry]:
     reg["tpch_product_profit"] = (r.product_profit, r.product_profit_oracle())
     reg["agg_value_percentiles"] = (r.value_percentiles, r.value_percentiles_oracle())
     reg["window_order_analytics"] = (r.window_order_analytics, r.window_order_analytics_oracle())
+    # SQL-surface shapes both engines decorrelate/plan natively
+    reg["subquery_above_avg_orders"] = (r.above_avg_orders, r.above_avg_orders_oracle())
+    reg["join_lateral_topk"] = (r.lateral_top_orders, r.lateral_top_orders_oracle())
 
     # --- interchange sources/sinks (S4/S7 analog; fidelity hash-gated) ---
-    from .sources import csvio, jsonl
+    from .sources import csvio, jsonl, orcio
     reg["source_jsonl_roundtrip"] = (jsonl.jsonl_roundtrip_stats, jsonl.jsonl_roundtrip_stats_oracle())
     reg["source_csv_roundtrip"] = (csvio.csv_roundtrip_stats, csvio.csv_roundtrip_stats_oracle())
+    reg["source_orc_roundtrip"] = (orcio.orc_roundtrip_stats, orcio.orc_roundtrip_stats_oracle())
     reg["sink_partition_pruned"] = (csvio.partition_pruned_stats, csvio.partition_pruned_stats_oracle())
 
     # --- event-sequence analytics (funnel, islands, stream-dedup twin) ---
