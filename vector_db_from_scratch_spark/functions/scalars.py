@@ -234,3 +234,50 @@ SELECT p_partkey,
 FROM part
 ORDER BY p_partkey
 """.strip()
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY §1.2: the reference's Metadata is a flat
+    string-keyed map; §1.4 maps it to MapType). Exercises the map function
+    family on REAL parsed data -- events.props JSON -> map<string,string> --
+    plus constructed maps: size, keys, element_at (present and MISSING key,
+    the F1 trap: missing -> NULL), map_concat, map_contains_key. The oracle
+    reaches the same values through DuckDB's JSON path functions, so the
+    map semantics this engine relies on for metadata filtering are pinned
+    cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    props = F.from_json(F.col("props"), "map<string,string>")
+    meta = F.create_map(F.lit("type"), F.col("event_type"))
+    merged = F.map_concat(props, meta)
+    return (
+        ev.select(
+            "event_id",
+            F.size(props).cast("long").alias("n_props"),
+            F.element_at(props, "k").cast("long").alias("k_value"),
+            F.coalesce(F.element_at(props, "missing"), F.lit("<absent>")).alias(
+                "missing_value"
+            ),
+            F.size(merged).cast("long").alias("n_merged"),
+            F.element_at(merged, "type").alias("merged_type"),
+            F.map_contains_key(props, "k").alias("has_k"),
+            F.array_join(F.array_sort(F.map_keys(merged)), ",").alias("keys_sorted"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+def map_functions_oracle() -> str:
+    return """
+SELECT event_id,
+       1::BIGINT AS n_props,
+       json_extract_string(props, '$.k')::BIGINT AS k_value,
+       '<absent>' AS missing_value,
+       2::BIGINT AS n_merged,
+       event_type AS merged_type,
+       (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+       'k,type' AS keys_sorted
+FROM events
+ORDER BY event_id
+LIMIT 200
+""".strip()

@@ -646,3 +646,55 @@ SELECT count(*) AS n_vectors,
                 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm
 FROM embeddings
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# The reference's flagship search (Q1: POST /libraries/{id}/search) routed
+# through the ENTITY surface -- store built from the driver tables
+# (libraries=sources, chunks=documents x embeddings), library-scoped
+# semi-join, MapType metadata filter, distance, top-k -- under the oracle
+# gate end-to-end. The knn_* family gates the same algebra on raw tables;
+# this gates the CRUD-store composition the reference's API actually runs.
+# --------------------------------------------------------------------------
+
+def store_search_query(
+    spark: SparkSession,
+    sf_dir: str,
+    library_id: str = "src0",
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    from ..sources.tables import load_table
+
+    store = store_from_driver_tables(spark, sf_dir)
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0]
+    )
+    return store.search(
+        library_id,
+        [float(x) for x in qrow["embedding"]],
+        k=k,
+        metadata_filters={"lang": "en"},
+    )
+
+
+def store_search_query_oracle(
+    library_id: str = "src0", query_vec_id: int = 0, k: int = 10
+) -> str:
+    from ..functions.vector import oracle_distance_sql
+
+    d = oracle_distance_sql("cosine", "c.v", "q.qv")
+    return f"""
+WITH c AS (
+  SELECT 'c' || d.doc_id AS chunk_id, e.embedding::DOUBLE[] AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.source = '{library_id}' AND d.lang = 'en'),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT c.chunk_id AS chunk_id, {d} AS distance
+FROM c, q
+ORDER BY distance, chunk_id
+LIMIT {k}
+""".strip()

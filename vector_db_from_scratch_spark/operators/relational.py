@@ -1603,3 +1603,45 @@ LATERAL (
 ) t
 ORDER BY c_custkey, o_totalprice DESC, o_orderkey
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# MapType metadata equality filter (SURVEY §2.3 F1) as a GATED query: the
+# reference's conjunctive dict filter where a MISSING key fails the
+# predicate (vector_db/vector_store.py:261-265 -- dict.get -> None !=
+# expected). Metadata here is a real MapType column with data-dependent
+# key presence ('src' only on doc_id % 3 == 0), so the NULL-comparison
+# semantics (missing -> element_at NULL -> predicate NULL -> row dropped)
+# are exactly what the gate hashes. At scale the map lives in the table;
+# Catalyst still pushes the surrounding scan filters.
+# --------------------------------------------------------------------------
+
+def metadata_map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    meta = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source")
+        ),
+    ).otherwise(F.create_map(F.lit("lang"), F.col("lang")))
+    with_meta = docs.select("doc_id", meta.alias("metadata"))
+    # conjunctive equality over the map; docs lacking 'src' must drop
+    pred = (F.col("metadata")["lang"] == "en") & (F.col("metadata")["src"] == "src1")
+    return (
+        with_meta.filter(pred)
+        .select(
+            "doc_id",
+            F.col("metadata")["lang"].alias("lang"),
+            F.col("metadata")["src"].alias("src"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def metadata_map_filter_oracle() -> str:
+    return """
+SELECT doc_id, lang, source AS src
+FROM documents
+WHERE lang = 'en' AND doc_id % 3 = 0 AND source = 'src1'
+ORDER BY doc_id
+""".strip()

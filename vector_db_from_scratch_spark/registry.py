@@ -86,7 +86,8 @@ _PRIORITY = [
     # DML / pagination / JSON predicate (SURVEY §2.8, T2, F1)
     "entity_patch_update", "entity_batch_insert", "entity_scd2_history",
     "entity_point_lookup", "entity_embedding_validation",
-    "pagination_with_total", "filter_events_json",
+    "pagination_with_total", "filter_events_json", "filter_metadata_map",
+    "entity_store_search",
     # dedup family, one per algorithm
     "dedup_exact", "dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
     "dedup_simhash_table", "dedup_cluster_components",
@@ -109,7 +110,7 @@ _PRIORITY = [
     "multimodal_binary_stats", "skew_salted_join", "maintenance_range_bounds",
     # interchange sources/sinks + scalar function families
     "source_jsonl_roundtrip", "source_csv_roundtrip",
-    "functions_string", "functions_datetime",
+    "functions_string", "functions_datetime", "functions_map",
     # event-sequence analytics
     "funnel_view_click_purchase", "window_retention_cohorts",
 ]
@@ -225,6 +226,13 @@ def build() -> dict[str, Entry]:
     )
     # SCD2 versioned dimension history (the auditable form of P4's PATCH)
     reg["entity_scd2_history"] = (entity.scd2_history, entity.scd2_history_oracle())
+    # flagship search through the entity surface (Q1 end-to-end under the gate)
+    reg["entity_store_search"] = (
+        lambda spark, sf: entity.store_search_query(spark, sf),
+        entity.store_search_query_oracle(),
+    )
+    # F1 MapType metadata filter with missing-key semantics, gated
+    reg["filter_metadata_map"] = (r.metadata_map_filter, r.metadata_map_filter_oracle())
     # range-partition boundary + balance audit (sorted-layout planning)
     from .operators import maintenance
     reg["maintenance_range_bounds"] = (
@@ -322,6 +330,7 @@ def build() -> dict[str, Entry]:
     reg["functions_array"] = (sc.array_functions, sc.array_functions_oracle())
     reg["functions_conditional"] = (sc.conditional_functions, sc.conditional_functions_oracle())
     reg["functions_regex"] = (sc.regex_functions, sc.regex_functions_oracle())
+    reg["functions_map"] = (sc.map_functions, sc.map_functions_oracle())
 
     # --- dedup family (exact, ngram-jaccard, minhash-LSH, simhash, cosine) ---
     d = dedup
