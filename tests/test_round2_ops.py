@@ -175,6 +175,27 @@ def test_oov_rate_bounds_and_vocab_coverage(spark, sf_dir):
     assert all(r["n_oov"] == 0 for r in full)
 
 
+def test_resize_media_fixed_length_and_reference_kernel(spark, sf_dir):
+    import numpy as np
+
+    from vector_db_from_scratch_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        resize_media,
+    )
+
+    rows = resize_media(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows[:25]:
+        assert r["out_len"] == RESIZE_TARGET
+        arr = np.frombuffer(docs[r["media_id"]].encode("utf-8"), dtype=np.uint8)
+        idx = (np.arange(RESIZE_TARGET, dtype=np.int64) * len(arr)) // RESIZE_TARGET
+        assert r["resample_sum"] == int(arr[idx].astype(np.int64).sum())
+
+
 def test_stream_dedup_drained_matches_batch_distinct(spark, sf_dir):
     from vector_db_from_scratch_spark.streaming.windows import dedup_drained
 

@@ -99,6 +99,55 @@ def sample_frames(spark: SparkSession, sf_dir: str, stride: int = 64) -> DataFra
     return media.mapInPandas(frames, FRAME_SCHEMA)
 
 
+RESIZE_TARGET = 16
+
+
+def resize_media(spark: SparkSession, sf_dir: str, target: int = RESIZE_TARGET) -> DataFrame:
+    """Resize (nearest-neighbor resample to a fixed length) -- the 1-D
+    stand-in for image resize, run as the REAL Arrow/NumPy kernel a decode
+    stage would use: idx = (arange(target) * n) // n_target gather per
+    payload, no shuffle. Unlike the stubbed decoders this kernel is fully
+    deterministic on the fake payloads, so it is oracle-GATED: the oracle
+    recomputes the same gather with SQL integer arithmetic over the text
+    bytes, pinning the Pandas-UDF batch path byte-for-byte."""
+    media = media_table(spark, sf_dir)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, kinds, out_len, rsum = [], [], [], []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                arr = decode_media(payload, kind)
+                n = len(arr)
+                idx = (np.arange(target, dtype=np.int64) * n) // target
+                resampled = arr[idx]
+                ids.append(media_id)
+                kinds.append(kind)
+                out_len.append(len(resampled))
+                rsum.append(int(resampled.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "out_len": out_len, "resample_sum": rsum}
+            )
+
+    return media.mapInPandas(
+        batches, "media_id long, kind string, out_len long, resample_sum long"
+    ).orderBy("media_id")
+
+
+def resize_media_oracle(target: int = RESIZE_TARGET) -> str:
+    kinds = ", ".join(f"'{k}'" for k in KINDS)
+    # payload = utf-8 of ascii-only text, so byte i == ascii(char i)
+    return f"""
+SELECT doc_id AS media_id,
+       ([{kinds}])[(doc_id % 3 + 1)::INT] AS kind,
+       {target}::BIGINT AS out_len,
+       list_sum(list_transform(range(0, {target}),
+                i -> ascii(substr(text, ((i * length(text)) // {target}) + 1, 1))))::BIGINT
+         AS resample_sum
+FROM documents
+ORDER BY media_id
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # Oracle-checked binary-column query (the SQL-expressible slice)
 # --------------------------------------------------------------------------

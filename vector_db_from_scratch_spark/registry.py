@@ -293,6 +293,8 @@ def build() -> dict[str, Entry]:
     reg["multimodal_features"] = (_scalarize(multimodal.extract_features), None)
     reg["multimodal_frame_sample"] = (multimodal.sample_frames, None)
     reg["multimodal_blob_dedup"] = (multimodal.blob_dedup, multimodal.blob_dedup_oracle())
+    # the resize kernel (Arrow/NumPy gather) under the gate byte-for-byte
+    reg["multimodal_resize"] = (multimodal.resize_media, multimodal.resize_media_oracle())
     reg["skew_salted_agg"] = (skew.salted_event_totals, skew.salted_event_totals_oracle())
     reg["skew_salted_join"] = (skew.salted_weighted_join, skew.salted_weighted_join_oracle())
 
