@@ -1645,3 +1645,42 @@ FROM documents
 WHERE lang = 'en' AND doc_id % 3 = 0 AND source = 'src1'
 ORDER BY doc_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Sort-free argmax: latest event per user via max(struct(ts, event_id, ...))
+# -- ONE hash aggregation with map-side partial combine, no window, no
+# per-key sort. At skewed 100 TB event tables this is the shape that
+# replaces row_number()-over-user (which funnels each user's history
+# through a sort); struct comparison is lexicographic on (ts, event_id),
+# so ties break deterministically on the unique event id.
+# --------------------------------------------------------------------------
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    top = F.max(F.struct("ts", "event_id", "event_type")).alias("m")
+    return (
+        ev.groupBy("user_id")
+        .agg(top)
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_event_type"),
+            F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def latest_event_per_user_oracle() -> str:
+    return """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""".strip()

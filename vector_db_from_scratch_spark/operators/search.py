@@ -321,3 +321,40 @@ SELECT id, vec_rank, kw_rank, rrf FROM fused
 ORDER BY rrf DESC, id
 LIMIT {k}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Boolean retrieval: (("table" AND "hash") OR "vector") AND NOT "slow" --
+# the classic IR operator class next to ranked BM25. Expressed as set-
+# membership predicates on the token array (pushdown-friendly single scan);
+# at 100 TB the same query runs as semi/anti-joins against the term-
+# partitioned postings table, touching only the named terms' partitions --
+# the same probe pattern as bm25_topk's filtered postings.
+# --------------------------------------------------------------------------
+
+def boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    has = lambda t: F.array_contains(toks, t)
+    pred = ((has("table") & has("hash")) | has("vector")) & ~has("slow")
+    return (
+        docs.filter(pred)
+        .select(
+            "doc_id",
+            has("table").alias("has_table"),
+            has("hash").alias("has_hash"),
+            has("vector").alias("has_vector"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def boolean_search_oracle() -> str:
+    has = lambda t: f"list_contains(str_split(text, ' '), '{t}')"
+    return f"""
+SELECT doc_id, {has('table')} AS has_table, {has('hash')} AS has_hash,
+       {has('vector')} AS has_vector
+FROM documents
+WHERE (({has('table')} AND {has('hash')}) OR {has('vector')}) AND NOT {has('slow')}
+ORDER BY doc_id
+""".strip()

@@ -323,6 +323,7 @@ def build() -> dict[str, Entry]:
     reg["search_bm25"] = (search.bm25_topk, search.bm25_topk_oracle())
     reg["search_tfidf_top_terms"] = (search.tfidf_top_terms, search.tfidf_top_terms_oracle())
     reg["search_hybrid_rrf"] = (search.hybrid_rrf, search.hybrid_rrf_oracle())
+    reg["search_boolean"] = (search.boolean_search, search.boolean_search_oracle())
 
     # --- scalar function families (SURVEY §2.7 inherited built-ins) ---
     from .functions import scalars as sc
@@ -473,6 +474,11 @@ def build() -> dict[str, Entry]:
     # SQL-surface shapes both engines decorrelate/plan natively
     reg["subquery_above_avg_orders"] = (r.above_avg_orders, r.above_avg_orders_oracle())
     reg["join_lateral_topk"] = (r.lateral_top_orders, r.lateral_top_orders_oracle())
+    # sort-free argmax (max-of-struct) -- the window-free top-1-per-key
+    reg["agg_argmax_latest_event"] = (
+        r.latest_event_per_user,
+        r.latest_event_per_user_oracle(),
+    )
 
     # --- interchange sources/sinks (S4/S7 analog; fidelity hash-gated) ---
     from .sources import csvio, jsonl, orcio
