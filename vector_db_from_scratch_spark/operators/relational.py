@@ -1684,3 +1684,51 @@ SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
 FROM ranked WHERE rn = 1
 ORDER BY user_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# ROWS-frame moving aggregate: trailing-4-orders mean per customer. The
+# frame SUM uses the micro-unit decimal discipline (exact at any frame
+# ordering -- engines disagree on float summation order inside window
+# frames, decimal does not care), then one double division. Completes the
+# frame-clause matrix next to the RANGE interval frame
+# (window_trailing_1h) and the unbounded running frame
+# (window_running_revenue).
+# --------------------------------------------------------------------------
+
+def trailing_orders_avg(spark: SparkSession, sf_dir: str, frame: int = 3) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-frame, 0)
+    )
+    micro = (F.sum(F.col("o_totalprice").cast(DEC)).over(w) * F.lit(MICRO)).cast("long")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    avg = normalize_float(
+        (micro.cast("double") / F.lit(float(MICRO))) / n, round_to=None
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            avg.alias("trailing_avg"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def trailing_orders_avg_oracle(frame: int = 3) -> str:
+    win = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        f"ROWS BETWEEN {frame} PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+SELECT o_custkey, o_orderkey,
+       (((sum(o_totalprice::{ORACLE_DEC}) {win}) * {MICRO})::BIGINT::DOUBLE
+        / {MICRO}.0) / (count(*) {win})::DOUBLE + 0.0 AS trailing_avg
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""".strip()

@@ -704,3 +704,59 @@ SELECT lang, rnk, bigram, doc_freq
 FROM ranked WHERE rnk <= {k}
 ORDER BY lang, rnk
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Character-distribution entropy: Shannon entropy over the corpus alphabet
+# (a-z + space) per document -- the encoding/garbage detector (uniform
+# noise scores ~log2(27), natural text ~4 bits, single-char spam ~0).
+# Pure expressions: 27 replace()-count terms summed in a FIXED left-
+# associative order in both engines; log2's possible 1-ulp libm divergence
+# is ~1e-16 per term, absorbed by the 6-dp round (same budget as the
+# functions_math transcendentals).
+# --------------------------------------------------------------------------
+
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+ENTROPY_MIN_BITS = 3.0
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars_total, entropy_bits, low_entropy_flag)."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = F.length("text").cast("double")
+    terms = []
+    for ch in ENTROPY_ALPHABET:
+        lit = "' '" if ch == " " else f"'{ch}'"
+        n_c = F.length("text") - F.expr(f"length(replace(text, {lit}, ''))")
+        p = n_c.cast("double") / total
+        terms.append(F.when(n_c > 0, -p * F.log2(p)).otherwise(F.lit(0.0)))
+    ent = terms[0]
+    for t in terms[1:]:
+        ent = ent + t
+    ent = F.round(ent, 6) + F.lit(0.0)
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars_total"),
+            ent.alias("entropy_bits"),
+        )
+        .withColumn("low_entropy_flag", F.col("entropy_bits") < ENTROPY_MIN_BITS)
+        .orderBy("doc_id")
+    )
+
+
+def char_entropy_oracle() -> str:
+    terms = []
+    for ch in ENTROPY_ALPHABET:
+        lit = "' '" if ch == " " else f"'{ch}'"
+        n_c = f"(length(text) - length(replace(text, {lit}, '')))"
+        p = f"({n_c}::DOUBLE / length(text)::DOUBLE)"
+        terms.append(f"(CASE WHEN {n_c} > 0 THEN -{p} * log2({p}) ELSE 0.0 END)")
+    ent = " + ".join(terms)
+    return f"""
+SELECT doc_id, length(text)::BIGINT AS n_chars_total,
+       round({ent}, 6) + 0.0 AS entropy_bits,
+       (round({ent}, 6) + 0.0) < {ENTROPY_MIN_BITS} AS low_entropy_flag
+FROM documents
+ORDER BY doc_id
+""".strip()

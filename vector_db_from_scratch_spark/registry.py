@@ -318,6 +318,8 @@ def build() -> dict[str, Entry]:
     )
     # vocabulary coverage: per-doc OOV fraction against the top-K vocab
     reg["text_oov_rate"] = (t.oov_rate, t.oov_rate_oracle())
+    # character-distribution entropy (encoding/garbage detector)
+    reg["text_char_entropy"] = (t.char_entropy, t.char_entropy_oracle())
 
     # --- keyword search + hybrid retrieval (lexical twin of the vector path) ---
     reg["search_bm25"] = (search.bm25_topk, search.bm25_topk_oracle())
@@ -478,6 +480,11 @@ def build() -> dict[str, Entry]:
     reg["agg_argmax_latest_event"] = (
         r.latest_event_per_user,
         r.latest_event_per_user_oracle(),
+    )
+    # ROWS-frame moving aggregate (micro-unit exact inside the frame)
+    reg["window_rows_frame_avg"] = (
+        r.trailing_orders_avg,
+        r.trailing_orders_avg_oracle(),
     )
 
     # --- interchange sources/sinks (S4/S7 analog; fidelity hash-gated) ---
