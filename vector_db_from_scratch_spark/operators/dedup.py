@@ -171,6 +171,28 @@ def _shingle_df_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIRS_MEMO: dict[tuple[str, str, float], DataFrame] = _memo.register({})
+_INTER_MEMO: dict[tuple[str, str], DataFrame] = _memo.register({})
+
+
+def _pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered pair intersection counts (d1 < d2, c = |shingles(d1) ∩
+    shingles(d2)|) -- the expensive self-join over the inverted index,
+    shared by the Jaccard AND containment families (memoized: one shuffle
+    feeds both similarity definitions)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _INTER_MEMO:
+        return _INTER_MEMO[key]
+    sh = _shingle_index(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    out = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    _INTER_MEMO[key] = out
+    return out
 
 
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
@@ -185,13 +207,7 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str, threshold: float) ->
         return _PAIRS_MEMO[key]
     sh = _shingle_index(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    inter = _pair_intersections(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
@@ -261,13 +277,7 @@ def containment_pairs(
     for oracle parity."""
     sh = _shingle_index(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    inter = _pair_intersections(spark, sf_dir)
     both = inter.select(
         F.col("d1").alias("src_doc"), F.col("d2").alias("dst_doc"), "c"
     ).unionAll(
