@@ -488,7 +488,10 @@ def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
 
 
-def simhash_table_oracle() -> str:
+def _simhash_body_sql() -> str:
+    """Unordered (doc_id, simhash) SELECT -- the structural building block
+    shared by the table oracle and both pair oracles (no rendered-string
+    slicing; same composition discipline as _jaccard_pairs_cte)."""
     bit_sums = ",\n       ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(SIMHASH_BITS)
@@ -499,8 +502,12 @@ WITH tok AS (SELECT doc_id, {hash31_sql('t')} AS h
              FROM (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS t
                    FROM documents)),
 agg AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
-SELECT doc_id, ({packed})::BIGINT AS simhash FROM agg ORDER BY doc_id
+SELECT doc_id, ({packed})::BIGINT AS simhash FROM agg
 """.strip()
+
+
+def simhash_table_oracle() -> str:
+    return f"{_simhash_body_sql()} ORDER BY doc_id"
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 2) -> DataFrame:
@@ -524,7 +531,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 2) -
 
 
 def simhash_near_pairs_oracle(max_hamming: int = 2) -> str:
-    base = simhash_table_oracle().rsplit("ORDER BY", 1)[0]
+    base = _simhash_body_sql()
     return f"""
 WITH sim AS ({base})
 SELECT a.doc_id AS d1, b.doc_id AS d2,
@@ -591,7 +598,7 @@ def simhash_banded_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 2)
 
 
 def simhash_banded_pairs_oracle(max_hamming: int = 2) -> str:
-    base = simhash_table_oracle().rsplit("ORDER BY", 1)[0]
+    base = _simhash_body_sql()
     return f"""
 WITH sim AS ({base}),
 bands AS (
