@@ -188,3 +188,47 @@ FROM e, q
 ORDER BY distance, vec_id
 LIMIT {k}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Recall@k of the SQ8 probe vs the exact scan, fully under the gate: unlike
+# LSH/IVF recall (whose probes the oracle replicates structurally), BOTH
+# sides here are deterministic closed-form SQL, so this is the compressor
+# whose measured approximation error the oracle re-derives end-to-end.
+# --------------------------------------------------------------------------
+
+def sq8_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    from .knn import flat_knn
+
+    exact = flat_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id).select("vec_id")
+    approx = sq8_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .select(
+            F.lit(k).alias("k"),
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )
+
+
+def sq8_recall_oracle(
+    metric: str = "cosine", k: int = 10, query_vec_id: int = 0
+) -> str:
+    from .knn import flat_knn_oracle
+
+    flat = flat_knn_oracle(metric, k=k, query_vec_id=query_vec_id)
+    approx = sq8_knn_oracle(metric, k=k, query_vec_id=query_vec_id)
+    return f"""
+WITH flat AS ({flat}),
+approx AS ({approx}),
+m AS (SELECT count(*) AS n_matched FROM flat JOIN approx USING (vec_id))
+SELECT {k} AS k, n_matched, n_matched::DOUBLE / {float(k)!r} AS recall_at_k FROM m
+""".strip()

@@ -286,6 +286,11 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: sq.sq8_knn_rerank(spark, sf, "cosine", k=10, query_vec_id=0),
         sq.sq8_knn_rerank_oracle("cosine", k=10, query_vec_id=0),
     )
+    # recall of the SQ8 compressor vs exact -- both sides closed-form SQL
+    reg["ann_recall_sq8"] = (
+        lambda spark, sf: sq.sq8_recall(spark, sf, "cosine", k=10, query_vec_id=0),
+        sq.sq8_recall_oracle("cosine", k=10, query_vec_id=0),
+    )
 
     # --- multimodal binary plumbing + skew mitigation ---
     reg["multimodal_binary_stats"] = (multimodal.binary_stats, multimodal.binary_stats_oracle())
