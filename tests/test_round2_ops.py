@@ -196,6 +196,75 @@ def test_resize_media_fixed_length_and_reference_kernel(spark, sf_dir):
         assert r["resample_sum"] == int(arr[idx].astype(np.int64).sum())
 
 
+def test_char_entropy_bounded_by_alphabet(spark, sf_dir):
+    import math
+
+    from vector_db_from_scratch_spark.operators.textops import (
+        ENTROPY_ALPHABET,
+        char_entropy,
+    )
+
+    rows = char_entropy(spark, sf_dir).collect()
+    bound = math.log2(len(ENTROPY_ALPHABET))
+    assert rows and all(0.0 <= r["entropy_bits"] <= bound + 1e-9 for r in rows)
+
+
+def test_trailing_avg_first_row_is_own_price(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.relational import trailing_orders_avg
+
+    rows = trailing_orders_avg(spark, sf_dir).collect()
+    avg_by_key = {(r["o_custkey"], r["o_orderkey"]): r["trailing_avg"] for r in rows}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    import collections
+
+    by_cust = collections.defaultdict(list)
+    for o in orders:
+        by_cust[o["o_custkey"]].append((o["o_orderdate"], o["o_orderkey"], o["o_totalprice"]))
+    for ck, lst in by_cust.items():
+        lst.sort()  # the window's frame order: (o_orderdate, o_orderkey)
+        # frame-first row averages only itself
+        assert abs(avg_by_key[(ck, lst[0][1])] - lst[0][2]) < 1e-6
+        # spot-check a mid-frame row against the python mean of its window
+        if len(lst) >= 5:
+            i = 4
+            window = [p for _, _, p in lst[i - 3 : i + 1]]
+            assert abs(avg_by_key[(ck, lst[i][1])] - sum(window) / 4) < 1e-6
+
+
+def test_sq8_recall_bounded(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.sq import sq8_recall
+
+    r = sq8_recall(spark, sf_dir).collect()[0]
+    assert 0 <= r["n_matched"] <= r["k"]
+    assert abs(r["recall_at_k"] - r["n_matched"] / r["k"]) < 1e-12
+
+
+def test_boolean_search_predicate_holds(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.search import boolean_search
+
+    hits = {r["doc_id"] for r in boolean_search(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    expected = set()
+    for d in docs:
+        t = set(d["text"].split(" "))
+        if ((("table" in t) and ("hash" in t)) or ("vector" in t)) and "slow" not in t:
+            expected.add(d["doc_id"])
+    assert hits == expected
+
+
+def test_argmax_latest_event_matches_python(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.relational import latest_event_per_user
+
+    got = {r["user_id"]: r["last_event_id"] for r in latest_event_per_user(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    best: dict[int, tuple] = {}
+    for e in ev:
+        key = (e["ts"], e["event_id"])
+        if e["user_id"] not in best or key > best[e["user_id"]][0]:
+            best[e["user_id"]] = (key, e["event_id"])
+    assert got == {u: v[1] for u, v in best.items()}
+
+
 def test_stream_dedup_drained_matches_batch_distinct(spark, sf_dir):
     from vector_db_from_scratch_spark.streaming.windows import dedup_drained
 
