@@ -58,6 +58,10 @@ HEADLINE = [
     "pipeline_corpus_prep",
     "search_bm25",
     "text_quality_scores",
+    "dedup_containment",
+    "knn_graph_blocked",
+    "stream_join_drained",
+    "entity_store_search",
 ]
 
 
