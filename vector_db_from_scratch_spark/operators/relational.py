@@ -1732,3 +1732,76 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 ORDER BY o_custkey, o_orderkey
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Pareto / ABC analysis: customers ranked by revenue, cumulative share,
+# and the A/B/C concentration class (<=80% / <=95% / rest). The cumulative
+# window runs over the per-customer AGGREGATE (cardinality = customers,
+# thousands at 100 TB after the first groupBy crushed the fact table), so
+# the unpartitioned running frame is a bounded, post-aggregation step --
+# the same shape as pagination_with_total's documented trade-off. Shares
+# are micro-unit-exact sums divided in double, rounded at 6 dp.
+# --------------------------------------------------------------------------
+
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        _micros(F.col("o_totalprice")).alias("rev_micro")
+    )
+    total = per_cust.agg(F.sum("rev_micro").cast("long").alias("total_micro"))
+    w = Window.orderBy(F.col("rev_micro").desc(), "o_custkey")
+    ranked = per_cust.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("rev_micro").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("cum_micro"),
+        "total_micro",
+    )
+    share = normalize_float(
+        F.col("cum_micro").cast("double") / F.col("total_micro").cast("double"),
+        round_to=6,
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("cum_share", share)
+        .withColumn("abc_class", cls)
+        .select("rnk", "o_custkey", "cum_share", "abc_class")
+        .orderBy("rnk")
+    )
+
+
+def revenue_pareto_oracle() -> str:
+    order = "ORDER BY rev_micro DESC, o_custkey"
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         (sum(o_totalprice::{ORACLE_DEC}) * {MICRO})::BIGINT AS rev_micro
+  FROM orders GROUP BY o_custkey),
+total AS (SELECT sum(rev_micro)::BIGINT AS total_micro FROM per_cust),
+ranked AS (
+  SELECT o_custkey,
+         row_number() OVER ({order}) AS rnk,
+         (sum(rev_micro) OVER ({order}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           AS cum_micro,
+         total_micro
+  FROM per_cust, total),
+shared AS (
+  SELECT rnk, o_custkey,
+         round(cum_micro::DOUBLE / total_micro::DOUBLE, 6) + 0.0 AS cum_share
+  FROM ranked)
+SELECT rnk, o_custkey, cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM shared
+ORDER BY rnk
+""".strip()

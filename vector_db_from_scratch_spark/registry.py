@@ -491,6 +491,8 @@ def build() -> dict[str, Entry]:
         r.trailing_orders_avg,
         r.trailing_orders_avg_oracle(),
     )
+    # Pareto/ABC concentration analysis over the per-customer aggregate
+    reg["window_revenue_pareto"] = (r.revenue_pareto, r.revenue_pareto_oracle())
 
     # --- interchange sources/sinks (S4/S7 analog; fidelity hash-gated) ---
     from .sources import csvio, jsonl, orcio
