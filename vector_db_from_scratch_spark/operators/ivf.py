@@ -84,8 +84,9 @@ def ivf_knn(
     metric: str = "cosine",
     k: int = 10,
     query_vec_id: int = 0,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
-    assigned = assign_cells(spark, sf_dir)
+    assigned = index_df if index_df is not None else assign_cells(spark, sf_dir)
     cent = _centroids(spark, sf_dir)
     q = (
         load_table(spark, sf_dir, "embeddings")
@@ -500,3 +501,32 @@ assign AS (
 SELECT cell, count(*) AS n_vectors, min(vec_id) AS first_vec
 FROM assign GROUP BY cell ORDER BY cell
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Persisted IVF index round trip (S10/S11 for the second index family,
+# mirroring lsh.lsh_index_persisted_knn): write the cell assignment
+# partitionBy(cell), read it back, probe -- every probe against the
+# on-disk artifact is a partition-pruned parquet read over the nprobe
+# nearest cells, the artifact lifecycle a cluster deployment serves from.
+# --------------------------------------------------------------------------
+
+_IVF_PERSISTED_MEMO: dict[tuple[str, str], str] = _memo.register({})
+
+
+def ivf_index_persisted_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_PERSISTED_MEMO:
+        path = tempfile.mkdtemp(prefix="ivf-index-")
+        assign_cells(spark, sf_dir).write.mode("overwrite").partitionBy("cell").parquet(path)
+        _IVF_PERSISTED_MEMO[key] = path
+    idx = spark.read.parquet(_IVF_PERSISTED_MEMO[key])
+    return ivf_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=idx)

@@ -432,6 +432,11 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: lsh.lsh_index_persisted_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         lsh.lsh_knn_oracle("cosine", k=10, query_vec_id=0),
     )
+    # the same persisted lifecycle for the IVF family (cell-partitioned)
+    reg["ivf_index_persisted_knn"] = (
+        lambda spark, sf: ivf.ivf_index_persisted_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        ivf.ivf_knn_oracle("cosine", k=10, query_vec_id=0),
+    )
     # ANN quality under the gate: recall@k of each approximate index vs
     # the exact flat scan (deterministic overlap count, hash-checked)
     reg["ann_recall_lsh"] = (
@@ -516,6 +521,8 @@ def build() -> dict[str, Entry]:
     reg["stream_session_drained"] = (w.session_stats_drained, w.session_stats_drained_oracle())
     # built-in streaming dedup (dropDuplicates + watermark) under the gate
     reg["stream_dedup_drained"] = (w.dedup_drained, w.dedup_drained_oracle())
+    # O8 incremental counter maintenance drained to final state
+    reg["stream_counter_drained"] = (w.counter_drained, w.counter_drained_oracle())
     reg["stream_sliding_drained"] = (w.sliding_counts_drained, w.sliding_counts_drained_oracle())
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())

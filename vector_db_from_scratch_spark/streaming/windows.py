@@ -212,6 +212,25 @@ def counter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+def counter_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 under the gate: the incremental counter-maintenance aggregation
+    (the streaming analog of the reference's stored document_count /
+    chunk_count, vector_db/entities.py:93-99) drained to its final state
+    and hash-matched against the batch recount -- the Dataflow guarantee
+    that incremental state equals recomputation."""
+    res = run_stream_once(counter_stream(spark, sf_dir), "t_gate_counter")
+    return res.orderBy("event_type")
+
+
+def counter_drained_oracle() -> str:
+    return """
+SELECT event_type, count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
 def run_stream_once(df: DataFrame, query_name: str) -> DataFrame:
     """Drain all available input through a memory sink and return the result
     table (complete mode -- used by tests to compare with batch)."""
