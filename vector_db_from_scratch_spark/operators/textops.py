@@ -720,20 +720,27 @@ ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
 ENTROPY_MIN_BITS = 3.0
 
 
-def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_chars_total, entropy_bits, low_entropy_flag)."""
-    docs = load_table(spark, sf_dir, "documents")
-    total = F.length("text").cast("double")
+def char_entropy_expr(text_col: str = "text"):
+    """Entropy Column over ``text_col`` -- fixed left-associative term
+    order (the oracle spells the identical chain); factored out so
+    property tests can apply it to generated corpora."""
+    total = F.length(text_col).cast("double")
     terms = []
     for ch in ENTROPY_ALPHABET:
         lit = "' '" if ch == " " else f"'{ch}'"
-        n_c = F.length("text") - F.expr(f"length(replace(text, {lit}, ''))")
+        n_c = F.length(text_col) - F.expr(f"length(replace({text_col}, {lit}, ''))")
         p = n_c.cast("double") / total
         terms.append(F.when(n_c > 0, -p * F.log2(p)).otherwise(F.lit(0.0)))
     ent = terms[0]
     for t in terms[1:]:
         ent = ent + t
-    ent = F.round(ent, 6) + F.lit(0.0)
+    return F.round(ent, 6) + F.lit(0.0)
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars_total, entropy_bits, low_entropy_flag)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ent = char_entropy_expr("text")
     return (
         docs.select(
             "doc_id",
