@@ -525,11 +525,15 @@ def load_store(spark: SparkSession, path: str, fmt: str = "parquet") -> EntitySt
     )
 
 
-def store_from_driver_tables(spark: SparkSession, sf_dir: str) -> EntityStore:
+def store_from_driver_tables(
+    spark: SparkSession, sf_dir: str, index_kind: str = "flat"
+) -> EntityStore:
     """SURVEY §1.4 mapping applied to the driver's tables: sources become
     libraries, documents stay documents, and each document's embedding row
     (vec_id == doc_id) becomes its single chunk. Proves the entity surface
-    runs at data scale, not just on the unit fixtures."""
+    runs at data scale, not just on the unit fixtures. ``index_kind``
+    applies to every library (flat | random_projection), selecting which
+    search dispatch (Q2 exact scan vs Q3 bucket probe) the store runs."""
     from ..sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -543,7 +547,7 @@ def store_from_driver_tables(spark: SparkSession, sf_dir: str) -> EntityStore:
             F.create_map().cast("map<string,string>").alias("metadata"),
             F.lit(64).alias("embedding_dimension"),
             F.lit("cosine").alias("distance_metric"),
-            F.lit("flat").alias("index_kind"),
+            F.lit(index_kind).alias("index_kind"),
         )
     )
     documents = docs.select(
@@ -695,6 +699,65 @@ WITH c AS (
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id})
 SELECT c.chunk_id AS chunk_id, {d} AS distance
 FROM c, q
+ORDER BY distance, chunk_id
+LIMIT {k}
+""".strip()
+
+
+def store_search_lsh_query(
+    spark: SparkSession,
+    sf_dir: str,
+    library_id: str = "src0",
+    query_vec_id: int = 0,
+    k: int = 5,
+) -> DataFrame:
+    """Q3 through the entity surface: the store's random_projection
+    dispatch (bucket probe, metadata intersection FIRST, <k fallback to
+    every allowed chunk -- vector_db/indexes.py:206-234) over the driver
+    tables, under the gate. The oracle replicates the identical
+    data-dependent plan choice with a conditional UNION."""
+    from ..sources.tables import load_table
+
+    store = store_from_driver_tables(spark, sf_dir, index_kind="random_projection")
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0]
+    )
+    return store.search(
+        library_id,
+        [float(x) for x in qrow["embedding"]],
+        k=k,
+        metadata_filters={"lang": "en"},
+    )
+
+
+def store_search_lsh_query_oracle(
+    library_id: str = "src0", query_vec_id: int = 0, k: int = 5
+) -> str:
+    from ..functions.vector import oracle_distance_sql
+    from .lsh import bucket_sql
+
+    d = oracle_distance_sql("cosine", "p.v", "q.qv")
+    return f"""
+WITH c AS (
+  SELECT 'c' || d.doc_id AS chunk_id, e.embedding::DOUBLE[] AS v,
+         {bucket_sql('e.embedding::DOUBLE[]')} AS bucket
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.source = '{library_id}' AND d.lang = 'en'),
+q AS (SELECT embedding::DOUBLE[] AS qv,
+             {bucket_sql('embedding::DOUBLE[]')} AS qbucket
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+cand AS (SELECT c.* FROM c, q WHERE c.bucket = q.qbucket),
+n AS (SELECT count(*) AS cnt FROM cand),
+pool AS (
+  SELECT * FROM cand WHERE (SELECT cnt FROM n) >= {k}
+  UNION ALL
+  SELECT * FROM c WHERE (SELECT cnt FROM n) < {k}
+)
+SELECT p.chunk_id AS chunk_id, {d} AS distance
+FROM pool p, q
 ORDER BY distance, chunk_id
 LIMIT {k}
 """.strip()

@@ -233,6 +233,11 @@ def build() -> dict[str, Entry]:
     )
     # F1 MapType metadata filter with missing-key semantics, gated
     reg["filter_metadata_map"] = (r.metadata_map_filter, r.metadata_map_filter_oracle())
+    # Q3 (bucket probe + <k fallback) through the entity surface
+    reg["entity_store_search_lsh"] = (
+        lambda spark, sf: entity.store_search_lsh_query(spark, sf),
+        entity.store_search_lsh_query_oracle(),
+    )
     # range-partition boundary + balance audit (sorted-layout planning)
     from .operators import maintenance
     reg["maintenance_range_bounds"] = (
