@@ -327,3 +327,16 @@ def pq_code_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.size("embedding")) * 4).cast("long").alias("raw_bytes"),
         F.sum(F.size("codes")).cast("long").alias("code_bytes"),
     )
+
+
+def pq_code_sizes_oracle() -> str:
+    """The accounting IS oracle-checkable: every output is an integer
+    independent of the learned centroid floats (codes per vector == the
+    M_SUBSPACES layout constant, raw bytes == 4 x dims). Only the k-NN
+    results over trained codebooks stay rows-only."""
+    return f"""
+SELECT count(*) AS n_vectors,
+       (sum(len(embedding)) * 4)::BIGINT AS raw_bytes,
+       (count(*) * {M_SUBSPACES})::BIGINT AS code_bytes
+FROM embeddings
+""".strip()

@@ -264,7 +264,11 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: pq.pq_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         None,
     )
-    reg["pq_code_sizes"] = (lambda spark, sf: pq.pq_code_sizes(spark, sf), None)
+    # accounting is centroid-independent integers -> fully gated
+    reg["pq_code_sizes"] = (
+        lambda spark, sf: pq.pq_code_sizes(spark, sf),
+        pq.pq_code_sizes_oracle(),
+    )
     reg["ivfpq_knn"] = (
         lambda spark, sf: pq.ivfpq_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         None,
