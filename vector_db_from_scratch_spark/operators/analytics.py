@@ -232,3 +232,76 @@ FROM weekly JOIN cohort USING (user_id)
 GROUP BY 1, 2
 ORDER BY cohort_week, week_offset
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly detection over hourly event volumes: each (event_type,
+# hour) bucket scored against that type's own mean/stddev. The moments are
+# computed from INTEGER hourly counts (sum, sum-of-squares, bucket count
+# are exact BIGINTs), so mean/std/z derive from identical operands in both
+# engines -- the portable form of a statistic that is order-dependent when
+# engines sum floats. Two aggregations (hourly counts, per-type moments)
+# + a broadcast join back; population std (divide by N) by design.
+# --------------------------------------------------------------------------
+
+ZSCORE_FLAG = 2.0
+
+
+def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour, n, zscore, anomaly_flag) for every hourly bucket;
+    types with zero variance score 0 (guarded division)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("buckets"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    joined = hourly.join(F.broadcast(moments), "event_type")
+    mean = F.col("s1").cast("double") / F.col("buckets").cast("double")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * mean
+    ) / F.col("buckets").cast("double")
+    std = F.sqrt(var)
+    z = F.when(std > 0.0, (F.col("n").cast("double") - mean) / std).otherwise(F.lit(0.0))
+    zr = F.round(z, 6) + F.lit(0.0)
+    return (
+        joined.select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            zr.alias("zscore"),
+        )
+        .withColumn("anomaly_flag", F.abs(F.col("zscore")) > ZSCORE_FLAG)
+        .orderBy("event_type", "hour")
+    )
+
+
+def event_volume_anomalies_oracle() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2),
+moments AS (
+  SELECT event_type, count(*)::BIGINT AS buckets,
+         sum(n)::BIGINT AS s1, sum(n * n)::BIGINT AS s2
+  FROM hourly GROUP BY event_type),
+scored AS (
+  SELECT h.event_type AS event_type,
+         strftime(h.hour::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS hour, h.n AS n,
+         (s1::DOUBLE / buckets::DOUBLE) AS mean,
+         sqrt((s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / buckets::DOUBLE))
+              / buckets::DOUBLE) AS std
+  FROM hourly h JOIN moments m USING (event_type))
+SELECT event_type, hour, n,
+       round(CASE WHEN std > 0.0 THEN (n::DOUBLE - mean) / std ELSE 0.0 END, 6) + 0.0
+         AS zscore,
+       abs(round(CASE WHEN std > 0.0 THEN (n::DOUBLE - mean) / std ELSE 0.0 END, 6) + 0.0)
+         > {ZSCORE_FLAG} AS anomaly_flag
+FROM scored
+ORDER BY event_type, hour
+""".strip()

@@ -520,6 +520,11 @@ def build() -> dict[str, Entry]:
     reg["window_event_islands"] = (analytics.event_islands, analytics.event_islands_oracle())
     reg["stream_first_event_per_key"] = (analytics.first_event_per_key, analytics.first_event_per_key_oracle())
     reg["window_retention_cohorts"] = (analytics.retention_cohorts, analytics.retention_cohorts_oracle())
+    # z-score volume anomalies from exact-integer moments (portable stddev)
+    reg["window_anomaly_zscore"] = (
+        analytics.event_volume_anomalies,
+        analytics.event_volume_anomalies_oracle(),
+    )
 
     # --- event-time windows (batch forms of the streaming queries) ---
     w = stream_windows
