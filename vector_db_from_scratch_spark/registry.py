@@ -513,6 +513,11 @@ def build() -> dict[str, Entry]:
     reg["source_jsonl_roundtrip"] = (jsonl.jsonl_roundtrip_stats, jsonl.jsonl_roundtrip_stats_oracle())
     reg["source_csv_roundtrip"] = (csvio.csv_roundtrip_stats, csvio.csv_roundtrip_stats_oracle())
     reg["source_orc_roundtrip"] = (orcio.orc_roundtrip_stats, orcio.orc_roundtrip_stats_oracle())
+    # heterogeneous-shard ingestion: parquet+orc+csv unioned with lineage
+    reg["source_multi_format_union"] = (
+        orcio.multi_format_union_stats,
+        orcio.multi_format_union_stats_oracle(),
+    )
     reg["sink_partition_pruned"] = (csvio.partition_pruned_stats, csvio.partition_pruned_stats_oracle())
 
     # --- event-sequence analytics (funnel, islands, stream-dedup twin) ---

@@ -69,3 +69,49 @@ FROM documents
 GROUP BY lang
 ORDER BY lang
 """.strip()
+
+
+def multi_format_union_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated-source shape: the same corpus materialized as parquet,
+    ORC, and CSV shards read back through their three readers and unioned
+    into ONE logical DataFrame with a format lineage column -- the
+    heterogeneous-shard ingestion every real lake does (migrations leave
+    mixed formats behind). Per-(format, lang) counts are hash-gated: any
+    reader-level fidelity drift (quoting, encoding, nulls) in any leg
+    breaks the union's counts against the oracle's 3x replication of the
+    parquet truth."""
+    from .csvio import documents_csv_dir, read_documents_csv
+    from .tables import load_table
+
+    pq = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    orc = spark.read.orc(documents_orc_dir(spark, sf_dir)).select(
+        "doc_id", "lang", "n_chars"
+    )
+    csv = read_documents_csv(spark, documents_csv_dir(spark, sf_dir)).select(
+        "doc_id", "lang", "n_chars"
+    )
+    unioned = (
+        pq.withColumn("fmt", F.lit("parquet"))
+        .unionByName(orc.withColumn("fmt", F.lit("orc")))
+        .unionByName(csv.withColumn("fmt", F.lit("csv")))
+    )
+    return (
+        unioned.groupBy("fmt", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("fmt", "lang")
+    )
+
+
+def multi_format_union_stats_oracle() -> str:
+    return """
+WITH fmts AS (SELECT unnest(['csv', 'orc', 'parquet']) AS fmt)
+SELECT fmt, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       min(doc_id) AS first_doc
+FROM documents, fmts
+GROUP BY fmt, lang
+ORDER BY fmt, lang
+""".strip()
