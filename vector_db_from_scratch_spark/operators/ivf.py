@@ -530,3 +530,98 @@ def ivf_index_persisted_knn(
         _IVF_PERSISTED_MEMO[key] = path
     idx = spark.read.parquet(_IVF_PERSISTED_MEMO[key])
     return ivf_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=idx)
+
+
+# --------------------------------------------------------------------------
+# Embedding drift monitor: cosine distance between each label's centroid
+# computed on two disjoint halves of the corpus (vec_id parity stands in
+# for the old/new snapshot split). The production check for "did my
+# embedding distribution move" before re-training an ANN index. Exactness
+# discipline: per-dimension means use the micro-unit decimal sums (exact),
+# rounded to 6 dp; the 64-dim dot/norm fold then runs over IDENTICAL
+# doubles in the same sequential order in both engines (the same contract
+# every k-NN oracle relies on).
+# --------------------------------------------------------------------------
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_a, n_b, drift): cosine distance between the two halves'
+    centroids per label."""
+    from .relational import DEC, MICRO
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode(F.col("embedding")).alias("p0", "val"),
+    ).select(
+        "label",
+        "half",
+        (F.col("p0") + 1).cast("long").alias("pos"),
+        F.col("val").cast("double").cast(DEC).alias("v"),
+    )
+    cent = el.groupBy("label", "half", "pos").agg(
+        (
+            F.round(
+                (F.sum("v") * MICRO).cast("long").cast("double") / F.lit(float(MICRO))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("c"),
+    )
+    vecs = cent.groupBy("label", "half").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("vec")
+    )
+    counts = (
+        emb.select("label", (F.col("vec_id") % 2).cast("int").alias("half"))
+        .groupBy("label", "half")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = vecs.filter(F.col("half") == 0).select("label", F.col("vec").alias("va"))
+    b = vecs.filter(F.col("half") == 1).select("label", F.col("vec").alias("vb"))
+    na = counts.filter(F.col("half") == 0).select("label", F.col("n").alias("n_a"))
+    nb = counts.filter(F.col("half") == 1).select("label", F.col("n").alias("n_b"))
+    return (
+        a.join(b, "label")
+        .join(na, "label")
+        .join(nb, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            distance_expr("cosine", F.col("va"), F.col("vb")).alias("drift"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_drift_oracle() -> str:
+    from .relational import MICRO, ORACLE_DEC
+
+    d = oracle_distance_sql("cosine", "a.va", "b.vb")
+    return f"""
+WITH el AS (
+  SELECT label, (vec_id % 2)::INT AS half, i AS pos,
+         embedding[i]::DOUBLE::{ORACLE_DEC} AS v
+  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+cent AS (
+  SELECT label, half, pos,
+         round((sum(v) * {MICRO})::BIGINT::DOUBLE / {MICRO}.0
+               / count(*)::DOUBLE, 6) + 0.0 AS c
+  FROM el GROUP BY label, half, pos),
+vecs AS (
+  SELECT label, half, list(c ORDER BY pos) AS vec
+  FROM cent GROUP BY label, half),
+counts AS (
+  SELECT label, (vec_id % 2)::INT AS half, count(*) AS n
+  FROM embeddings GROUP BY 1, 2),
+a AS (SELECT label, vec AS va FROM vecs WHERE half = 0),
+b AS (SELECT label, vec AS vb FROM vecs WHERE half = 1),
+na AS (SELECT label, n AS n_a FROM counts WHERE half = 0),
+nb AS (SELECT label, n AS n_b FROM counts WHERE half = 1)
+SELECT a.label AS label, n_a, n_b, {d} AS drift
+FROM a JOIN b USING (label) JOIN na USING (label) JOIN nb USING (label)
+ORDER BY label
+""".strip()

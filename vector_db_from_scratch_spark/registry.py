@@ -248,6 +248,8 @@ def build() -> dict[str, Entry]:
     # single-pass vector aggregate: quantize-to-6dp + exact decimal sums
     # make the centroid hash-checkable (unlike the iterative kmeans below)
     reg["agg_label_centroids"] = (ivf.label_centroids, ivf.label_centroids_oracle())
+    # embedding distribution drift between corpus halves, per label
+    reg["agg_embedding_drift"] = (ivf.embedding_drift, ivf.embedding_drift_oracle())
     # iterative k-means IVF training: rows-only (float centroid means are
     # not portably SQL-reproducible); convergence asserted in tests
     reg["ivf_kmeans_train"] = (
