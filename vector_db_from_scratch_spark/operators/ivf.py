@@ -85,8 +85,13 @@ def ivf_knn(
     k: int = 10,
     query_vec_id: int = 0,
     index_df: DataFrame | None = None,
+    label_filter: int | None = None,
 ) -> DataFrame:
     assigned = index_df if index_df is not None else assign_cells(spark, sf_dir)
+    if label_filter is not None:
+        # F1/F4 analog on the second index family: the metadata filter
+        # lands on the index table BEFORE the cell probe and distance work
+        assigned = assigned.filter(F.col("label") == label_filter)
     cent = _centroids(spark, sf_dir)
     q = (
         load_table(spark, sf_dir, "embeddings")
@@ -343,21 +348,25 @@ FROM scored WHERE rank <= {k}
 """.strip()
 
 
-def ivf_knn_oracle(metric: str = "cosine", k: int = 10, query_vec_id: int = 0) -> str:
+def ivf_knn_oracle(
+    metric: str = "cosine", k: int = 10, query_vec_id: int = 0,
+    label_filter: "int | None" = None,
+) -> str:
     eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
     equ = oracle_distance_sql("euclidean", "c.cv", "q.qv")
     d = oracle_distance_sql(metric, "p.v", "q.qv")
+    lf = f"AND label = {label_filter}" if label_filter is not None else ""
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
          WHERE vec_id < {NUM_CELLS}),
 q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
 assign AS (
   SELECT vec_id, v, cell FROM (
-    SELECT e.vec_id, e.v, c.cell,
+    SELECT e.vec_id, e.label, e.v, c.cell,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY {eu}, c.cell) AS rn
     FROM e, cent c)
-  WHERE rn = 1),
+  WHERE rn = 1 {lf}),
 probe AS (SELECT cell FROM cent c, q ORDER BY {equ}, cell LIMIT {NPROBE})
 SELECT p.vec_id AS vec_id, {d} AS distance
 FROM assign p JOIN probe USING (cell), q

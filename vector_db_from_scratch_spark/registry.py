@@ -443,6 +443,11 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: lsh.lsh_index_persisted_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         lsh.lsh_knn_oracle("cosine", k=10, query_vec_id=0),
     )
+    # metadata pre-filter on the IVF probe (F1/F4 on the second family)
+    reg["ivf_knn_filtered"] = (
+        lambda spark, sf: ivf.ivf_knn(spark, sf, "cosine", k=5, query_vec_id=0, label_filter=5),
+        ivf.ivf_knn_oracle("cosine", k=5, query_vec_id=0, label_filter=5),
+    )
     # the same persisted lifecycle for the IVF family (cell-partitioned)
     reg["ivf_index_persisted_knn"] = (
         lambda spark, sf: ivf.ivf_index_persisted_knn(spark, sf, "cosine", k=10, query_vec_id=0),
