@@ -265,6 +265,59 @@ def test_argmax_latest_event_matches_python(spark, sf_dir):
     assert got == {u: v[1] for u, v in best.items()}
 
 
+def test_anomaly_zscores_center_and_flag(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.analytics import (
+        ZSCORE_FLAG,
+        event_volume_anomalies,
+    )
+
+    rows = event_volume_anomalies(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert r["anomaly_flag"] == (abs(r["zscore"]) > ZSCORE_FLAG)
+        by_type.setdefault(r["event_type"], []).append(r["zscore"])
+    # z-scores of a population against its own mean sum to ~0 per type
+    for zs in by_type.values():
+        assert abs(sum(zs)) < 1e-3 * max(1, len(zs))
+
+
+def test_multi_format_union_triplicates_parquet(spark, sf_dir):
+    from vector_db_from_scratch_spark.sources.orcio import multi_format_union_stats
+
+    rows = multi_format_union_stats(spark, sf_dir).collect()
+    by_fmt: dict[str, dict] = {}
+    for r in rows:
+        by_fmt.setdefault(r["fmt"], {})[r["lang"]] = (
+            r["n_docs"], r["total_chars"], r["first_doc"]
+        )
+    assert set(by_fmt) == {"parquet", "orc", "csv"}
+    assert by_fmt["parquet"] == by_fmt["orc"] == by_fmt["csv"]
+
+
+def test_embedding_drift_bounded_and_nonneg(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.ivf import embedding_drift
+
+    rows = embedding_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # cosine distance range (centroids of near-zero-mean 64-dim noise
+        # can point anywhere at small n, so no tighter closeness bound)
+        assert 0.0 <= r["drift"] <= 2.0
+        assert r["n_a"] > 0 and r["n_b"] > 0
+
+
+def test_ivf_filtered_respects_label(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.ivf import ivf_knn
+
+    hits = ivf_knn(spark, sf_dir, "cosine", k=5, query_vec_id=0, label_filter=5).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert all(labels[h["vec_id"]] == 5 for h in hits)
+
+
 def test_stream_dedup_drained_matches_batch_distinct(spark, sf_dir):
     from vector_db_from_scratch_spark.streaming.windows import dedup_drained
 
