@@ -767,3 +767,29 @@ SELECT doc_id, length(text)::BIGINT AS n_chars_total,
 FROM documents
 ORDER BY doc_id
 """.strip()
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per language -- the corpus
+    shape report (length distributions drive chunking and packing
+    parameters). floor(log2(n_chars)) buckets are exact integer math, so
+    the histogram is bit-portable; one narrow aggregation on a bounded
+    (lang, bucket) key space."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.col("n_chars").cast("double"))).cast("long")
+    return (
+        docs.select("lang", bucket.alias("log2_bucket"))
+        .groupBy("lang", "log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "log2_bucket")
+    )
+
+
+def length_histogram_oracle() -> str:
+    return """
+SELECT lang, floor(log2(n_chars::DOUBLE))::BIGINT AS log2_bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY lang, log2_bucket
+ORDER BY lang, log2_bucket
+""".strip()

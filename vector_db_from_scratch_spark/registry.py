@@ -168,6 +168,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: knn.flat_knn_fast(spark, sf, "cosine", k=10, query_vec_id=0),
         knn.flat_knn_oracle("cosine", k=10, query_vec_id=0),
     )
+    # the same BLAS batch kernel proven for the other two metrics
+    for _m in ("euclidean", "dot_product"):
+        reg[f"knn_{_m}_flat_fast"] = (
+            (lambda m: lambda spark, sf: knn.flat_knn_fast(spark, sf, m, k=10, query_vec_id=0))(_m),
+            knn.flat_knn_oracle(_m, k=10, query_vec_id=0),
+        )
     # multi-query batch (beyond-reference; two-phase distributed top-k)
     reg["knn_batch"] = (
         lambda spark, sf: knn.batch_knn(spark, sf, "cosine", k=5, num_queries=8),
@@ -336,6 +342,8 @@ def build() -> dict[str, Entry]:
     reg["text_oov_rate"] = (t.oov_rate, t.oov_rate_oracle())
     # character-distribution entropy (encoding/garbage detector)
     reg["text_char_entropy"] = (t.char_entropy, t.char_entropy_oracle())
+    # power-of-two length histogram (chunking/packing parameter report)
+    reg["text_length_histogram"] = (t.length_histogram, t.length_histogram_oracle())
 
     # --- keyword search + hybrid retrieval (lexical twin of the vector path) ---
     reg["search_bm25"] = (search.bm25_topk, search.bm25_topk_oracle())
