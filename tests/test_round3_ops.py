@@ -1,0 +1,150 @@
+"""Round-3 surfaces: per-library LSH config, reference disk-layout
+migration, distributed range report, scratch-dir lifecycle."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vector_db_from_scratch_spark.operators.entity import (
+    EntityError,
+    FrozenFieldError,
+    demo_store,
+    store_from_driver_tables,
+    _store_restricted,
+)
+from vector_db_from_scratch_spark.operators.lsh import (
+    NUM_PROJECTIONS,
+    _bucket_of,
+    projection_matrix,
+)
+from vector_db_from_scratch_spark.sources.artifacts import scratch_dir
+from vector_db_from_scratch_spark.sources.reference_layout import (
+    load_reference_layout,
+    validate_index_sidecars,
+    write_reference_layout,
+)
+
+
+# -- per-library LSH config (reference indexes.py:172-187) -----------------
+
+def test_seeded_projection_matrix_differs_from_default():
+    default = projection_matrix(dimension=8)
+    seeded = projection_matrix(dimension=8, num_projections=4, seed=123)
+    assert len(default) == NUM_PROJECTIONS and len(seeded) == 4
+    assert default[0] != seeded[0]
+    # deterministic per seed
+    assert seeded == projection_matrix(dimension=8, num_projections=4, seed=123)
+
+
+def test_seeded_config_changes_bucket_assignment():
+    v = [0.3, -0.7, 0.2, 0.9, -0.1, 0.5, -0.4, 0.8]
+    b_default = _bucket_of(v, projection_matrix(dimension=8))
+    b_seeded = _bucket_of(v, projection_matrix(dimension=8, num_projections=4, seed=123))
+    assert b_seeded < 16  # only 4 bits wide
+    assert (b_default, 8) != (b_seeded, 4)
+
+
+def test_store_search_reads_library_lsh_config(spark):
+    """The seeded library's search must flow (num_projections, random_state)
+    into the projection matrix: mirror of the reference's seeded index tests
+    (tests/test_indexes.py:64-90) -- the nearest chunk wins under any seed
+    for these orthogonal fixtures, and the library row carries the config."""
+    store = demo_store(spark)
+    lib = store._library("lib-lsh-seeded")
+    assert lib["num_projections"] == 4 and lib["random_state"] == 123
+    res = store.search("lib-lsh-seeded", [0.9, 0.1, 0.0], k=1).collect()
+    assert [r["chunk_id"] for r in res] == ["ch-12"]
+
+
+def test_lsh_config_frozen_while_chunks_exist(spark):
+    store = demo_store(spark)
+    with pytest.raises(FrozenFieldError):
+        store.update_library("lib-lsh-seeded", {"random_state": 7})
+    with pytest.raises(EntityError):
+        store.create_library(
+            dict(library_id="bad", name="bad", embedding_dimension=3,
+                 distance_metric="cosine", index_kind="random_projection",
+                 num_projections=0)
+        )
+
+
+def test_create_library_defaults_new_columns_to_null(spark):
+    store = demo_store(spark)
+    s2 = store.create_library(
+        dict(library_id="lib-new", name="new", embedding_dimension=3,
+             distance_metric="cosine", index_kind="flat")
+    )
+    row = s2._library("lib-new")
+    assert row["num_projections"] is None and row["random_state"] is None
+
+
+# -- reference disk layout (disk_store.py:37-43,100-116) -------------------
+
+def test_reference_layout_roundtrip_and_sidecars(spark, sf_dir):
+    base = _store_restricted(store_from_driver_tables(spark, sf_dir), "src0")
+    data_dir = write_reference_layout(base, scratch_dir("ref-layout-test-"))
+
+    # tree shape: one JSON per entity + index sidecars per library
+    n_docs = base.documents.count()
+    n_chunks = base.chunks.count()
+    assert len(os.listdir(os.path.join(data_dir, "documents"))) == n_docs
+    assert len(os.listdir(os.path.join(data_dir, "chunks"))) == n_chunks
+    assert sorted(os.listdir(os.path.join(data_dir, "indexes"))) == [
+        "src0.json", "src0.npy"
+    ]
+
+    loaded = load_reference_layout(spark, data_dir)
+    assert loaded.documents.count() == n_docs
+    assert loaded.chunks.count() == n_chunks
+
+    # search after reload == search before (test_disk_persistence.py:240-271)
+    q = [float(x) for x in
+         base.chunks.orderBy("chunk_id").first()["embedding"]]
+    before = [(r["chunk_id"], r["distance"])
+              for r in base.search("src0", q, k=3).collect()]
+    after = [(r["chunk_id"], r["distance"])
+             for r in loaded.search("src0", q, k=3).collect()]
+    assert before == after
+
+    assert validate_index_sidecars(data_dir, loaded) == {"src0": True}
+
+    # .npy carries the embeddings in vector_id order, float32 like the
+    # reference (indexes.py:139-141)
+    arr = np.load(os.path.join(data_dir, "indexes", "src0.npy"))
+    assert arr.dtype == np.float32 and arr.shape[0] == n_chunks
+
+
+def test_scratch_dirs_registered_for_cleanup():
+    from vector_db_from_scratch_spark.sources import artifacts
+
+    d = scratch_dir("probe-")
+    assert d in artifacts._SCRATCH_DIRS and os.path.isdir(d)
+
+
+# -- distributed range report (no global single-task window) ---------------
+
+def test_range_report_matches_ntile_semantics(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from vector_db_from_scratch_spark.operators.maintenance import (
+        range_partition_report,
+    )
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    got = {r["range_id"]: (r["n_rows"], r["lo"], r["hi"])
+           for r in range_partition_report(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r["range_id"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in (
+            orders.withColumn("range_id", F.ntile(8).over(w).cast("long"))
+            .groupBy("range_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi"))
+            .collect()
+        )
+    }
+    assert got == want

@@ -657,6 +657,12 @@ def embedding_neardup(
 ) -> DataFrame:
     """Pairs above a cosine-similarity threshold, blocked by label.
 
+    TEST-ONLY ORACLE TWIN (not registered): within-label all-pairs is
+    block-quadratic, and a skewed label re-creates the cartesian -- the
+    registered query is the LSH-bucket-blocked :func:`embedding_neardup_lsh`.
+    This form survives to cross-check the per-block matmul kernel against
+    the pure-expression path (tests/test_dedup.py).
+
     Fast path (default): ``applyInPandas`` per block -- each block's vectors
     cross the Arrow boundary ONCE and the entire pair space is a NumPy
     G = U.U^T matmul; the expression path materializes the pair join with
@@ -726,34 +732,44 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str, threshold: float = 0
     bucket, so the pair space is sum over buckets of n_b^2 instead of n^2.
     Same per-block matmul kernel as the label-blocked variant; pairs whose
     similarity straddles buckets are the recall trade-off (dial with
-    multi-probe banding exactly as in search).
+    multi-probe banding exactly as in search). Memoized per (app, sf_dir,
+    threshold) like the label-blocked twin: the verified pair table feeds
+    both the pairs report and the clustering query.
     """
     from .lsh import index_table
 
-    emb = index_table(spark, sf_dir)
-    return _neardup_blocks(
-        emb.select("vec_id", F.col("bucket"), "embedding"), "bucket", threshold
-    )
+    key = (spark.sparkContext.applicationId, sf_dir, threshold, "lsh")
+    if key not in _EMB_PAIRS_MEMO:
+        emb = index_table(spark, sf_dir)
+        _EMB_PAIRS_MEMO[key] = _neardup_blocks(
+            emb.select("vec_id", F.col("bucket"), "embedding"), "bucket", threshold
+        ).cache()
+    return _EMB_PAIRS_MEMO[key]
 
 
-def embedding_neardup_lsh_oracle(threshold: float = 0.3) -> str:
+def _embedding_lsh_pairs_cte(threshold: float) -> tuple[str, str]:
+    """(cte_body, final_select) halves of the LSH-blocked embedding pair
+    SQL, shared by the pairs report and the clustering oracle."""
     from .lsh import bucket_sql
 
     norm = "sqrt(list_inner_product(v, v))"
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    ctes = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                   {bucket_sql('embedding::DOUBLE[]')} AS b
            FROM embeddings),
 n AS (SELECT vec_id, b,
              CASE WHEN {norm} = 0 THEN v
                   ELSE list_transform(v, x -> x / {norm}) END AS u
-      FROM e)
-SELECT a.vec_id AS v1, b.vec_id AS v2,
+      FROM e)"""
+    final = f"""SELECT a.vec_id AS v1, b.vec_id AS v2,
        (round(list_inner_product(a.u, b.u), 6) + 0.0) AS cos_sim
 FROM n a JOIN n b ON a.b = b.b AND a.vec_id < b.vec_id
-WHERE (round(list_inner_product(a.u, b.u), 6) + 0.0) >= {threshold}
-ORDER BY v1, v2
-""".strip()
+WHERE (round(list_inner_product(a.u, b.u), 6) + 0.0) >= {threshold}"""
+    return ctes, final
+
+
+def embedding_neardup_lsh_oracle(threshold: float = 0.3) -> str:
+    ctes, final = _embedding_lsh_pairs_cte(threshold)
+    return f"WITH {ctes}\n{final}\nORDER BY v1, v2"
 
 
 def ngram_jaccard_pairs_dfcap(
@@ -1102,20 +1118,22 @@ FROM documents GROUP BY md5({norm}) ORDER BY rep_doc_id
 def embedding_neardup_clusters(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
-    """Connected components over the embedding-cosine pair graph -- semantic
-    dedup decisions (keep min vec_id per component), completing the
-    pairs -> clusters composition for the embedding modality exactly as
-    :func:`neardup_clusters` does for text."""
-    pairs = embedding_neardup(spark, sf_dir, threshold).select(
+    """Connected components over the LSH-blocked embedding-cosine pair
+    graph -- semantic dedup decisions (keep min vec_id per component),
+    completing the pairs -> clusters composition for the embedding modality
+    exactly as :func:`neardup_clusters` does for text. Sits on the
+    LSH-bucket-blocked pair table (the skew-safe scale path), not the
+    label-blocked twin."""
+    pairs = embedding_neardup_lsh(spark, sf_dir, threshold).select(
         F.col("v1").alias("d1"), F.col("v2").alias("d2")
     )
-    return _clusters_cached(spark, sf_dir, threshold, "embedding", pairs).select(
+    return _clusters_cached(spark, sf_dir, threshold, "embedding_lsh", pairs).select(
         F.col("node").alias("vec_id"), "cluster_rep"
     ).orderBy("vec_id")
 
 
 def embedding_neardup_clusters_oracle(threshold: float = 0.4) -> str:
-    ctes, final = _embedding_pairs_cte(threshold)
+    ctes, final = _embedding_lsh_pairs_cte(threshold)
     return (
         f"WITH RECURSIVE {ctes},\n"
         f"pairs AS (SELECT v1 AS d1, v2 AS d2 FROM ({final}) t),\n"

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vector import distance_expr
+from . import _memo
 
 MAX_BATCH = 1000  # vector_db/schemas.py:90
 
@@ -88,6 +89,9 @@ class EntityStore:
             raise DuplicateError(f"library {row['library_id']} exists")
         if row["embedding_dimension"] <= 0:
             raise DimensionMismatchError("embedding_dimension must be > 0")
+        if row.get("num_projections") is not None and row["num_projections"] <= 0:
+            raise EntityError("num_projections must be positive")  # indexes.py:181
+        row = {f.name: row.get(f.name) for f in self.libraries.schema.fields}
         new = self.libraries.sparkSession.createDataFrame([row], self.libraries.schema)
         return replace(self, libraries=self.libraries.unionByName(new))
 
@@ -95,7 +99,13 @@ class EntityStore:
         """PATCH semantics (P4): unset fields keep their value via MERGE-style
         conditional overwrite; index settings are frozen while chunks exist."""
         self._library(library_id)
-        if {"embedding_dimension", "index_kind", "distance_metric"} & set(updates):
+        if {
+            "embedding_dimension",
+            "index_kind",
+            "distance_metric",
+            "num_projections",
+            "random_state",
+        } & set(updates):
             n_chunks = (
                 self.chunks.join(
                     self.documents.filter(F.col("library_id") == library_id),
@@ -305,10 +315,17 @@ class EntityStore:
         if lib["index_kind"] == "random_projection":
             # Q3 dispatch: bucket probe with the reference's <k fallback
             # (intersection with the metadata candidates happens FIRST,
-            # fallback widens to all allowed -- indexes.py:220-224)
-            from .lsh import _bucket_of, bucket_expr, projection_matrix
+            # fallback widens to all allowed -- indexes.py:220-224).
+            # Per-library seed/width (indexes.py:172-187): NULL columns fall
+            # back to the engine defaults, so pre-existing stores behave
+            # identically.
+            from .lsh import NUM_PROJECTIONS, SEED, _bucket_of, bucket_expr, projection_matrix
 
-            proj = projection_matrix(dimension=lib["embedding_dimension"])
+            proj = projection_matrix(
+                dimension=lib["embedding_dimension"],
+                num_projections=lib.get("num_projections") or NUM_PROJECTIONS,
+                seed=SEED if lib.get("random_state") is None else lib["random_state"],
+            )
             qb = _bucket_of([float(x) for x in query_vector], proj)
             bucketed = cand.withColumn("bucket", bucket_expr(F.col("embedding"), proj))
             probed = bucketed.filter(F.col("bucket") == qb)
@@ -331,7 +348,12 @@ class EntityStore:
 LIB_SCHEMA = (
     "library_id string, name string, description string, "
     "metadata map<string,string>, embedding_dimension int, "
-    "distance_metric string, index_kind string"
+    "distance_metric string, index_kind string, "
+    # per-library LSH config (reference indexes.py:172-187: each
+    # RandomProjectionIndex carries num_projections + random_state); NULL
+    # means the engine defaults (8 projections, fixed seed 42 -- the
+    # deterministic analog of the reference's unseeded default_rng(None))
+    "num_projections int, random_state int"
 )
 DOC_SCHEMA = "document_id string, library_id string, name string, metadata map<string,string>"
 CHUNK_SCHEMA = (
@@ -342,10 +364,13 @@ CHUNK_SCHEMA = (
 
 def demo_store(spark: SparkSession) -> EntityStore:
     libs = [
-        ("lib-cos", "cosine flat", None, {}, 3, "cosine", "flat"),
-        ("lib-euc", "euclid flat", None, {}, 3, "euclidean", "flat"),
-        ("lib-dot", "dot flat", None, {}, 3, "dot_product", "flat"),
-        ("lib-lsh", "cosine lsh", None, {}, 3, "cosine", "random_projection"),
+        ("lib-cos", "cosine flat", None, {}, 3, "cosine", "flat", None, None),
+        ("lib-euc", "euclid flat", None, {}, 3, "euclidean", "flat", None, None),
+        ("lib-dot", "dot flat", None, {}, 3, "dot_product", "flat", None, None),
+        ("lib-lsh", "cosine lsh", None, {}, 3, "cosine", "random_projection", None, None),
+        # seeded per-library config (reference tests/test_indexes.py:64-90)
+        ("lib-lsh-seeded", "cosine lsh seeded", None, {}, 3, "cosine",
+         "random_projection", 4, 123),
     ]
     docs = [
         ("doc-a", "lib-cos", "alpha", {}),
@@ -353,6 +378,7 @@ def demo_store(spark: SparkSession) -> EntityStore:
         ("doc-e", "lib-euc", "epsilon", {}),
         ("doc-d", "lib-dot", "delta", {}),
         ("doc-l", "lib-lsh", "lambda", {}),
+        ("doc-s", "lib-lsh-seeded", "sigma", {}),
     ]
     chunks = [
         # orthogonal basis + duplicates + zero vector + metadata scenarios
@@ -367,6 +393,9 @@ def demo_store(spark: SparkSession) -> EntityStore:
         ("ch-9", "doc-d", "d1", [1.0, 2.0, 3.0], {}, 0),
         ("ch-10", "doc-l", "l1", [1.0, 0.0, 1.0], {}, 0),
         ("ch-11", "doc-l", "l2", [-1.0, 0.0, 1.0], {}, 1),
+        # the reference's seeded-index fixture (test_indexes.py:64-76)
+        ("ch-12", "doc-s", "s1", [1.0, 0.0, 0.0], {}, 0),
+        ("ch-13", "doc-s", "s2", [0.0, 1.0, 0.0], {}, 1),
     ]
     return EntityStore(
         libraries=spark.createDataFrame(libs, LIB_SCHEMA),
@@ -526,7 +555,11 @@ def load_store(spark: SparkSession, path: str, fmt: str = "parquet") -> EntitySt
 
 
 def store_from_driver_tables(
-    spark: SparkSession, sf_dir: str, index_kind: str = "flat"
+    spark: SparkSession,
+    sf_dir: str,
+    index_kind: str = "flat",
+    num_projections: int | None = None,
+    random_state: int | None = None,
 ) -> EntityStore:
     """SURVEY §1.4 mapping applied to the driver's tables: sources become
     libraries, documents stay documents, and each document's embedding row
@@ -548,6 +581,8 @@ def store_from_driver_tables(
             F.lit(64).alias("embedding_dimension"),
             F.lit("cosine").alias("distance_metric"),
             F.lit(index_kind).alias("index_kind"),
+            F.lit(num_projections).cast("int").alias("num_projections"),
+            F.lit(random_state).cast("int").alias("random_state"),
         )
     )
     documents = docs.select(
@@ -710,15 +745,26 @@ def store_search_lsh_query(
     library_id: str = "src0",
     query_vec_id: int = 0,
     k: int = 5,
+    num_projections: int | None = None,
+    random_state: int | None = None,
 ) -> DataFrame:
     """Q3 through the entity surface: the store's random_projection
     dispatch (bucket probe, metadata intersection FIRST, <k fallback to
     every allowed chunk -- vector_db/indexes.py:206-234) over the driver
     tables, under the gate. The oracle replicates the identical
-    data-dependent plan choice with a conditional UNION."""
+    data-dependent plan choice with a conditional UNION. Non-default
+    ``num_projections``/``random_state`` flow from the library row into
+    the projection matrix (indexes.py:172-187), gated by the seeded
+    registry variant."""
     from ..sources.tables import load_table
 
-    store = store_from_driver_tables(spark, sf_dir, index_kind="random_projection")
+    store = store_from_driver_tables(
+        spark,
+        sf_dir,
+        index_kind="random_projection",
+        num_projections=num_projections,
+        random_state=random_state,
+    )
     qrow = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == query_vec_id)
@@ -734,20 +780,31 @@ def store_search_lsh_query(
 
 
 def store_search_lsh_query_oracle(
-    library_id: str = "src0", query_vec_id: int = 0, k: int = 5
+    library_id: str = "src0",
+    query_vec_id: int = 0,
+    k: int = 5,
+    num_projections: int | None = None,
+    random_state: int | None = None,
 ) -> str:
     from ..functions.vector import oracle_distance_sql
-    from .lsh import bucket_sql
+    from .lsh import DIMENSION, NUM_PROJECTIONS, SEED, bucket_sql, projection_matrix
 
+    proj = None
+    if num_projections is not None or random_state is not None:
+        proj = projection_matrix(
+            dimension=DIMENSION,
+            num_projections=num_projections or NUM_PROJECTIONS,
+            seed=SEED if random_state is None else random_state,
+        )
     d = oracle_distance_sql("cosine", "p.v", "q.qv")
     return f"""
 WITH c AS (
   SELECT 'c' || d.doc_id AS chunk_id, e.embedding::DOUBLE[] AS v,
-         {bucket_sql('e.embedding::DOUBLE[]')} AS bucket
+         {bucket_sql('e.embedding::DOUBLE[]', proj)} AS bucket
   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
   WHERE d.source = '{library_id}' AND d.lang = 'en'),
 q AS (SELECT embedding::DOUBLE[] AS qv,
-             {bucket_sql('embedding::DOUBLE[]')} AS qbucket
+             {bucket_sql('embedding::DOUBLE[]', proj)} AS qbucket
       FROM embeddings WHERE vec_id = {query_vec_id}),
 cand AS (SELECT c.* FROM c, q WHERE c.bucket = q.qbucket),
 n AS (SELECT count(*) AS cnt FROM cand),
@@ -761,3 +818,60 @@ FROM pool p, q
 ORDER BY distance, chunk_id
 LIMIT {k}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Reference disk-layout round trip (S4 completed for real reference data):
+# materialize one library as the reference's JSON-per-entity + .npy tree
+# (disk_store.py:37-43,100-116; indexes.py:125-141), load it back through
+# the migration reader, and search. Results are identical to the
+# parquet-path store, so the SAME oracle gates both paths -- mirroring
+# tests/test_disk_persistence.py:240-271 ("search works after reload").
+# --------------------------------------------------------------------------
+
+_REF_LAYOUT_MEMO: dict[tuple, str] = _memo.register({})
+
+
+def _store_restricted(store: EntityStore, library_id: str) -> EntityStore:
+    docs = store.documents.filter(F.col("library_id") == library_id)
+    chunks = store.chunks.join(docs.select("document_id"), "document_id", "left_semi")
+    libs = store.libraries.filter(F.col("library_id") == library_id)
+    return EntityStore(libraries=libs, documents=docs, chunks=chunks)
+
+
+def reference_layout_search_query(
+    spark: SparkSession,
+    sf_dir: str,
+    library_id: str = "src0",
+    query_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """Write (once per app) -> load -> search over the reference layout;
+    gated by store_search_query's oracle since the round trip must be
+    content-preserving."""
+    from ..sources.artifacts import scratch_dir
+    from ..sources.reference_layout import (
+        load_reference_layout,
+        write_reference_layout,
+    )
+    from ..sources.tables import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, library_id)
+    if key not in _REF_LAYOUT_MEMO:
+        base = store_from_driver_tables(spark, sf_dir)
+        _REF_LAYOUT_MEMO[key] = write_reference_layout(
+            _store_restricted(base, library_id), scratch_dir("ref-layout-")
+        )
+    store = load_reference_layout(spark, _REF_LAYOUT_MEMO[key])
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()[0]
+    )
+    return store.search(
+        library_id,
+        [float(x) for x in qrow["embedding"]],
+        k=k,
+        metadata_filters={"lang": "en"},
+    )

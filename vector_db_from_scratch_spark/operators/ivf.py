@@ -530,11 +530,11 @@ def ivf_index_persisted_knn(
     k: int = 10,
     query_vec_id: int = 0,
 ) -> DataFrame:
-    import tempfile
+    from ..sources.artifacts import scratch_dir
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_PERSISTED_MEMO:
-        path = tempfile.mkdtemp(prefix="ivf-index-")
+        path = scratch_dir("ivf-index-")
         assign_cells(spark, sf_dir).write.mode("overwrite").partitionBy("cell").parquet(path)
         _IVF_PERSISTED_MEMO[key] = path
     idx = spark.read.parquet(_IVF_PERSISTED_MEMO[key])

@@ -69,15 +69,23 @@ def bucket_expr(v: Column, projections: list[list[float]] | None = None) -> Colu
     return b.cast("int")
 
 
-def _proj_sql(i: int) -> str:
-    vals = ", ".join(repr(x) for x in _PROJECTIONS[i])
+def _proj_sql_row(row: list[float]) -> str:
+    vals = ", ".join(repr(x) for x in row)
     return f"[{vals}]::DOUBLE[]"
 
 
-def bucket_sql(v: str) -> str:
+def _proj_sql(i: int) -> str:
+    return _proj_sql_row(_PROJECTIONS[i])
+
+
+def bucket_sql(v: str, projections: list[list[float]] | None = None) -> str:
+    """DuckDB twin of :func:`bucket_expr`; pass a per-library
+    ``projection_matrix(...)`` for non-default seeds (reference
+    indexes.py:172-187 seeds one matrix per library)."""
+    proj = projections if projections is not None else _PROJECTIONS
     terms = " + ".join(
-        f"(CASE WHEN list_inner_product({v}, {_proj_sql(i)}) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(NUM_PROJECTIONS)
+        f"(CASE WHEN list_inner_product({v}, {_proj_sql_row(row)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, row in enumerate(proj)
     )
     return f"({terms})"
 
@@ -383,11 +391,11 @@ def lsh_index_persisted_knn(
     :func:`load_index` it, and run the bucket probe against the on-disk
     artifact. Same results as :func:`lsh_knn` -- the gate runs both against
     the same oracle."""
-    import tempfile
+    from ..sources.artifacts import scratch_dir
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PERSISTED_MEMO:
-        path = tempfile.mkdtemp(prefix="lsh-index-")
+        path = scratch_dir("lsh-index-")
         save_index(load_table(spark, sf_dir, "embeddings"), path)
         _PERSISTED_MEMO[key] = path
     idx = load_index(spark, _PERSISTED_MEMO[key])

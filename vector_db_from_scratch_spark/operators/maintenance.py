@@ -47,13 +47,22 @@ def parquet_file_count(path: str) -> int:
 # sorted layout (the report you run before repartitionByRange / sorted
 # parquet writes to verify the chosen key yields even file sizes).
 # ``repartitionByRange`` picks boundaries by SAMPLING -- this is its exact,
-# auditable twin: ntile over the total order (value, key) gives each row a
-# target range, and per-range min/max/count is the skew report. At 100 TB
-# the exact form is a one-off audit (a global sort of just the key column,
-# ~1% of table bytes); the sampled form plans the actual write.
+# auditable twin, computed WITHOUT a global single-task window: a range
+# repartition on (value, key) makes partitions contiguous in the total
+# order, so exact global rank = per-partition row_number (parallel window,
+# one partition per task) + a broadcast cumulative offset (one bounded row
+# per shuffle partition). The ntile bucket id is then a closed-form
+# expression of (rank, N) and the per-range min/max/count is an ordinary
+# parallel aggregation. Scales: the only driver-side state is one count per
+# shuffle partition; nothing funnels through a single task.
 # --------------------------------------------------------------------------
 
 RANGE_BUCKETS = 8
+
+# (applicationId, sf_dir) -> (persisted range-partitioned orders, pid counts)
+from ._memo import register as _register_memo
+
+_RANGED_ORDERS = _register_memo({})
 
 
 def range_partition_report(
@@ -62,16 +71,54 @@ def range_partition_report(
     """(range_id, n_rows, lo, hi): per-range row count and value bounds of
     orders.o_totalprice under an ntile(n) split with the deterministic
     (o_totalprice, o_orderkey) total order. min/max/count involve no float
-    accumulation, so the report is bit-portable without rounding."""
+    accumulation, so the report is bit-portable without rounding.
+
+    ntile(n) over N rows gives the first ``N % n`` buckets ``N//n + 1``
+    rows and the rest ``N//n``; with the exact 1-based rank ``r`` the
+    bucket id is computed in closed form below, reproducing the window
+    function's output distributively.
+    """
     from pyspark.sql import Window, functions as F
 
     from ..sources.tables import load_table
 
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranged = orders.withColumn("range_id", F.ntile(n_ranges).over(w).cast("long"))
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key not in _RANGED_ORDERS:
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        n_parts = max(spark.sparkContext.defaultParallelism, n_ranges)
+        part = (
+            orders.repartitionByRange(n_parts, "o_totalprice", "o_orderkey")
+            .withColumn("pid", F.spark_partition_id())
+            .persist()
+        )
+        # Bounded driver-side state: one (pid, count) row per shuffle partition.
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        _RANGED_ORDERS[memo_key] = (part, counts)
+    part, counts = _RANGED_ORDERS[memo_key]
+    total = sum(counts.values())
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+
+    q, rem = divmod(total, n_ranges)
+    threshold = rem * (q + 1)  # ranks <= threshold land in the fat buckets
+    w = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    r = (F.row_number().over(w) + F.col("off")).alias("rank")
+    ranked = part.join(F.broadcast(off_df), "pid").select("o_totalprice", r)
+    rk = F.col("rank")
+    range_id = (
+        F.when(rk <= F.lit(threshold), F.floor((rk - 1) / F.lit(q + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((rk - 1 - F.lit(threshold)) / F.lit(max(q, 1))) + 1)
+        .cast("long")
+    )
     return (
-        ranged.groupBy("range_id")
+        ranked.withColumn("range_id", range_id)
+        .groupBy("range_id")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("o_totalprice").alias("lo"),

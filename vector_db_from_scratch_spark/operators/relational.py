@@ -637,15 +637,18 @@ ORDER BY c_custkey
 
 # --------------------------------------------------------------------------
 # Pagination with total / has_more (A2: the reference computes total before
-# slicing, schemas.py:77-83) -- window count over the unsliced set
+# slicing, schemas.py:77-83). The total is a partial-aggregated count
+# broadcast-crossJoined onto the page -- NOT a count(*) OVER () global
+# window, which would funnel every filtered row through one task. Both
+# sides are parallel pruned scans; the join side is a 1-row broadcast.
 # --------------------------------------------------------------------------
 
 def paginated_with_total(spark: SparkSession, sf_dir: str, lang: str = "de",
                          skip: int = 10, limit: int = 20) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == lang)
-    w = Window.partitionBy()
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
     return (
-        docs.withColumn("total", F.count(F.lit(1)).over(w))
+        docs.crossJoin(F.broadcast(total))
         .select("doc_id", "n_chars", "total",
                 (F.lit(skip + limit) < F.col("total")).alias("has_more"))
         .orderBy("doc_id")

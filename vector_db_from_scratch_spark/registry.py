@@ -244,6 +244,22 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: entity.store_search_lsh_query(spark, sf),
         entity.store_search_lsh_query_oracle(),
     )
+    # non-default per-library seed/width (reference indexes.py:172-187,
+    # tests/test_indexes.py:64-90): the library row's (num_projections,
+    # random_state) must reach the projection matrix, not module constants
+    # reference JSON-per-entity + .npy tree, written then read back through
+    # the migration reader; content-preserving, so the parquet-path search
+    # oracle gates it (disk_store.py round trip, test_disk_persistence.py)
+    reg["entity_reference_layout_search"] = (
+        lambda spark, sf: entity.reference_layout_search_query(spark, sf),
+        entity.store_search_query_oracle(),
+    )
+    reg["entity_store_search_lsh_seeded"] = (
+        lambda spark, sf: entity.store_search_lsh_query(
+            spark, sf, num_projections=6, random_state=123
+        ),
+        entity.store_search_lsh_query_oracle(num_projections=6, random_state=123),
+    )
     # range-partition boundary + balance audit (sorted-layout planning)
     from .operators import maintenance
     reg["maintenance_range_bounds"] = (
@@ -404,11 +420,23 @@ def build() -> dict[str, Entry]:
         d.ngram_jaccard_pairs_dfcap_auto_oracle(),
     )
     reg["dedup_simhash_table"] = (d.simhash_table, d.simhash_table_oracle())
-    reg["dedup_simhash_pairs"] = (d.simhash_near_pairs, d.simhash_near_pairs_oracle())
+    # Spark side is the BANDED (linear) form for both entries; the quadratic
+    # self-join survives only as the _pairs oracle (DuckDB at sf0.01) and as
+    # a test-only twin -- pigeonhole guarantees identical rows, so this gate
+    # cross-checks banding recall every round without registering an
+    # unbanded doc_id<doc_id self-join as a runnable query.
+    reg["dedup_simhash_pairs"] = (d.simhash_banded_pairs, d.simhash_near_pairs_oracle())
     reg["dedup_simhash_banded"] = (d.simhash_banded_pairs, d.simhash_banded_pairs_oracle())
     reg["dedup_cluster_components"] = (d.neardup_clusters, d.neardup_clusters_oracle())
     reg["dedup_cluster_minhash"] = (d.neardup_clusters_minhash, d.neardup_clusters_minhash_oracle())
-    reg["dedup_embedding_cosine"] = (d.embedding_neardup, d.embedding_neardup_oracle())
+    # LSH-bucket-blocked pairs at the label-blocked entry's 0.4 threshold:
+    # the label-blocked all-pairs twin (embedding_neardup) is demoted to a
+    # test-only oracle -- a skewed label would re-create the cartesian, so
+    # no registered query runs an unblocked/label-blocked pair space.
+    reg["dedup_embedding_cosine"] = (
+        lambda spark, sf: d.embedding_neardup_lsh(spark, sf, threshold=0.4),
+        d.embedding_neardup_lsh_oracle(threshold=0.4),
+    )
     reg["dedup_embedding_clusters"] = (
         d.embedding_neardup_clusters,
         d.embedding_neardup_clusters_oracle(),

@@ -16,7 +16,7 @@ pipeline enforces at ingest.
 
 from __future__ import annotations
 
-import tempfile
+from .artifacts import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,7 +35,7 @@ def documents_csv_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _CSV_MEMO:
         return _CSV_MEMO[key]
-    out = tempfile.mkdtemp(prefix="docs-csv-")
+    out = scratch_dir("docs-csv-")
     (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -97,7 +97,7 @@ def documents_partitioned_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PART_MEMO:
         return _PART_MEMO[key]
-    out = tempfile.mkdtemp(prefix="docs-bylang-")
+    out = scratch_dir("docs-bylang-")
     (
         load_table(spark, sf_dir, "documents")
         .write.mode("overwrite")

@@ -24,7 +24,7 @@ corpus layout is many ~256 MB .jsonl.gz shards, which this layout matches.
 from __future__ import annotations
 
 import os
-import tempfile
+from .artifacts import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,7 +53,7 @@ def documents_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _JSONL_MEMO:
         return _JSONL_MEMO[key]
-    out = tempfile.mkdtemp(prefix="docs-jsonl-")
+    out = scratch_dir("docs-jsonl-")
     load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     ).write.mode("overwrite").json(out)

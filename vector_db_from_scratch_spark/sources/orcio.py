@@ -16,7 +16,7 @@ go through DataSource V1 file scans).
 
 from __future__ import annotations
 
-import tempfile
+from .artifacts import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,7 +32,7 @@ def documents_orc_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _ORC_MEMO:
         return _ORC_MEMO[key]
-    out = tempfile.mkdtemp(prefix="docs-orc-")
+    out = scratch_dir("docs-orc-")
     (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang", "source", "n_chars")
