@@ -11,22 +11,30 @@ Covered:
 """
 
 import math
+import random
 from collections import Counter
-
-from hypothesis import given, settings, strategies as st
 
 from vector_db_from_scratch_spark.operators.textops import (
     ENTROPY_ALPHABET,
     char_entropy_expr,
 )
 
-_DOCS: list[str] = []
+
+def _build_corpus(n: int = 80, seed: int = 7) -> list[str]:
+    """Deterministic random corpus built at import -- no cross-test
+    execution-order coupling (a @given collector only fills a module
+    global when it happens to run first), same coverage: arbitrary
+    alphabet strings plus the degenerate edge cases."""
+    rng = random.Random(seed)
+    docs = {
+        "".join(rng.choice(ENTROPY_ALPHABET) for _ in range(rng.randint(1, 40)))
+        for _ in range(n)
+    }
+    docs.update({"a", "aab", "zzzz", "abc defg", " ", "a" * 40, ENTROPY_ALPHABET})
+    return sorted(docs)
 
 
-@settings(max_examples=80, deadline=None)
-@given(st.text(alphabet=ENTROPY_ALPHABET, min_size=1, max_size=40))
-def test_collect_docs(s):
-    _DOCS.append(s)
+_DOCS = _build_corpus()
 
 
 def _py_entropy(s: str) -> float:
@@ -41,7 +49,7 @@ def _py_entropy(s: str) -> float:
 
 
 def test_entropy_expression_matches_python_reference(spark):
-    docs = sorted(set(_DOCS)) or ["aab", "zzzz", "abc defg"]
+    docs = _DOCS
     df = spark.createDataFrame([(i, s) for i, s in enumerate(docs)], "i long, text string")
     got = {
         r["i"]: r["e"]

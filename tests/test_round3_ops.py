@@ -148,3 +148,46 @@ def test_range_report_matches_ntile_semantics(spark, sf_dir):
         )
     }
     assert got == want
+
+
+# -- Arrow fast-path twins for the text expression queries -----------------
+
+def test_language_id_trigram_fast_equals_expression(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.textops import language_id_trigram
+
+    fast = {tuple(r) for r in language_id_trigram(spark, sf_dir, fast=True).collect()}
+    expr = {tuple(r) for r in language_id_trigram(spark, sf_dir, fast=False).collect()}
+    assert fast == expr
+
+
+def test_fingerprints_fast_equals_expression(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.textops import fingerprints
+
+    fast = {tuple(r) for r in fingerprints(spark, sf_dir, fast=True).collect()}
+    expr = {tuple(r) for r in fingerprints(spark, sf_dir, fast=False).collect()}
+    assert fast == expr
+
+
+def test_char_entropy_fast_equals_expression(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.textops import char_entropy
+
+    fast = {tuple(r) for r in char_entropy(spark, sf_dir, fast=True).collect()}
+    expr = {tuple(r) for r in char_entropy(spark, sf_dir, fast=False).collect()}
+    assert fast == expr
+
+
+# -- persisted trained-IVF artifact ----------------------------------------
+
+def test_ivf_trained_persisted_equals_in_process(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators import ivf
+
+    a = [tuple(r) for r in ivf.ivf_knn_trained(spark, sf_dir).collect()]
+    b = [tuple(r) for r in ivf.ivf_trained_persisted_knn(spark, sf_dir).collect()]
+    assert a == b and len(a) == 10
+
+    root = ivf.trained_artifact_path(sf_dir, ivf.NUM_CELLS, 2)
+    assert os.path.exists(os.path.join(root, "centroids", "_SUCCESS"))
+    assert os.path.exists(os.path.join(root, "index", "_SUCCESS"))
+    # artifact round trip preserves the trained centroids exactly (float32)
+    reloaded = ivf._load_persisted_centroids(spark, sf_dir, ivf.NUM_CELLS, 2)
+    assert reloaded == ivf.train_centroids(spark, sf_dir, ivf.NUM_CELLS, 2)

@@ -248,7 +248,11 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     props = F.from_json(F.col("props"), "map<string,string>")
     meta = F.create_map(F.lit("type"), F.col("event_type"))
-    merged = F.map_concat(props, meta)
+    # meta wins on key collision: filter any pre-existing 'type' key out of
+    # props first, since map_concat THROWS on duplicates under Spark's
+    # default EXCEPTION dedup policy -- last-write-wins semantics without
+    # depending on the generator never emitting a 'type' prop
+    merged = F.map_concat(F.map_filter(props, lambda k, _: k != "type"), meta)
     return (
         ev.select(
             "event_id",
@@ -268,15 +272,20 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def map_functions_oracle() -> str:
+    # every map-shaped value is DERIVED from the JSON payload (json_keys),
+    # never hardcoded to the generator's current props shape -- the gate
+    # checks map semantics, not the fixture
     return """
 SELECT event_id,
-       1::BIGINT AS n_props,
+       len(json_keys(props))::BIGINT AS n_props,
        json_extract_string(props, '$.k')::BIGINT AS k_value,
-       '<absent>' AS missing_value,
-       2::BIGINT AS n_merged,
+       coalesce(json_extract_string(props, '$.missing'), '<absent>') AS missing_value,
+       len(list_distinct(list_filter(json_keys(props), k -> k != 'type') || ['type']))::BIGINT
+         AS n_merged,
        event_type AS merged_type,
-       (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
-       'k,type' AS keys_sorted
+       list_contains(json_keys(props), 'k') AS has_k,
+       array_to_string(list_sort(list_filter(json_keys(props), k -> k != 'type') || ['type']), ',')
+         AS keys_sorted
 FROM events
 ORDER BY event_id
 LIMIT 200

@@ -13,6 +13,8 @@ collapse map-side, so the one exchange moves a single row per vector.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,6 +144,14 @@ def train_centroids(
     if key in _CENTROID_MEMO:
         return _CENTROID_MEMO[key]
 
+    # cross-process artifact: a previous process (or bench run) that
+    # trained this quantizer persisted the centroids; loading the
+    # n_cells-row parquet replaces the full Lloyd run
+    persisted = _load_persisted_centroids(spark, sf_dir, n_cells, iterations)
+    if persisted is not None:
+        _CENTROID_MEMO[key] = persisted
+        return persisted
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = [
         [float(x) for x in r["embedding"]]
@@ -174,7 +184,128 @@ def train_centroids(
             for i in range(n_cells)
         ]
     _CENTROID_MEMO[key] = cents
+    _save_persisted_centroids(spark, sf_dir, n_cells, iterations, cents)
     return cents
+
+
+# --------------------------------------------------------------------------
+# Trained-quantizer artifact store: centroids (and the assignment index)
+# persisted as parquet under a content-keyed directory, so a NEW process
+# loads the n_cells-row centroid table instead of re-running Lloyd -- the
+# exact lifecycle a cluster deployment has (train once into object
+# storage, every session serves from the artifact). The key hashes the
+# embeddings file identity (path, mtime, size) + hyperparameters, so a
+# regenerated table retrains instead of serving stale centroids. Writes
+# go to a temp name then os.rename -- atomic on one filesystem -- so a
+# concurrent process never reads a half-written artifact.
+# --------------------------------------------------------------------------
+
+ARTIFACT_ROOT_ENV = "SPARK_GRAFT_ARTIFACT_DIR"
+
+
+def _artifact_root() -> str:
+    import tempfile
+
+    return os.environ.get(
+        ARTIFACT_ROOT_ENV, os.path.join(tempfile.gettempdir(), "spark-graft-artifacts")
+    )
+
+
+def trained_artifact_path(sf_dir: str, n_cells: int, iterations: int) -> str:
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    ident = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    tag = hashlib.md5(f"{ident}:{n_cells}:{iterations}".encode()).hexdigest()[:12]
+    return os.path.join(_artifact_root(), f"ivf-trained-{tag}")
+
+
+def _load_persisted_centroids(
+    spark: SparkSession, sf_dir: str, n_cells: int, iterations: int
+) -> list[list[float]] | None:
+    path = os.path.join(trained_artifact_path(sf_dir, n_cells, iterations), "centroids")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    if len(rows) != n_cells:
+        return None
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def _save_persisted_centroids(
+    spark: SparkSession, sf_dir: str, n_cells: int, iterations: int, cents: list[list[float]]
+) -> None:
+    root = trained_artifact_path(sf_dir, n_cells, iterations)
+    final = os.path.join(root, "centroids")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return
+    os.makedirs(root, exist_ok=True)
+    tmp = final + f".tmp-{os.getpid()}"
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # another process won the race
+
+
+def save_trained_index(
+    spark: SparkSession, sf_dir: str, n_cells: int = NUM_CELLS, iterations: int = 2
+) -> str:
+    """Persist the full trained IVF artifact (centroids + the assignment
+    table partitioned by cell) and return its directory; probes against it
+    are partition-pruned parquet reads of the nprobe nearest cells."""
+    root = trained_artifact_path(sf_dir, n_cells, iterations)
+    final = os.path.join(root, "index")
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        assigned = _trained_assignment(spark, sf_dir, n_cells, iterations)
+        tmp = final + f".tmp-{os.getpid()}"
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+def load_trained_index(spark: SparkSession, root: str):
+    """(centroid DataFrame, assignment DataFrame) from a trained artifact."""
+    cent = spark.read.parquet(os.path.join(root, "centroids")).select(
+        "cell", F.col("centroid").alias("cv")
+    )
+    idx = spark.read.parquet(os.path.join(root, "index"))
+    return cent, idx
+
+
+def ivf_trained_persisted_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_cells: int = NUM_CELLS,
+    iterations: int = 2,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """k-NN served entirely from the persisted trained artifact: load the
+    centroid table, rank cells for the query, and probe the on-disk
+    assignment with partition pruning. Identical results to
+    :func:`ivf_knn_trained` (same centroids -- the artifact IS the trained
+    state); rows-only check like its in-process twin, equality asserted in
+    tests."""
+    root = save_trained_index(spark, sf_dir, n_cells, iterations)
+    cent_df, assigned = load_trained_index(spark, root)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+    )
+    return _probe_trained(cent_df, assigned, q, metric, k, nprobe)
 
 
 def kmeans_train(
@@ -255,6 +386,20 @@ def ivf_knn_trained(
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("qv"))
     )
+    return _probe_trained(cent_df, assigned, q, metric, k, nprobe)
+
+
+def _probe_trained(
+    cent_df: DataFrame,
+    assigned: DataFrame,
+    q: DataFrame,
+    metric: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared probe tail: rank cells for the query, exact distance within
+    the nprobe nearest -- identical plan whether the centroid/assignment
+    tables are in-process or loaded from the persisted artifact."""
     probe_cells = (
         cent_df.crossJoin(F.broadcast(q))
         .select("cell", distance_expr("euclidean", F.col("cv"), F.col("qv")).alias("qd"))

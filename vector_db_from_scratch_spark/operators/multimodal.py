@@ -118,6 +118,16 @@ def resize_media(spark: SparkSession, sf_dir: str, target: int = RESIZE_TARGET) 
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 arr = decode_media(payload, kind)
                 n = len(arr)
+                # the oracle equates payload byte i with text char i, which
+                # requires ASCII payloads and at least one byte -- fail
+                # loudly on violations instead of hash-mismatching
+                if n == 0:
+                    raise ValueError(f"media {media_id}: empty payload cannot be resampled")
+                if int(arr.max()) > 127:
+                    raise ValueError(
+                        f"media {media_id}: non-ASCII payload breaks the "
+                        "byte-i == char-i oracle equivalence"
+                    )
                 idx = (np.arange(target, dtype=np.int64) * n) // target
                 resampled = arr[idx]
                 ids.append(media_id)

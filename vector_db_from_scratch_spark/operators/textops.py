@@ -137,16 +137,59 @@ ORDER BY lang, predicted
 """.strip()
 
 
-def language_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def language_id_trigram(spark: SparkSession, sf_dir: str, fast: bool = True) -> DataFrame:
     """Char-trigram-profile language ID (Cavnar-Trenkle style): per-language
     occurrence totals of the top frequent trigrams, deterministic
     CASE-priority argmax, reported as a confusion matrix vs the label.
 
-    Scores are materialized as columns FIRST (one scan computes all 4x10
-    replace-counts), then the argmax compares columns -- the CASE chain
-    never duplicates the scoring expressions, keeping codegen size linear.
+    Fast path (default): one Arrow ``mapInPandas`` pass scores and argmaxes
+    per batch -- ``str.count`` is the same leftmost-non-overlapping count as
+    the ``(len - len(replace))/3`` expression and all arithmetic is integer,
+    so the paths agree EXACTLY (asserted in tests and by the shared oracle).
+    The expression path materializes 40 ``replace()`` copies of every
+    document per scan -- the same anti-pattern the entropy expression has --
+    and survives as the oracle-exact twin.
+
+    Expression path: scores are materialized as columns FIRST (one scan
+    computes all 4x10 replace-counts), then the argmax compares columns --
+    the CASE chain never duplicates the scoring expressions, keeping
+    codegen size linear.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if fast:
+        import re
+
+        import pandas as pd
+
+        profiles = {l: list(t) for l, t in T.TRIGRAM_PROFILES.items()}
+        prio = list(T.LANG_PRIORITY)
+        cjk = re.compile("[一-鿿]")
+
+        def batches(it):
+            for pdf in it:
+                preds = []
+                for text in pdf["text"]:
+                    lt = text.lower()
+                    scores = {
+                        lang: (
+                            len(cjk.findall(text))
+                            if lang == "zh"
+                            else sum(lt.count(tri) for tri in profiles[lang])
+                        )
+                        for lang in prio
+                    }
+                    best = max(scores.values())
+                    preds.append(next(l for l in prio if scores[l] == best))
+                yield pd.DataFrame({"lang": pdf["lang"], "predicted": preds})
+
+        scored = docs.select("lang", "text").mapInPandas(
+            batches, "lang string, predicted string"
+        )
+        return (
+            scored.groupBy("lang", "predicted")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang", "predicted")
+        )
     score_cols = []
     for lang in T.LANG_PRIORITY:
         s = (
@@ -197,9 +240,51 @@ ORDER BY lang, predicted
 """.strip()
 
 
-def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Position-weighted rolling-hash fingerprints (near-dup prefilter)."""
+def fingerprints(spark: SparkSession, sf_dir: str, fast: bool = True) -> DataFrame:
+    """Position-weighted rolling-hash fingerprints (near-dup prefilter).
+
+    Fast path (default): Arrow batch kernel -- ``hashlib.md5`` of each
+    token's UTF-8 bytes is bit-identical to Spark/DuckDB ``md5``, and the
+    weighted sum is exact integer arithmetic, so the kernel equals the
+    expression path exactly (tests + shared oracle). The expression path
+    (md5 -> hex substring -> conv per token, interpreted higher-order
+    fold) stays as the twin."""
     docs = load_table(spark, sf_dir, "documents")
+    if fast:
+        import hashlib
+
+        import pandas as pd
+
+        m31 = T.MERSENNE31
+
+        def batches(it):
+            # natural-language token frequency is Zipfian, so a per-worker
+            # memo of token -> h31 collapses most md5 calls; bounded so a
+            # high-cardinality corpus can't grow it without limit
+            cache: dict[str, int] = {}
+
+            def h31(tok: str) -> int:
+                v = cache.get(tok)
+                if v is None:
+                    if len(cache) > 1_000_000:
+                        cache.clear()
+                    v = cache[tok] = (
+                        int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % m31
+                    )
+                return v
+
+            for pdf in it:
+                fps = [
+                    sum((i + 1) * h31(tok) for i, tok in enumerate(text.split(" ")))
+                    for text in pdf["text"]
+                ]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": fps})
+
+        return (
+            docs.select("doc_id", "text")
+            .mapInPandas(batches, "doc_id long, fingerprint long")
+            .orderBy("doc_id")
+        )
     return docs.select(
         "doc_id", T.fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
@@ -737,9 +822,54 @@ def char_entropy_expr(text_col: str = "text"):
     return F.round(ent, 6) + F.lit(0.0)
 
 
-def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_chars_total, entropy_bits, low_entropy_flag)."""
+def char_entropy(spark: SparkSession, sf_dir: str, fast: bool = True) -> DataFrame:
+    """(doc_id, n_chars_total, entropy_bits, low_entropy_flag).
+
+    Fast path (default): Arrow batch kernel -- 27 C-speed ``str.count``
+    scans per document instead of 27 ``replace()`` copies of the text per
+    JVM scan, accumulating ``-p*log2(p)`` in the SAME left-associative
+    alphabet order with float64 throughout (log2 spelled ``log(p)/log(2)``
+    to mirror the JVM's evaluation), then 6-dp rounded like the
+    expression. The expression path (:func:`char_entropy_expr`) stays as
+    the oracle-exact twin, cross-checked in tests."""
     docs = load_table(spark, sf_dir, "documents")
+    if fast:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        alphabet = list(ENTROPY_ALPHABET)
+        ln2 = math.log(2.0)
+
+        def batches(it):
+            for pdf in it:
+                n_chars, ents = [], []
+                for text in pdf["text"]:
+                    total = len(text)
+                    n_chars.append(total)
+                    ent = 0.0
+                    tot = float(total)
+                    for ch in alphabet:
+                        n = text.count(ch)
+                        if n > 0:
+                            p = n / tot
+                            ent += -p * (math.log(p) / ln2)
+                    ents.append(ent)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_chars_total": n_chars,
+                        "entropy_bits": np.round(np.array(ents), 6) + 0.0,
+                    }
+                )
+
+        return (
+            docs.select("doc_id", "text")
+            .mapInPandas(batches, "doc_id long, n_chars_total long, entropy_bits double")
+            .withColumn("low_entropy_flag", F.col("entropy_bits") < ENTROPY_MIN_BITS)
+            .orderBy("doc_id")
+        )
     ent = char_entropy_expr("text")
     return (
         docs.select(

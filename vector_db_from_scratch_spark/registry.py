@@ -284,6 +284,15 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: ivf.ivf_knn_trained(spark, sf, "cosine", k=10, query_vec_id=0),
         None,
     )
+    # same probe served from the persisted artifact (centroids + cell-
+    # partitioned assignment parquet); equality with the in-process twin
+    # asserted in tests, rows-only here like it
+    reg["ivf_trained_persisted_knn"] = (
+        lambda spark, sf: ivf.ivf_trained_persisted_knn(
+            spark, sf, "cosine", k=10, query_vec_id=0
+        ),
+        None,
+    )
     reg["pq_knn_rerank"] = (
         lambda spark, sf: pq.pq_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         None,

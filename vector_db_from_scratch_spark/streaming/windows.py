@@ -380,6 +380,18 @@ def dedup_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
+    # Gate invariant: the drain must ingest everything in ONE micro-batch.
+    # With multiple batches, a key whose first occurrence sits behind the
+    # advanced watermark would be dropped as late and under-count vs the
+    # batch oracle. The single-file source guarantees one batch; assert so
+    # a source-config change (maxFilesPerTrigger, multi-file dirs) fails
+    # loudly here instead of hash-mismatching downstream.
+    data_batches = sum(1 for p in q.recentProgress if p.numInputRows > 0)
+    if data_batches > 1:
+        raise AssertionError(
+            f"dedup drain ran {data_batches} micro-batches; the watermark "
+            "no-late-drop gate invariant requires exactly one"
+        )
     res = spark.sql("SELECT * FROM t_gate_dedup")
     return (
         res.groupBy("user_id")
