@@ -24,9 +24,14 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 EXCLUDE = {
-    "dedup_simhash_pairs",  # O(n^2) pair report; fine at sf0.01 gate, not a bench target
-    "dedup_simhash_banded",  # 16-bit test fingerprint saturates its bands at sf0.1
-    # (band cardinality 32 << docs); production form is 64-bit / 16-bit bands
+    # both simhash pair entries now run the BANDED implementation (the
+    # quadratic self-join is demoted to a test-only oracle), but the
+    # 16-bit test fingerprint saturates its 5/6-bit bands at sf0.1 (band
+    # cardinality 32 << docs), so the candidate set -- and the OUTPUT pair
+    # table itself -- grows quadratically in the data, regardless of plan.
+    # Production form is 64-bit fingerprints / 16-bit bands.
+    "dedup_simhash_pairs",
+    "dedup_simhash_banded",
 }
 
 # The BASELINE.md measurement-plan set: exact/filtered/batch k-NN on all
@@ -129,6 +134,40 @@ def main() -> None:
             samples.append(time.perf_counter() - t1)
         warm[name] = round(min(samples), 3)
 
+    # ------------------------------------------------------------------
+    # Scale proof-point: the ANN + dedup + text headliners re-run against
+    # a 10x embeddings/documents dir (fresh per-label Gaussian vectors +
+    # suffixed document copies -- tools/scale_gen.py), warm-timed. Ratios
+    # near (or below) 10 on 32 fixed cores back the linear-scaling claims
+    # for the bucketed/inverted-index paths empirically.
+    # ------------------------------------------------------------------
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import scale_gen
+
+    SCALE_K = 10
+    SCALE_QUERIES = [
+        "knn_cosine_flat", "lsh_knn", "ivf_knn", "lsh_index_persisted_knn",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_lsh_blocked",
+        "text_token_stats",
+    ]
+    scale_ratio: dict[str, float] = {}
+    scale_detail: dict[str, list[float]] = {}
+    try:
+        scaled = scale_gen.scale_dir(sf_dir, SCALE_K)
+        for name in SCALE_QUERIES:
+            fn = all_queries[name]
+            samples = []
+            for _ in range(2):
+                t1 = time.perf_counter()
+                fn(spark, scaled).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t1)
+            t10 = min(samples)
+            t1x = warm.get(name) or timings.get(name) or float("nan")
+            scale_detail[name] = [round(t1x, 3), round(t10, 3)]
+            scale_ratio[name] = round(t10 / t1x, 1) if t1x else float("nan")
+    except Exception as e:  # the scale section must never sink the bench
+        scale_ratio = {"error": str(e)[:60]}
+
     total = round(sum(timings.values()), 3)
     total_warm = round(sum(warm.values()), 3)
     detail = {
@@ -141,6 +180,7 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": total_warm,
         "plans": plans,
+        "scale10x": scale_detail,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -154,6 +194,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "value_warm": total_warm,
+        "scale10x": scale_ratio,
         "detail": "BENCH_DETAIL.json",
     }
     out = json.dumps(line, separators=(",", ":"))

@@ -191,3 +191,60 @@ def test_ivf_trained_persisted_equals_in_process(spark, sf_dir):
     # artifact round trip preserves the trained centroids exactly (float32)
     reloaded = ivf._load_persisted_centroids(spark, sf_dir, ivf.NUM_CELLS, 2)
     assert reloaded == ivf.train_centroids(spark, sf_dir, ivf.NUM_CELLS, 2)
+
+
+# -- real codec layer (PGM / WAV / y4m) ------------------------------------
+
+def test_codec_roundtrip_all_kinds():
+    from vector_db_from_scratch_spark.operators.multimodal import (
+        decode_media,
+        encode_media,
+    )
+
+    data = bytes(range(7)) + b"hello world"
+    for kind in ("image", "audio", "video"):
+        payload = encode_media(data, kind)
+        assert payload != data  # a real container, not a passthrough
+        out = decode_media(payload, kind)
+        assert bytes(out) == data
+
+
+def test_codec_rejects_malformed_payloads():
+    from vector_db_from_scratch_spark.operators.multimodal import decode_media
+
+    with pytest.raises(ValueError):
+        decode_media(b"P6\n3 1\n255\nabc", "image")  # P6 is not P5
+    with pytest.raises(ValueError):
+        decode_media(b"RIFFxxxxJUNK", "audio")
+    with pytest.raises(ValueError):
+        decode_media(b"YUV4MPEG2 F25:1\nFRAME\n", "video")  # missing W/H
+    with pytest.raises(ValueError):
+        decode_media(b"P5\n10 1\n255\nshort", "image")  # truncated raster
+
+
+def test_wav_header_is_canonical():
+    import struct
+
+    from vector_db_from_scratch_spark.operators.multimodal import encode_media
+
+    p = encode_media(b"abcd", "audio")
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    assert struct.unpack("<I", p[4:8])[0] == 36 + 4  # RIFF size
+    assert struct.unpack("<I", p[40:44])[0] == 4  # data size
+    assert len(p) == 48
+
+
+def test_pq_persisted_equals_in_process(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators import pq
+
+    a = [tuple(r) for r in pq.pq_knn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in pq.pq_persisted_knn(spark, sf_dir).collect()]
+    assert a == b and len(a) == 10
+
+    root = pq.pq_artifact_path(sf_dir, pq.M_SUBSPACES, pq.KS_CODES, pq.LLOYD_ITERS)
+    assert os.path.exists(os.path.join(root, "codebooks", "_SUCCESS"))
+    assert os.path.exists(os.path.join(root, "codes", "_SUCCESS"))
+    reloaded = pq._load_persisted_codebooks(
+        spark, sf_dir, pq.M_SUBSPACES, pq.KS_CODES, pq.LLOYD_ITERS
+    )
+    assert (reloaded == pq.train_codebooks(spark, sf_dir)).all()

@@ -102,12 +102,126 @@ def train_codebooks(
     ks: int = KS_CODES,
     iters: int = LLOYD_ITERS,
 ) -> np.ndarray:
-    """(m, ks, dsub) float32 codebooks from the bounded sample. Memoized:
-    codebooks are a persisted train-once artifact at scale."""
+    """(m, ks, dsub) float32 codebooks from the bounded sample. Memoized
+    in-process AND persisted as a content-keyed parquet artifact (same
+    lifecycle as the trained IVF centroids): a fresh process loads the
+    m*ks-row table instead of re-training."""
     key = (spark.sparkContext.applicationId, sf_dir, m, ks, iters)
     if key not in _BOOKS_MEMO:
-        _BOOKS_MEMO[key] = _train_books_np(_sample_matrix(spark, sf_dir), m, ks, iters)
+        persisted = _load_persisted_codebooks(spark, sf_dir, m, ks, iters)
+        if persisted is not None:
+            _BOOKS_MEMO[key] = persisted
+        else:
+            _BOOKS_MEMO[key] = _train_books_np(_sample_matrix(spark, sf_dir), m, ks, iters)
+            _save_persisted_codebooks(spark, sf_dir, m, ks, iters, _BOOKS_MEMO[key])
     return _BOOKS_MEMO[key]
+
+
+def pq_artifact_path(sf_dir: str, m: int, ks: int, iters: int) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    ident = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    tag = hashlib.md5(f"{ident}:pq:{m}:{ks}:{iters}:{TRAIN_SAMPLE}".encode()).hexdigest()[:12]
+    root = os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "spark-graft-artifacts"),
+    )
+    return os.path.join(root, f"pq-trained-{tag}")
+
+
+def _load_persisted_codebooks(
+    spark: SparkSession, sf_dir: str, m: int, ks: int, iters: int
+) -> np.ndarray | None:
+    import os
+
+    path = os.path.join(pq_artifact_path(sf_dir, m, ks, iters), "codebooks")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return None
+    rows = spark.read.parquet(path).orderBy("mi", "code").collect()
+    if len(rows) != m * ks:
+        return None
+    dsub = len(rows[0]["centroid"])
+    books = np.empty((m, ks, dsub), dtype=np.float32)
+    for r in rows:
+        books[r["mi"], r["code"]] = np.asarray(r["centroid"], dtype=np.float32)
+    return books
+
+
+def _save_persisted_codebooks(
+    spark: SparkSession, sf_dir: str, m: int, ks: int, iters: int, books: np.ndarray
+) -> None:
+    import os
+    import shutil
+
+    root = pq_artifact_path(sf_dir, m, ks, iters)
+    final = os.path.join(root, "codebooks")
+    if os.path.exists(os.path.join(final, "_SUCCESS")):
+        return
+    os.makedirs(root, exist_ok=True)
+    rows = [
+        (mi, c, [float(x) for x in books[mi, c]])
+        for mi in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    tmp = final + f".tmp-{os.getpid()}"
+    spark.createDataFrame(rows, "mi int, code int, centroid array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+
+
+def save_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = M_SUBSPACES,
+    ks: int = KS_CODES,
+    iters: int = LLOYD_ITERS,
+) -> str:
+    """Persist the (vec_id, codes) PQ index table next to its codebooks;
+    returns the artifact root. The codes table is the 8-bytes-per-vector
+    structure ADC scans -- at scale THIS is what lives in object storage,
+    not the raw vectors."""
+    import os
+    import shutil
+
+    root = pq_artifact_path(sf_dir, m, ks, iters)
+    final = os.path.join(root, "codes")
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        tmp = final + f".tmp-{os.getpid()}"
+        _coded_table(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+def pq_persisted_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    oversample: int = 5,
+) -> DataFrame:
+    """ADC shortlist + exact re-rank served from the persisted artifact
+    (codebooks + codes table parquet). Identical results to :func:`pq_knn`
+    -- the artifact IS the trained state (float32 round trip, exact);
+    equality asserted in tests, rows-only under the driver gate like its
+    in-process twin."""
+    import os
+
+    root = save_pq_index(spark, sf_dir)
+    books = train_codebooks(spark, sf_dir)
+    coded = spark.read.parquet(os.path.join(root, "codes"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _adc_rerank(emb, coded, books, metric, k, query_vec_id, oversample)
 
 
 def encode(df: DataFrame, books: np.ndarray, col: str = "embedding") -> DataFrame:
@@ -174,7 +288,20 @@ def pq_knn(
     books = train_codebooks(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     coded = _coded_table(spark, sf_dir)
+    return _adc_rerank(emb, coded, books, metric, k, query_vec_id, oversample)
 
+
+def _adc_rerank(
+    emb: DataFrame,
+    coded: DataFrame,
+    books: np.ndarray,
+    metric: str,
+    k: int,
+    query_vec_id: int,
+    oversample: int,
+) -> DataFrame:
+    """Shared ADC + re-rank tail: same plan whether the codes table is the
+    in-process cache or the persisted artifact."""
     qv = np.array(
         emb.filter(F.col("vec_id") == query_vec_id).select("embedding").head()["embedding"],
         dtype=np.float32,

@@ -297,6 +297,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: pq.pq_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         None,
     )
+    # ADC + re-rank served from the persisted codebook/codes artifact;
+    # equality with the in-process twin asserted in tests
+    reg["pq_persisted_knn"] = (
+        lambda spark, sf: pq.pq_persisted_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        None,
+    )
     # accounting is centroid-independent integers -> fully gated
     reg["pq_code_sizes"] = (
         lambda spark, sf: pq.pq_code_sizes(spark, sf),
@@ -342,6 +348,12 @@ def build() -> dict[str, Entry]:
     reg["multimodal_blob_dedup"] = (multimodal.blob_dedup, multimodal.blob_dedup_oracle())
     # the resize kernel (Arrow/NumPy gather) under the gate byte-for-byte
     reg["multimodal_resize"] = (multimodal.resize_media, multimodal.resize_media_oracle())
+    # the real codec layer (PGM/WAV/y4m parse) hash-gated: sample count,
+    # sample sum, AND per-format container header overhead
+    reg["multimodal_decoded_stats"] = (
+        multimodal.decoded_stats,
+        multimodal.decoded_stats_oracle(),
+    )
     reg["skew_salted_agg"] = (skew.salted_event_totals, skew.salted_event_totals_oracle())
     reg["skew_salted_join"] = (skew.salted_weighted_join, skew.salted_weighted_join_oracle())
 
