@@ -15,12 +15,13 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import _memo
 from ..functions.vector import distance_expr, oracle_distance_sql
-from ..sources.tables import load_table
+from ..sources.tables import arrow_local_df, load_table
 
 NUM_CELLS = 16
 NPROBE = 4
@@ -138,8 +139,6 @@ def train_centroids(
     kmeans_train) reuses them; re-running Lloyd per query was the single
     biggest repeated cost in the bench.
     """
-    import numpy as np
-
     key = (spark.sparkContext.applicationId, sf_dir, n_cells, iterations)
     if key in _CENTROID_MEMO:
         return _CENTROID_MEMO[key]
@@ -157,30 +156,40 @@ def train_centroids(
         [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
     ]
+    # Lloyd step as an Arrow partial-sum kernel: each partition assigns its
+    # vectors with one BLAS distance matrix and emits ONE (cell, n, sums)
+    # row per non-empty cell -- n_cells x n_partitions bounded rows reach
+    # the driver, the vectors never shuffle. (The previous form -- expression
+    # crossJoin + window argmin + a 64-column SUM aggregate -- spent its
+    # time in Catalyst planning/codegen twice per iteration, dominating the
+    # cold path at any data size.)
     for _ in range(iterations):
-        cent_df = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cell int, cv array<float>"
-        )
-        d = distance_expr("euclidean", F.col("embedding"), F.col("cv"))
-        assigned = argmin_cell(
-            emb.crossJoin(F.broadcast(cent_df)).withColumn("cd", d),
-            "vec_id",
-            ["embedding"],
-        ).select("vec_id", "embedding", "cell")
-        # mean per cell: aggregate element-wise sums + count, finalize driver-side
-        dim = len(cents[0])
-        sums = assigned.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at(F.col("embedding").cast("array<double>"), i + 1)).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        )
-        cents_iter: dict[int, list[float]] = {}
-        for r in sums.collect():
-            cents_iter[r["cell"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        c64 = np.asarray(cents, dtype=np.float64)
+
+        def partials(it):
+            import pandas as pd
+
+            for pdf in it:
+                m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d2 = ((m[:, None, :] - c64[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)  # ties -> lowest cell, like the SQL twin
+                cells = np.unique(assign)
+                yield pd.DataFrame(
+                    {
+                        "cell": cells.astype("int32"),
+                        "n": [int((assign == c).sum()) for c in cells],
+                        "sums": [m[assign == c].sum(axis=0).tolist() for c in cells],
+                    }
+                )
+
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for r in emb.mapInPandas(partials, "cell int, n long, sums array<double>").collect():
+            n0, s0 = agg.get(r["cell"], (0, 0.0))
+            agg[r["cell"]] = (n0 + r["n"], s0 + np.asarray(r["sums"]))
         cents = [
-            [float(np.float32(x)) for x in cents_iter.get(i, cents[i])]
+            [float(np.float32(x)) for x in (agg[i][1] / agg[i][0])]
+            if i in agg
+            else cents[i]
             for i in range(n_cells)
         ]
     _CENTROID_MEMO[key] = cents
@@ -241,8 +250,9 @@ def _save_persisted_centroids(
         return
     os.makedirs(root, exist_ok=True)
     tmp = final + f".tmp-{os.getpid()}"
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<float>"
+    arrow_local_df(
+        spark, {"cell": range(len(cents)), "centroid": cents},
+        "cell int, centroid array<float>",
     ).coalesce(1).write.mode("overwrite").parquet(tmp)
     try:
         os.rename(tmp, final)
@@ -318,8 +328,9 @@ def kmeans_train(
     surface the driver checks rows-only (centroid float means are not
     portably reproducible in SQL)."""
     cents = train_centroids(spark, sf_dir, n_cells, iterations)
-    final = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<float>"
+    final = arrow_local_df(
+        spark, {"cell": range(len(cents)), "centroid": cents},
+        "cell int, centroid array<float>",
     )
     return final.orderBy("cell")
 
@@ -338,20 +349,26 @@ def _trained_assignment(
     if key in _ASSIGN_MEMO:
         return _ASSIGN_MEMO[key]
     cents = train_centroids(spark, sf_dir, n_cells, iterations)
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cell int, cv array<float>"
-    )
+    c64 = np.asarray(cents, dtype=np.float64)
     emb = load_table(spark, sf_dir, "embeddings")
-    d = distance_expr("euclidean", F.col("embedding"), F.col("cv"))
-    out = (
-        argmin_cell(
-            emb.crossJoin(F.broadcast(cent_df)).withColumn("cd", d),
-            "vec_id",
-            ["label", "embedding"],
-        )
-        .select("vec_id", "label", "embedding", "cell")
-        .cache()
-    )
+
+    # Arrow assignment kernel: one BLAS distance matrix per batch, argmin
+    # ties to the lowest cell (np first occurrence == the SQL (cd, cell)
+    # window order) -- a narrow map with NO shuffle, vs the former
+    # crossJoin + per-vector window whose planning dominated the cold path.
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((m[:, None, :] - c64[None, :, :]) ** 2).sum(axis=2)
+            pdf = pdf.copy()
+            pdf["cell"] = d2.argmin(axis=1).astype("int32")
+            yield pdf
+
+    out = emb.mapInPandas(
+        batches, "vec_id long, embedding array<float>, label int, cell int"
+    ).select("vec_id", "label", "embedding", "cell").cache()
     _ASSIGN_MEMO[key] = out
     return out
 
@@ -368,17 +385,18 @@ def ivf_knn_trained(
 ) -> DataFrame:
     """IVF probe over TRAINED (Lloyd) centroids -- the production ANN path.
 
-    Same plan shape as :func:`ivf_knn` (broadcast centroids -> windowed
-    argmin assignment -> nprobe cell pruning -> exact distance in probed
-    cells) but the coarse quantizer is learned, so cells are balanced and
+    Probe shape matches :func:`ivf_knn` (rank cells for the query ->
+    nprobe cell pruning -> exact distance in probed cells) but the coarse
+    quantizer is learned and the assignment is a shuffle-free Arrow BLAS
+    kernel, so cells are balanced and
     recall-per-probe is higher than the seeded-init quantizer. At 100 TB
     the assignment is materialized once (write the index table partitioned
     by ``cell``); queries touch nprobe/n_cells of the data. Rows-only
     check: trained float centroids are not portably reproducible in SQL.
     """
     cents = train_centroids(spark, sf_dir, n_cells, iterations)
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)], "cell int, cv array<float>"
+    cent_df = arrow_local_df(
+        spark, {"cell": range(len(cents)), "cv": cents}, "cell int, cv array<float>"
     )
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _trained_assignment(spark, sf_dir, n_cells, iterations)

@@ -103,7 +103,14 @@ def range_partition_report(
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
+    offsets = offsets or [(0, 0)]
+    from ..sources.tables import arrow_local_df
+
+    off_df = arrow_local_df(
+        spark,
+        {"pid": [o[0] for o in offsets], "off": [o[1] for o in offsets]},
+        "pid int, off long",
+    )
 
     q, rem = divmod(total, n_ranges)
     threshold = rem * (q + 1)  # ranks <= threshold land in the fat buckets

@@ -39,7 +39,7 @@ from . import _memo
 from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions.vector import distance_expr
-from ..sources.tables import load_table
+from ..sources.tables import arrow_local_df, load_table
 
 M_SUBSPACES = 8
 KS_CODES = 16
@@ -167,9 +167,12 @@ def _save_persisted_codebooks(
         for c in range(books.shape[1])
     ]
     tmp = final + f".tmp-{os.getpid()}"
-    spark.createDataFrame(rows, "mi int, code int, centroid array<float>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(tmp)
+    arrow_local_df(
+        spark,
+        {"mi": [r[0] for r in rows], "code": [r[1] for r in rows],
+         "centroid": [r[2] for r in rows]},
+        "mi int, code int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
     try:
         os.rename(tmp, final)
     except OSError:
@@ -360,8 +363,9 @@ def _ivfpq_index(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents_list)], "cell int, cv array<float>"
+    cent_df = arrow_local_df(
+        spark, {"cell": range(len(cents_list)), "cv": cents_list},
+        "cell int, cv array<float>",
     )
     from .ivf import argmin_cell
 
@@ -420,7 +424,11 @@ def ivfpq_knn(
     lut_rows = [
         (int(c), _adc_lut(books, (qv - cents[c]).astype(np.float32))) for c in probe
     ]
-    lut_df = spark.createDataFrame(lut_rows, "cell int, lut array<array<double>>")
+    lut_df = arrow_local_df(
+        spark,
+        {"cell": [r[0] for r in lut_rows], "lut": [r[1] for r in lut_rows]},
+        "cell int, lut array<array<double>>",
+    )
     adc = F.aggregate(
         F.zip_with(F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c + F.lit(1))),
         F.lit(0.0),

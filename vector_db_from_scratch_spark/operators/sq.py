@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from . import _memo
 from ..functions.vector import distance_expr, oracle_distance_sql
-from ..sources.tables import load_table
+from ..sources.tables import arrow_local_df, load_table
 
 DIM = 64
 LEVELS = 256
@@ -64,7 +64,10 @@ def sq8_ranges(spark: SparkSession, sf_dir: str, dim: int = DIM) -> DataFrame:
         ).collect()[0]
         _RANGES_MEMO[key] = (list(row["mins"]), list(row["maxs"]))
     mins, maxs = _RANGES_MEMO[key]
-    return spark.createDataFrame([(mins, maxs)], "mins array<double>, maxs array<double>")
+    return arrow_local_df(
+        spark, {"mins": [mins], "maxs": [maxs]},
+        "mins array<double>, maxs array<double>",
+    )
 
 
 _RECON = (

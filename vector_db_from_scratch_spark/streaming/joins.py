@@ -64,16 +64,19 @@ def click_purchase_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_join_once(spark: SparkSession, sf_dir: str, name: str = "t_ssjoin") -> DataFrame:
-    q = (
-        click_purchase_stream_join(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    from .windows import drain_conf
+
+    with drain_conf(spark):
+        q = (
+            click_purchase_stream_join(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -65,16 +65,19 @@ def first_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_first_event_once(spark: SparkSession, sf_dir: str, name: str = "t_first") -> DataFrame:
-    q = (
-        first_event_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    from .windows import drain_conf
+
+    with drain_conf(spark):
+        q = (
+            first_event_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -21,6 +21,7 @@ pattern that scales horizontally with executors in real deployments.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +30,26 @@ from ..operators.relational import MICRO, ORACLE_DEC, dsum, osum
 from ..sources.tables import load_table
 
 GAP = "5 minutes"
+
+# Streaming state-store instance count is fixed by shuffle partitions at
+# query start, and every micro-batch pays per-instance setup/commit. The
+# batch-side 32 is far above what these bounded drains need; pinning a
+# small value for the drain cuts the fixed overhead without changing any
+# result (same rows, fewer state partitions). On a real cluster the
+# streaming job picks its own shuffle-partition setting at deploy time --
+# this mirrors that, scoped to the drain.
+DRAIN_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def drain_conf(spark: SparkSession):
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(DRAIN_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,15 +255,16 @@ ORDER BY event_type
 def run_stream_once(df: DataFrame, query_name: str) -> DataFrame:
     """Drain all available input through a memory sink and return the result
     table (complete mode -- used by tests to compare with batch)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with drain_conf(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
@@ -371,15 +393,16 @@ def dedup_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant to which duplicate won. Drained in append mode (dedup is not
     an aggregation; complete mode does not apply)."""
     deduped = dedup_stream(spark, sf_dir).select("user_id", "event_type")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("t_gate_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with drain_conf(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("t_gate_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     # Gate invariant: the drain must ingest everything in ONE micro-batch.
     # With multiple batches, a key whose first occurrence sits behind the
     # advanced watermark would be dropped as late and under-count vs the
