@@ -745,20 +745,27 @@ def ngram_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    bigrams = F.array_distinct(
-        F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    # Arrow bigram kernel: the expression form (transform over a sequence
+    # of element_at + concat_ws, then array_distinct + explode) runs as an
+    # interpreted higher-order chain per row; one C-speed pass per batch
+    # emits the distinct (lang, bigram) pairs directly. Identical strings
+    # and integer counts, same oracle.
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            langs, bgs = [], []
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                toks = text.split(" ")
+                uniq = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+                langs.extend([lang] * len(uniq))
+                bgs.extend(uniq)
+            yield pd.DataFrame({"lang": langs, "bigram": bgs})
+
     df = (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        docs.select("lang", "text")
+        .mapInPandas(batches, "lang string, bigram string")
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
