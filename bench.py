@@ -156,13 +156,18 @@ def main() -> None:
         scaled = scale_gen.scale_dir(sf_dir, SCALE_K)
         for name in SCALE_QUERIES:
             fn = all_queries[name]
-            samples = []
-            for _ in range(2):
-                t1 = time.perf_counter()
-                fn(spark, scaled).write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t1)
-            t10 = min(samples)
-            t1x = warm.get(name) or timings.get(name) or float("nan")
+            # both sides measured back-to-back (min of 2 warm samples each):
+            # the mid-suite warm[] numbers carry GC/congestion noise that
+            # swamps sub-second queries and makes ratios meaningless
+            sides = []
+            for d in (sf_dir, scaled):
+                samples = []
+                for _ in range(2):
+                    t1 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    samples.append(time.perf_counter() - t1)
+                sides.append(min(samples))
+            t1x, t10 = sides
             scale_detail[name] = [round(t1x, 3), round(t10, 3)]
             scale_ratio[name] = round(t10 / t1x, 1) if t1x else float("nan")
     except Exception as e:  # the scale section must never sink the bench
