@@ -539,3 +539,72 @@ SELECT source, n_docs, tokens, weight,
 FROM per_src, tot
 ORDER BY source
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Temperature-flattened language mixing (alpha = 0.5): sampling share
+# proportional to tokens^alpha -- the multilingual re-balancing rule
+# (XLM-R / mT5 style): high-resource languages down-weighted, low-resource
+# up-weighted. alpha = 0.5 keeps the power at exactly sqrt(), which
+# IEEE-754 rounds correctly in both engines; the weight is then frozen to
+# an integral micro-unit BIGINT so the share denominator is an order-free
+# exact integer sum, and the token allocation is exact BIGINT arithmetic
+# (same determinism discipline as the micro-unit revenue sums).
+# --------------------------------------------------------------------------
+
+TEMPERATURE_BUDGET = 100_000
+
+
+def corpus_temperature_mix(
+    spark: SparkSession, sf_dir: str, budget_tokens: int = TEMPERATURE_BUDGET
+) -> DataFrame:
+    """(lang, n_docs, tokens, w_micro, share, alloc_tokens): per-language
+    temperature-weighted token allocation out of ``budget_tokens``."""
+    from ..functions.vector import normalize_float
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("long")).alias("tokens"),
+    )
+    w_micro = F.round(F.sqrt(F.col("tokens").cast("double")) * F.lit(1_000_000.0)).cast("long")
+    weighted = per_lang.withColumn("w_micro", w_micro)
+    totals = weighted.agg(F.sum("w_micro").alias("sum_w"))
+    share = normalize_float(
+        F.col("w_micro").cast("double") / F.col("sum_w").cast("double"), 6
+    )
+    # exact BIGINT floor division (`div`), never a double /+floor -- a
+    # double quotient a hair under an integer can round UP to it and
+    # misfloor (the DuckDB twin's `//` on BIGINTs is exact too)
+    alloc = F.expr(f"(CAST({budget_tokens} AS BIGINT) * w_micro) div sum_w")
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            "w_micro",
+            share.alias("share"),
+            alloc.cast("long").alias("alloc_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def corpus_temperature_mix_oracle(budget_tokens: int = TEMPERATURE_BUDGET) -> str:
+    nt = token_count_sql("text")
+    return f"""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs, sum({nt}::BIGINT)::BIGINT AS tokens
+  FROM documents GROUP BY lang),
+w AS (SELECT lang, n_docs, tokens,
+             round(sqrt(tokens::DOUBLE) * 1000000.0)::BIGINT AS w_micro
+      FROM per_lang),
+tot AS (SELECT sum(w_micro)::BIGINT AS sum_w FROM w)
+SELECT lang, n_docs, tokens, w_micro,
+       (round(w_micro::DOUBLE / sum_w::DOUBLE, 6) + 0.0) AS share,
+       (({budget_tokens}::BIGINT * w_micro) // sum_w)::BIGINT AS alloc_tokens
+FROM w, tot
+ORDER BY lang
+""".strip()

@@ -797,3 +797,92 @@ SELECT a.label AS label, n_a, n_b, {d} AS drift
 FROM a JOIN b USING (label) JOIN na USING (label) JOIN nb USING (label)
 ORDER BY label
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Incremental index ingestion: a FROZEN quantizer absorbs an arriving
+# delta batch -- the batch-scale analog of the reference's per-insert
+# index mutation (vector_db/indexes.py add_vector/update_vector): existing
+# cells never move; the delta is assigned against them and appended to the
+# cell-partitioned artifact (each delta cell-partition is a pure file
+# append, no rewrite of resident data). The report is the growth audit a
+# pipeline checks before deciding the quantizer has drifted enough to
+# retrain (agg_embedding_drift is that second check). Fully hash-gated:
+# the seeded quantizer's assignment is SQL-expressible.
+# --------------------------------------------------------------------------
+
+INGEST_DELTA_MOD = 10
+INGEST_DELTA_BUCKET = 9  # vec_id % 10 == 9 -> the arriving 10%
+
+
+def ivf_incremental_add(
+    spark: SparkSession,
+    sf_dir: str,
+    delta_mod: int = INGEST_DELTA_MOD,
+    delta_bucket: int = INGEST_DELTA_BUCKET,
+) -> DataFrame:
+    """(cell, n_base, n_delta, n_total, growth_pct): per-cell occupancy
+    before/after absorbing the delta batch under the frozen seeded
+    quantizer. growth_pct is 6-dp rounded on exact integer operands."""
+    from ..functions.vector import normalize_float
+
+    assigned = assign_cells(spark, sf_dir)
+    is_delta = (F.col("vec_id") % delta_mod) == delta_bucket
+    agg = assigned.groupBy("cell").agg(
+        F.sum(F.when(~is_delta, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(is_delta, 1).otherwise(0)).cast("long").alias("n_delta"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    growth = F.when(
+        F.col("n_base") > 0,
+        normalize_float(
+            F.col("n_delta").cast("double") / F.col("n_base").cast("double"), 6
+        ),
+    )  # empty base cell -> NULL (and ANSI mode never sees the 0-divide)
+    return agg.withColumn("growth_pct", growth).orderBy("cell")
+
+
+def ivf_incremental_add_oracle(
+    delta_mod: int = INGEST_DELTA_MOD, delta_bucket: int = INGEST_DELTA_BUCKET
+) -> str:
+    eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {NUM_CELLS}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {eu}, c.cell) AS rn
+    FROM e, cent c)
+  WHERE rn = 1),
+agg AS (
+  SELECT cell,
+         sum(CASE WHEN vec_id % {delta_mod} != {delta_bucket} THEN 1 ELSE 0 END)::BIGINT AS n_base,
+         sum(CASE WHEN vec_id % {delta_mod} = {delta_bucket} THEN 1 ELSE 0 END)::BIGINT AS n_delta,
+         count(*) AS n_total
+  FROM assign GROUP BY cell)
+SELECT cell, n_base, n_delta, n_total,
+       CASE WHEN n_base > 0
+            THEN (round(n_delta::DOUBLE / n_base::DOUBLE, 6) + 0.0)
+       END AS growth_pct
+FROM agg
+ORDER BY cell
+""".strip()
+
+
+def append_delta_to_index(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    delta_mod: int = INGEST_DELTA_MOD,
+    delta_bucket: int = INGEST_DELTA_BUCKET,
+) -> None:
+    """The physical half of incremental ingestion: write the base
+    assignment partitionBy(cell), then APPEND the delta assignment --
+    dynamic partition append touches only the delta's cells, resident
+    files are never rewritten (asserted in tests)."""
+    assigned = assign_cells(spark, sf_dir)
+    is_delta = (F.col("vec_id") % delta_mod) == delta_bucket
+    assigned.filter(~is_delta).write.mode("overwrite").partitionBy("cell").parquet(path)
+    assigned.filter(is_delta).write.mode("append").partitionBy("cell").parquet(path)

@@ -322,3 +322,76 @@ SELECT label, rnk, vec_id, distance
 FROM ranked WHERE rnk <= {k}
 ORDER BY label, rnk
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation quality: recall@k of the top-k computed on a short
+# PREFIX of each embedding vs the full-dimension exact top-k -- the
+# evaluation behind MRL-style truncated storage/search (Kusupati et al.,
+# "Matryoshka Representation Learning", NeurIPS 2022): serve from the
+# first d' dims (d'/d of the scan bytes, same plan shape), re-rank or
+# accept the measured recall. Both sides are deterministic exact scans,
+# so the whole report is hash-gated.
+# --------------------------------------------------------------------------
+
+def matryoshka_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    prefix_dim: int = 16,
+) -> DataFrame:
+    """(prefix_dim, k, n_matched, recall_at_k): overlap of prefix-distance
+    top-k with full-distance top-k. Two TakeOrderedAndProject subtrees over
+    the same scan feeding a k-row join -- the recall report costs two
+    probes at any scale, and the prefix probe reads prefix_dim/dim of the
+    vector bytes once the prefix is materialized as its own column."""
+    emb = load_table(spark, sf_dir, EMB)
+    q = query_vector_df(spark, sf_dir, query_vec_id)
+    full = flat_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id).select("vec_id")
+    joined = emb.crossJoin(F.broadcast(q))
+    prefix = (
+        joined.select(
+            "vec_id",
+            distance_expr(
+                metric,
+                F.slice(F.col("embedding"), 1, prefix_dim),
+                F.slice(F.col("q"), 1, prefix_dim),
+            ).alias("distance"),
+        )
+        .orderBy("distance", "vec_id")
+        .limit(k)
+        .select("vec_id")
+    )
+    return (
+        full.join(prefix, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .select(
+            F.lit(prefix_dim).alias("prefix_dim"),
+            F.lit(k).alias("k"),
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )
+
+
+def matryoshka_recall_oracle(
+    metric: str = "cosine", k: int = 10, query_vec_id: int = 0, prefix_dim: int = 16
+) -> str:
+    d_full = oracle_distance_sql(metric, "e.v", "q.qv")
+    d_pre = oracle_distance_sql(metric, "e.p", "q.qp")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  (embedding::DOUBLE[])[1:{prefix_dim}] AS p
+           FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv,
+             (embedding::DOUBLE[])[1:{prefix_dim}] AS qp
+      FROM embeddings WHERE vec_id = {query_vec_id}),
+full_k AS (SELECT e.vec_id FROM e, q ORDER BY {d_full}, e.vec_id LIMIT {k}),
+pre_k AS (SELECT e.vec_id FROM e, q ORDER BY {d_pre}, e.vec_id LIMIT {k}),
+m AS (SELECT count(*) AS n_matched FROM full_k JOIN pre_k USING (vec_id))
+SELECT {prefix_dim} AS prefix_dim, {k} AS k, n_matched,
+       n_matched::DOUBLE / {float(k)!r} AS recall_at_k
+FROM m
+""".strip()

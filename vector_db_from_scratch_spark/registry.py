@@ -422,6 +422,11 @@ def build() -> dict[str, Entry]:
         corpus.corpus_mix_schedule,
         corpus.corpus_mix_schedule_oracle(),
     )
+    # temperature-flattened (alpha=0.5) per-language token allocation
+    reg["pipeline_temperature_mix"] = (
+        corpus.corpus_temperature_mix,
+        corpus.corpus_temperature_mix_oracle(),
+    )
     # deterministic fixed-size per-group sample (reservoir analog)
     reg["pipeline_group_sample"] = (
         corpus.corpus_group_sample,
@@ -520,6 +525,14 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: ivf.ivf_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         ivf.ivf_recall_oracle("cosine", k=10, query_vec_id=0),
     )
+    # Matryoshka-style truncation quality: prefix-distance top-k vs the
+    # full-dimension exact top-k (both deterministic -> fully gated)
+    reg["ann_recall_matryoshka"] = (
+        lambda spark, sf: knn.matryoshka_recall(spark, sf, "cosine", k=10, query_vec_id=0),
+        knn.matryoshka_recall_oracle("cosine", k=10, query_vec_id=0),
+    )
+    # frozen-quantizer delta ingestion audit (cell growth per arriving batch)
+    reg["ivf_incremental_add"] = (ivf.ivf_incremental_add, ivf.ivf_incremental_add_oracle())
     reg["lsh_knn_multiprobe"] = (
         lambda spark, sf: lsh.lsh_knn_multiprobe(spark, sf, "cosine", k=10, query_vec_id=0),
         lsh.lsh_knn_multiprobe_oracle("cosine", k=10, query_vec_id=0),
@@ -607,6 +620,9 @@ def build() -> dict[str, Entry]:
     # O8 incremental counter maintenance drained to final state
     reg["stream_counter_drained"] = (w.counter_drained, w.counter_drained_oracle())
     reg["stream_sliding_drained"] = (w.sliding_counts_drained, w.sliding_counts_drained_oracle())
+    # streaming INDEX ingestion: LSH bucket assignment as a streaming
+    # stateful aggregation whose drained state == the batch occupancy
+    reg["stream_lsh_ingest_drained"] = (w.lsh_ingest_drained, w.lsh_ingest_drained_oracle())
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins

@@ -537,3 +537,56 @@ FROM slots
 GROUP BY window_start
 ORDER BY window_start
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Streaming index ingestion: the LSH bucket assignment run as a streaming
+# stateful aggregation over arriving vectors -- the index-build side of
+# O4/O8 (the reference mutates its bucket map per insert; the engine form
+# is a streaming groupBy on the bucket expression, whose final state must
+# equal the batch index's occupancy). bucket_expr is a pure SQL expression,
+# so it runs unchanged on the stream; the drain's complete-mode result is
+# hash-gated against the same SQL oracle as the batch bucket_stats.
+# --------------------------------------------------------------------------
+
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+
+
+def lsh_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lsh import bucket_expr
+
+    vec = embeddings_stream(spark, sf_dir)
+    return (
+        vec.withColumn("bucket", bucket_expr(F.col("embedding")))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("first_vec"),
+        )
+    )
+
+
+def lsh_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming LSH ingestion == batch bucket occupancy (the
+    Dataflow equivalence applied to index maintenance)."""
+    res = run_stream_once(lsh_ingest_stream(spark, sf_dir), "t_gate_lsh_ingest")
+    return res.orderBy("bucket")
+
+
+def lsh_ingest_drained_oracle() -> str:
+    from ..operators.lsh import bucket_sql
+
+    return f"""
+SELECT {bucket_sql('embedding::DOUBLE[]')} AS bucket,
+       count(*) AS n_vectors, min(vec_id) AS first_vec
+FROM embeddings
+GROUP BY bucket
+ORDER BY bucket
+""".strip()
