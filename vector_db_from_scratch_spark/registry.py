@@ -60,66 +60,82 @@ def _scalarize(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkS
     return wrapped
 
 
-# Breadth-first priority: the round driver records correctness results in
-# queries() dict order and round-1 capped the recorded set at the first 50
-# entries (CORRECTNESS_r01.json: 50 of 110 registered queries). Any prefix
-# of this list covers every operator family, hash-gated entries first, so a
-# capped run still verifies the full breadth of SURVEY §2.
-_PRIORITY = [
-    # exact k-NN, every metric + filter + batch (reference flagship Q1/Q2)
-    "knn_cosine_flat", "knn_euclidean_flat", "knn_dot_product_flat",
-    "knn_filtered", "knn_batch", "knn_per_label", "knn_radius",
-    # approximate indexes, one per family (Q3 + beyond-reference ANN)
-    "lsh_knn", "lsh_knn_multiprobe", "ivf_knn", "knn_graph_blocked",
-    "sq8_knn_cosine", "sq8_knn_rerank",
-    "lsh_index_persisted_knn", "ann_recall_lsh", "ann_recall_ivf",
-    # relational: TPC-H joins+aggs, windows, multi-dim aggs, percentiles
-    "tpch_pricing_summary", "tpch_shipping_priority",
-    "tpch_local_supplier_volume", "tpch_market_share",
-    "window_top_orders_per_customer", "window_order_analytics",
-    "rollup_orders", "cube_orders", "grouping_sets_orders",
-    "pivot_order_status", "agg_value_percentiles",
-    # join zoo: semi / anti / as-of / range / outer
-    "semi_join_urgent_customers", "anti_join_cascade_delete",
-    "asof_join_purchase_click", "range_join_year_buckets",
-    "outer_join_order_counts",
-    # DML / pagination / JSON predicate (SURVEY §2.8, T2, F1)
-    "entity_patch_update", "entity_batch_insert", "entity_scd2_history",
-    "entity_point_lookup", "entity_embedding_validation",
-    "pagination_with_total", "filter_events_json", "filter_metadata_map",
-    "entity_store_search",
-    # dedup family, one per algorithm
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
-    "dedup_simhash_table", "dedup_cluster_components",
-    "dedup_embedding_lsh_blocked", "dedup_embedding_clusters",
-    "dedup_incremental_ingest", "agg_sketch_accuracy",
-    # text analysis
-    "text_token_stats", "text_quality_scores", "text_language_id",
-    "text_fingerprints", "text_oov_rate",
-    # lexical + hybrid search
-    "search_bm25", "search_hybrid_rrf",
-    # corpus pipeline
-    "pipeline_corpus_prep", "pipeline_decontaminate",
-    "pipeline_chunk_documents", "pipeline_funnel_report",
-    "pipeline_mix_schedule", "pipeline_group_sample",
-    # event-time windows + the streaming engine under the gate
-    "window_tumbling_events", "window_session_events",
-    "stream_tumbling_drained", "stream_stateful_first_event",
-    "stream_join_drained", "stream_dedup_drained",
-    # multimodal + skew mitigation
-    "multimodal_binary_stats", "skew_salted_join", "maintenance_range_bounds",
-    # interchange sources/sinks + scalar function families
-    "source_jsonl_roundtrip", "source_csv_roundtrip",
-    "functions_string", "functions_datetime", "functions_map",
-    # event-sequence analytics
-    "funnel_view_click_purchase", "window_retention_cohorts",
+# Rotating priority: the round driver records correctness results in
+# queries() dict order, capped at the first ~50 entries. A static prefix
+# made rounds 2 and 3 record the IDENTICAL set (VERDICT r3 finding #1), so
+# the order is now derived from the recorded CORRECTNESS_r*.json files at
+# the repo root: a handful of sentinel queries stay first every round (to
+# catch regressions on the flagship paths), then every gated entry that has
+# never had a green driver row, interleaved round-robin across operator
+# families (stream_*, functions_*, text_*, tpch_*, ...) so a capped run
+# still covers full SURVEY §2 breadth, then the already-verified remainder,
+# then rows-only entries last.
+_SENTINELS = [
+    "knn_cosine_flat",        # flagship exact search (Q1/Q2)
+    "lsh_knn",                # flagship approximate search (Q3)
+    "tpch_pricing_summary",   # relational agg core
+    "dedup_exact",            # dedup core
+    "dedup_minhash_lsh",      # this round's scale fix must stay green
+    "dedup_ngram_jaccard",    # this round swaps in the df-capped flagship
 ]
 
 
+def _driver_verified() -> set[str]:
+    """Names with a green row in any recorded CORRECTNESS_r*.json.
+
+    Green = err is null AND (hash_match, or rows_match for rows-only
+    entries whose hash_match is recorded null). Failed/errored rows do NOT
+    count, so they rotate back to the front of the next round's window.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            ok = row.get("hash_match")
+            if ok is None:
+                ok = row.get("rows_match")
+            if ok:
+                seen.add(name)
+    return seen
+
+
+def _interleave_families(names: list[str]) -> list[str]:
+    """Round-robin across `<family>_...` name prefixes, preserving
+    registration order within a family — so a 50-entry window touches
+    every operator family instead of exhausting one."""
+    fams: dict[str, list[str]] = {}
+    for n in names:
+        fams.setdefault(n.split("_", 1)[0], []).append(n)
+    out: list[str] = []
+    while len(out) < len(names):
+        for f in list(fams):
+            if fams[f]:
+                out.append(fams[f].pop(0))
+    return out
+
+
 def _reorder(reg: dict[str, Entry]) -> dict[str, Entry]:
-    """Priority names first, then remaining oracle-gated entries in
-    registration order, then rows-only (no-oracle) entries last."""
-    out: dict[str, Entry] = {n: reg[n] for n in _PRIORITY if n in reg}
+    seen = _driver_verified()
+    out: dict[str, Entry] = {n: reg[n] for n in _SENTINELS if n in reg}
+    fresh = [
+        n for n, e in reg.items()
+        if n not in out and n not in seen and e[1] is not None
+    ]
+    for n in _interleave_families(fresh):
+        out[n] = reg[n]
     for n, e in reg.items():
         if n not in out and e[1] is not None:
             out[n] = e
