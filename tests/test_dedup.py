@@ -116,15 +116,27 @@ def test_autotuned_minhash_candidates_subset_of_exact(spark, sf_dir):
 
 def test_cluster_components_closed_and_minimal(spark, sf_dir):
     """Every near-dup pair's endpoints land in the same cluster; the rep is
-    the minimum doc_id of its cluster (and therefore labels itself)."""
-    from vector_db_from_scratch_spark.operators.dedup import neardup_clusters
+    the minimum doc_id of its cluster (and therefore labels itself). The
+    cluster graph builds on the df-capped flagship pairs; the uncapped
+    self-join is the recall cross-check (capped ⊆ uncapped)."""
+    from vector_db_from_scratch_spark.operators.dedup import (
+        neardup_clusters,
+        ngram_jaccard_pairs_dfcap,
+    )
 
     labels = {
         r["doc_id"]: r["cluster_rep"]
         for r in neardup_clusters(spark, sf_dir, threshold=0.3).collect()
     }
-    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=0.3).collect()
+    pairs = ngram_jaccard_pairs_dfcap(spark, sf_dir, threshold=0.3).collect()
     assert pairs, "fixture must contain planted near-dups"
+    capped = {(p["d1"], p["d2"]) for p in pairs}
+    uncapped = {
+        (p["d1"], p["d2"])
+        for p in ngram_jaccard_pairs(spark, sf_dir, threshold=0.3).collect()
+    }
+    assert capped <= uncapped, "df-cap must only ever DROP pairs, never invent them"
+    assert capped, "df-capped candidate generation found none of the planted dups"
     for p in pairs:
         assert labels[p["d1"]] == labels[p["d2"]]
     for doc, rep in labels.items():

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..functions.text import token_count_sql
 from ..sources.tables import load_table
-from .dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_oracle
+from .dedup import ngram_jaccard_pairs_dfcap, ngram_jaccard_pairs_dfcap_oracle
 
 QUALITY_MIN_TOKENS = 6
 QUALITY_TOKEN_LEN = (2.0, 12.0)
@@ -66,7 +66,7 @@ def _corpus_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     # near-dup drop over the shared raw-corpus shingle index: drop d2 of
     # every pair whose both endpoints survived stages 1-3
-    pairs = ngram_jaccard_pairs(spark, sf_dir, NEAR_DUP_THRESHOLD)
+    pairs = ngram_jaccard_pairs_dfcap(spark, sf_dir, NEAR_DUP_THRESHOLD)
     surv_ids = survivors.select("doc_id")
     drops = (
         pairs.join(surv_ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
@@ -96,7 +96,7 @@ def _corpus_prep_ctes() -> str:
     """CTE body shared by the per-language report and the funnel query."""
     nt = token_count_sql("text")
     langs = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
-    pairs_sql = ngram_jaccard_pairs_oracle(NEAR_DUP_THRESHOLD)
+    pairs_sql = ngram_jaccard_pairs_dfcap_oracle(NEAR_DUP_THRESHOLD)
     return f"""gated AS (
   SELECT doc_id, lang, text, {nt}::BIGINT AS n_tok
   FROM documents

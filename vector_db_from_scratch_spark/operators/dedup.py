@@ -101,13 +101,20 @@ def _shingle_batches(it):
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             toks = (text or "").split(" ")
             seen = set()
+            seen_h = set()
             for i in range(len(toks) - (SHINGLE_WIDTH - 1)):
                 s = " ".join(toks[i : i + SHINGLE_WIDTH])
                 if s not in seen:
                     seen.add(s)
-                    h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-                    out_id.append(doc_id)
-                    out_h.append(h % MERSENNE31)
+                    h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE31
+                    # per-doc-distinct HASHES (not just shingle strings), so
+                    # set-based verification (array_intersect over the sets
+                    # table) and the exploded-join count(*) agree even if two
+                    # shingles collide into one 31-bit hash
+                    if h not in seen_h:
+                        seen_h.add(h)
+                        out_id.append(doc_id)
+                        out_h.append(h)
         yield pd.DataFrame({"doc_id": out_id, "sh": out_h})
 
 
@@ -144,6 +151,7 @@ def _shingle_index(spark: SparkSession, sf_dir: str, fast: bool = True) -> DataF
         out = (
             docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
             .select("doc_id", hash31(F.col("s")).alias("sh"))
+            .distinct()  # per-doc-distinct hashes; see _shingle_batches
             .cache()
         )
     _INDEX_MEMO[key] = out
@@ -168,6 +176,53 @@ def _shingle_df_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).cache()
     _DF_MEMO[key] = out
     return out
+
+
+_SETS_MEMO: dict[tuple[str, str], DataFrame] = _memo.register({})
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shset, n): per-document distinct-shingle array + set size --
+    the candidate VERIFICATION artifact. Exact Jaccard/containment for a
+    candidate pair becomes two doc_id equi-joins against this table plus
+    one array_intersect per pair, replacing the round-3 pattern of
+    re-joining the full exploded inverted index twice per candidate set
+    (the measured scale-killer: pair x shingle rows grow superlinearly in
+    duplicate-dense data). At 100 TB this is the doc->shingle-set sidecar
+    materialized next to the inverted index; rows are a few hundred longs
+    each, so the join moves O(candidates) compact arrays, not O(candidates
+    x shingles) exploded rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SETS_MEMO:
+        return _SETS_MEMO[key]
+    sh = _shingle_index(spark, sf_dir)
+    out = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_list("sh").alias("shset"), F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    _SETS_MEMO[key] = out
+    return out
+
+
+def _verify_jaccard(surv: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (d1, d2) against the
+    shingle-set table: (d1, d2, jaccard) rows meeting the threshold."""
+    s1 = sets.select(
+        F.col("doc_id").alias("d1"), F.col("shset").alias("s1"), F.col("n").alias("n1")
+    )
+    s2 = sets.select(
+        F.col("doc_id").alias("d2"), F.col("shset").alias("s2"), F.col("n").alias("n2")
+    )
+    c = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
+    jac = c.cast("double") / (F.col("n1") + F.col("n2") - c).cast("double")
+    return (
+        surv.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
 
 
 _PAIRS_MEMO: dict[tuple[str, str, float], DataFrame] = _memo.register({})
@@ -228,8 +283,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3
 
 
 def _shingle_index_sql() -> str:
+    # DISTINCT on (doc_id, hash): shingle strings are already distinct per
+    # doc, but two strings may collide into one 31-bit hash -- set-dedupe
+    # the hashes so set-based verification and join-count verification
+    # agree (mirrors the Spark index's per-doc hash dedupe)
     return f"""
-sh AS (SELECT doc_id, {hash31_sql('s')} AS sh
+sh AS (SELECT DISTINCT doc_id, {hash31_sql('s')} AS sh
        FROM (SELECT doc_id, unnest({shingles_sql('text')}) AS s FROM documents))
 """.strip()
 
@@ -307,6 +366,72 @@ ORDER BY src_doc, dst_doc
 """.strip()
 
 
+def containment_pairs_dfcap(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.6, max_df: int = 3
+) -> DataFrame:
+    """Df-capped containment: candidate pairs from rare shingles only
+    (same candidate generation as :func:`ngram_jaccard_pairs_dfcap` -- one
+    shared cand subtree at scale), containment still computed over FULL
+    shingle sets via the compact sets table. The registered flagship; the
+    uncapped :func:`containment_pairs` survives as the test-only recall
+    cross-check."""
+    sh = _shingle_index(spark, sf_dir)
+    df_counts = _shingle_df_counts(spark, sf_dir)
+    rare = sh.join(
+        F.broadcast(df_counts.filter(F.col("df") <= max_df).select("sh")), "sh"
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sets = _shingle_sets(spark, sf_dir)
+    s1 = sets.select(
+        F.col("doc_id").alias("d1"), F.col("shset").alias("s1"), F.col("n").alias("n1")
+    )
+    s2 = sets.select(
+        F.col("doc_id").alias("d2"), F.col("shset").alias("s2"), F.col("n").alias("n2")
+    )
+    c = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
+    both = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("c", c)
+        .select("d1", "d2", "c", "n1", "n2")
+    )
+    dirs = both.select(
+        F.col("d1").alias("src_doc"), F.col("d2").alias("dst_doc"), "c",
+        F.col("n1").alias("n"),
+    ).unionAll(
+        both.select(
+            F.col("d2").alias("src_doc"), F.col("d1").alias("dst_doc"), "c",
+            F.col("n2").alias("n"),
+        )
+    )
+    cont = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        dirs.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("src_doc", "dst_doc", "containment")
+        .orderBy("src_doc", "dst_doc")
+    )
+
+
+def containment_pairs_dfcap_oracle(threshold: float = 0.6, max_df: int = 3) -> str:
+    ctes, _ = _dfcap_pairs_cte(threshold, max_df)  # sh/dfc/rare/cand/sizes/inter
+    return f"""
+WITH {ctes},
+dirs AS (SELECT d1 AS src_doc, d2 AS dst_doc, c FROM inter
+         UNION ALL
+         SELECT d2 AS src_doc, d1 AS dst_doc, c FROM inter)
+SELECT src_doc, dst_doc, c::DOUBLE / s.n::DOUBLE AS containment
+FROM dirs JOIN sizes s ON src_doc = s.doc_id
+WHERE c::DOUBLE / s.n::DOUBLE >= {threshold}
+ORDER BY src_doc, dst_doc
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH banding: K signatures, B bands; candidates = band-key
 # equi-join; final pairs verified with exact Jaccard. The oracle replicates
@@ -315,6 +440,26 @@ ORDER BY src_doc, dst_doc
 
 NUM_HASHES = 12
 BAND_SIZE = 3  # -> 4 bands; s-curve threshold ~ (1/4)^(1/3) ~ 0.63
+# A band bucket holding more than this many documents is boilerplate (a
+# shared template/header whose band signature repeats corpus-wide): its
+# within-bucket pair count grows quadratically while its pairs carry no
+# near-dup signal, so it is dropped from candidate generation -- the same
+# discipline as the shingle df-cap. Genuine duplicate clusters are far
+# smaller than this in any corpus where exact dedup ran first.
+BUCKET_CAP = 64
+
+
+def _min_matches(threshold: float, num_hashes: int) -> int:
+    """Integer cutoff for the signature-estimated Jaccard pre-filter:
+    candidates whose signatures agree on fewer than ceil(threshold * K)
+    components are dropped before exact verification. E[matches] = K * j
+    for true Jaccard j, so this prunes at the verification threshold
+    itself using data already in hand (two K-int arrays) -- no shingle
+    work for the band-collision false-positive mass. Computed in Python so
+    Spark and the oracle share one exact integer."""
+    import math
+
+    return math.ceil(threshold * num_hashes - 1e-9)
 
 
 def autotune_bands(threshold: float, max_hashes: int = 16) -> tuple[int, int]:
@@ -371,19 +516,45 @@ def minhash_lsh_pairs(
     threshold: float = 0.3,
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    bucket_cap: int = BUCKET_CAP,
 ) -> DataFrame:
-    sh = _shingle_index(spark, sf_dir)
+    """MinHash banding with three scale guards, each mirrored exactly in
+    the oracle (reference semantics: near-dup candidate generation;
+    candidate->verify discipline per Leskovec/Rajaraman/Ullman ch.3):
+
+    1. band-bucket cap: buckets larger than ``bucket_cap`` are boilerplate
+       and are excluded from the self-join (bounds within-bucket pair
+       growth, the round-3 14.6x 10x-scale blowup);
+    2. signature-estimated Jaccard pre-filter: candidates must agree on
+       >= ceil(threshold * K) signature components -- a zip_with over two
+       cached K-int arrays, no shingle access;
+    3. survivors verified against the compact shingle-set table
+       (:func:`_shingle_sets`) instead of re-joining the exploded
+       inverted index twice.
+    """
     sig = _minhash_signature_cached(spark, sf_dir, num_hashes)
     n_bands = num_hashes // band_size
-    band_frames = []
-    for band in range(n_bands):
-        cols = [f"m{band * band_size + r}" for r in range(band_size)]
-        key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
-        band_frames.append(
-            sig.select("doc_id", F.lit(band).alias("band"), key.alias("bkey"))
+    band_keys = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"m{band * band_size + r}").cast("string")
+                for r in range(band_size)
+            ],
         )
-    bands = reduce(DataFrame.unionAll, band_frames)
-    a, b = bands.alias("a"), bands.alias("b")
+        for band in range(n_bands)
+    ]
+    # one projection + posexplode instead of an n_bands-way union
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bkey")
+    )
+    from pyspark.sql import Window
+
+    bc = F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+    kept = (
+        bands.withColumn("bc", bc).filter(F.col("bc") <= bucket_cap).drop("bc")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
     cand = (
         a.join(
             b,
@@ -394,31 +565,41 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha, shb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sha, F.col("sa.doc_id") == F.col("d1"))
-        .join(shb, (F.col("sb.doc_id") == F.col("d2")) & (F.col("sa.sh") == F.col("sb.sh")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("c"))
+    sigarr = sig.select(
+        "doc_id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
     )
-    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", "jaccard")
-        .orderBy("d1", "d2")
+    matches = F.aggregate(
+        F.zip_with(
+            "sig1", "sig2", lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
+    surv = (
+        cand.join(
+            sigarr.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1")), "d1"
+        )
+        .join(
+            sigarr.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2")), "d2"
+        )
+        .filter(matches >= F.lit(_min_matches(threshold, num_hashes)))
+        .select("d1", "d2")
+    )
+    sets = _shingle_sets(spark, sf_dir)
+    return _verify_jaccard(surv, sets, threshold).orderBy("d1", "d2")
 
 
 def _minhash_pairs_cte(
-    threshold: float, num_hashes: int, band_size: int
+    threshold: float,
+    num_hashes: int,
+    band_size: int,
+    bucket_cap: int = BUCKET_CAP,
 ) -> tuple[str, str]:
     """(cte_list, final_select) halves of the MinHash-LSH pairs query --
     same composition contract as :func:`_jaccard_pairs_cte`, so the
-    clustering oracle reuses the CTE list structurally."""
+    clustering oracle reuses the CTE list structurally. Replays all three
+    scale guards of :func:`minhash_lsh_pairs` (bucket cap, signature
+    pre-filter, exact verify) so both engines see identical pairs."""
     params = minhash_params(num_hashes)
     mins = ",\n       ".join(
         f"min(({a} * sh + {b}) % {MERSENNE31}) AS m{j}" for j, (a, b) in enumerate(params)
@@ -430,13 +611,25 @@ def _minhash_pairs_cte(
         key = " || ',' || ".join(f"{c}::VARCHAR" for c in cols)
         band_selects.append(f"SELECT doc_id, {band} AS band, {key} AS bkey FROM sig")
     bands = "\nUNION ALL\n".join(band_selects)
+    est = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(num_hashes)
+    )
     ctes = f"""
 {_shingle_index_sql()},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({bands}),
-cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+kept AS (SELECT doc_id, band, bkey FROM (
+           SELECT doc_id, band, bkey,
+                  count(*) OVER (PARTITION BY band, bkey) AS bc
+           FROM bands)
+         WHERE bc <= {bucket_cap}),
+cand0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+cand AS (SELECT d1, d2 FROM cand0
+         JOIN sig sa ON sa.doc_id = d1
+         JOIN sig sb ON sb.doc_id = d2
+         WHERE {est} >= {_min_matches(threshold, num_hashes)}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT d1, d2, count(*) AS c
           FROM cand JOIN sh sa ON sa.doc_id = d1
@@ -772,16 +965,20 @@ def embedding_neardup_lsh_oracle(threshold: float = 0.3) -> str:
     return f"WITH {ctes}\n{final}\nORDER BY v1, v2"
 
 
-def ngram_jaccard_pairs_dfcap(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.3, max_df: int = 3
+_DFCAP_PAIRS_MEMO: dict[tuple[str, str, float, int], DataFrame] = _memo.register({})
+
+
+def _dfcap_pairs_cached(
+    spark: SparkSession, sf_dir: str, threshold: float, max_df: int
 ) -> DataFrame:
-    """The 100 TB form of the Jaccard near-dup: candidate pairs come ONLY
-    from shingles with document frequency <= max_df (hot shingles carry no
-    discriminative signal and create quadratic join keys), but the Jaccard
-    itself is still computed over the FULL shingle sets of each candidate
-    pair -- exact similarity, df-capped candidate generation. Pairs sharing
-    only hot shingles are the (deliberate, tunable) recall trade-off.
-    """
+    """Memoized df-capped verified pair table (d1, d2, jaccard) -- the
+    flagship near-dup pair artifact shared by the pairs report, the
+    clustering query, and the corpus-prep drop set (same fan-out as the
+    uncapped `_jaccard_pairs_cached`, which survives as the test-only
+    recall cross-check)."""
+    key = (spark.sparkContext.applicationId, sf_dir, threshold, max_df)
+    if key in _DFCAP_PAIRS_MEMO:
+        return _DFCAP_PAIRS_MEMO[key]
     sh = _shingle_index(spark, sf_dir)
     df_counts = _shingle_df_counts(spark, sf_dir)
     rare = sh.join(
@@ -793,23 +990,25 @@ def ngram_jaccard_pairs_dfcap(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha, shb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sha, F.col("sa.doc_id") == F.col("d1"))
-        .join(shb, (F.col("sb.doc_id") == F.col("d2")) & (F.col("sa.sh") == F.col("sb.sh")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", "jaccard")
-        .orderBy("d1", "d2")
-    )
+    sets = _shingle_sets(spark, sf_dir)
+    out = _verify_jaccard(cand, sets, threshold).cache()
+    _DFCAP_PAIRS_MEMO[key] = out
+    return out
+
+
+def ngram_jaccard_pairs_dfcap(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3, max_df: int = 3
+) -> DataFrame:
+    """The 100 TB form of the Jaccard near-dup: candidate pairs come ONLY
+    from shingles with document frequency <= max_df (hot shingles carry no
+    discriminative signal and create quadratic join keys), but the Jaccard
+    itself is still computed over the FULL shingle sets of each candidate
+    pair -- exact similarity, df-capped candidate generation. Pairs sharing
+    only hot shingles are the (deliberate, tunable) recall trade-off.
+    Verification reads the compact shingle-set table, not the exploded
+    index (see :func:`_shingle_sets`).
+    """
+    return _dfcap_pairs_cached(spark, sf_dir, threshold, max_df).orderBy("d1", "d2")
 
 
 def minhash_lsh_pairs_autotuned(
@@ -869,23 +1068,8 @@ def ngram_jaccard_pairs_dfcap_auto(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha, shb = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sha, F.col("sa.doc_id") == F.col("d1"))
-        .join(shb, (F.col("sb.doc_id") == F.col("d2")) & (F.col("sa.sh") == F.col("sb.sh")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", "jaccard")
-        .orderBy("d1", "d2")
-    )
+    sets = _shingle_sets(spark, sf_dir)
+    return _verify_jaccard(cand, sets, threshold).orderBy("d1", "d2")
 
 
 def ngram_jaccard_pairs_dfcap_auto_oracle(
@@ -957,7 +1141,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -
     "Connected Components in MapReduce and Beyond"), which converges in
     O(log^2 n) rounds with the same (node, label) dataflow shape.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select("d1", "d2")
+    pairs = ngram_jaccard_pairs_dfcap(spark, sf_dir, threshold).select("d1", "d2")
     return _clusters_cached(spark, sf_dir, threshold, "jaccard", pairs).select(
         F.col("node").alias("doc_id"), "cluster_rep"
     ).orderBy("doc_id")
@@ -1023,7 +1207,7 @@ _CLUSTER_TAIL = _cluster_tail("doc_id")
 
 
 def neardup_clusters_oracle(threshold: float = 0.3) -> str:
-    ctes, final = _jaccard_pairs_cte(threshold)
+    ctes, final = _dfcap_pairs_cte(threshold)
     return f"WITH RECURSIVE {ctes},\npairs AS ({final}),\n{_CLUSTER_TAIL}"
 
 
@@ -1051,9 +1235,13 @@ def neardup_clusters_minhash_oracle(
     return f"WITH RECURSIVE {ctes},\npairs AS ({final}),\n{_CLUSTER_TAIL}"
 
 
-def ngram_jaccard_pairs_dfcap_oracle(threshold: float = 0.3, max_df: int = 3) -> str:
-    return f"""
-WITH {_shingle_index_sql()},
+def _dfcap_pairs_cte(threshold: float = 0.3, max_df: int = 3) -> tuple[str, str]:
+    """(cte_list, final_select) halves of the df-capped Jaccard pairs
+    query -- same composition contract as :func:`_jaccard_pairs_cte`, so
+    the clustering and corpus-prep oracles compose the flagship capped
+    form instead of the uncapped self-join."""
+    ctes = f"""
+{_shingle_index_sql()},
 dfc AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= {max_df}),
 rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)),
 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -1063,11 +1251,18 @@ inter AS (SELECT d1, d2, count(*) AS c
           FROM cand JOIN sh sa ON sa.doc_id = d1
                     JOIN sh sb ON sb.doc_id = d2 AND sa.sh = sb.sh
           GROUP BY d1, d2)
+""".strip()
+    final = f"""
 SELECT d1, d2, c::DOUBLE / (s1.n + s2.n - c)::DOUBLE AS jaccard
 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 WHERE c::DOUBLE / (s1.n + s2.n - c)::DOUBLE >= {threshold}
-ORDER BY d1, d2
 """.strip()
+    return ctes, final
+
+
+def ngram_jaccard_pairs_dfcap_oracle(threshold: float = 0.3, max_df: int = 3) -> str:
+    ctes, final = _dfcap_pairs_cte(threshold, max_df)
+    return f"WITH {ctes}\n{final}\nORDER BY d1, d2"
 
 
 # --------------------------------------------------------------------------
@@ -1167,10 +1362,13 @@ def _ingest_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
 
 
 def incremental_ingest_dedup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3, max_df: int = 3
 ) -> DataFrame:
     """(doc_id, verdict) for every delta document: 'exact_dup',
-    'near_dup', or 'new'."""
+    'near_dup', or 'new'. Near-dup candidates come from df-capped shingles
+    only (same discipline as the flagship pairs query -- a hot boilerplate
+    shingle would otherwise join every delta doc against the whole base);
+    verification is exact Jaccard over full shingle sets."""
     base, delta = _ingest_split(spark, sf_dir)
     sh = _shingle_index(spark, sf_dir)
     is_delta_id = (F.col("doc_id") % INGEST_DELTA_MOD).isin(*INGEST_DELTA_BUCKETS)
@@ -1190,23 +1388,22 @@ def incremental_ingest_dedup(
     )
 
     # near-dup: Jaccard >= threshold against base or an earlier delta doc.
-    # Reuses the corpus shingle index; candidates form only on shared
-    # shingles (inverted-index discipline, no delta x base cross join).
-    sh_delta = sh.filter(is_delta_id)
-    sh_other = sh  # base + delta; the d2 > d1 guard keeps earlier docs only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh_other.alias("a"), sh_delta.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Candidates form only on shared RARE shingles (df-capped inverted-index
+    # discipline, no delta x base cross join, no hot-shingle quadratic key);
+    # the d2 > d1 guard keeps earlier docs only.
+    df_counts = _shingle_df_counts(spark, sf_dir)
+    rare = sh.join(
+        F.broadcast(df_counts.filter(F.col("df") <= max_df).select("sh")), "sh"
     )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")).cast("double")
+    a, b = rare.alias("a"), rare.filter(is_delta_id).alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sets = _shingle_sets(spark, sf_dir)
     near_ids = (
-        inter.join(sa, "d1").join(sb, "d2")
-        .filter(jac >= threshold)
+        _verify_jaccard(cand, sets, threshold)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )
@@ -1228,7 +1425,7 @@ def incremental_ingest_dedup(
     )
 
 
-def incremental_ingest_dedup_oracle(threshold: float = 0.3) -> str:
+def incremental_ingest_dedup_oracle(threshold: float = 0.3, max_df: int = 3) -> str:
     bkts = ", ".join(str(b) for b in INGEST_DELTA_BUCKETS)
     return f"""
 WITH {_shingle_index_sql()},
@@ -1244,10 +1441,15 @@ exact_ids AS (
     SELECT d.doc_id FROM dh d
     JOIN (SELECT h, min(doc_id) AS first_id FROM dh GROUP BY h) f USING (h)
     WHERE d.doc_id > f.first_id) t),
+dfc AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= {max_df}),
+rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         WHERE b.doc_id % {INGEST_DELTA_MOD} IN ({bkts})),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          WHERE b.doc_id % {INGEST_DELTA_MOD} IN ({bkts})
+inter AS (SELECT d1, d2, count(*) AS c
+          FROM cand JOIN sh sa ON sa.doc_id = d1
+                    JOIN sh sb ON sb.doc_id = d2 AND sa.sh = sb.sh
           GROUP BY d1, d2),
 near_ids AS (
   SELECT DISTINCT d2 AS doc_id
