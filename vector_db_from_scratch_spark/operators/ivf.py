@@ -223,20 +223,31 @@ def _artifact_root() -> str:
 def trained_artifact_path(sf_dir: str, n_cells: int, iterations: int) -> str:
     import hashlib
 
+    from ..sources.artifacts import source_ident
+
     src = os.path.join(sf_dir, "embeddings.parquet")
-    ident = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
-    tag = hashlib.md5(f"{ident}:{n_cells}:{iterations}".encode()).hexdigest()[:12]
+    # source_ident folds in a footer fingerprint + ALGO_VERSION, so a
+    # regenerated source file or a changed training kernel gets a fresh tag
+    tag = hashlib.md5(
+        f"{source_ident(src)}:{n_cells}:{iterations}".encode()
+    ).hexdigest()[:12]
     return os.path.join(_artifact_root(), f"ivf-trained-{tag}")
 
 
 def _load_persisted_centroids(
     spark: SparkSession, sf_dir: str, n_cells: int, iterations: int
 ) -> list[list[float]] | None:
+    import shutil
+
     path = os.path.join(trained_artifact_path(sf_dir, n_cells, iterations), "centroids")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         return None
     rows = spark.read.parquet(path).orderBy("cell").collect()
     if len(rows) != n_cells:
+        # invalid artifact (e.g. interrupted writer): delete so the save
+        # path can rewrite it -- otherwise _SUCCESS makes every future
+        # process skip the save and retrain forever
+        shutil.rmtree(path, ignore_errors=True)
         return None
     return [[float(x) for x in r["centroid"]] for r in rows]
 
@@ -639,6 +650,64 @@ approx AS (SELECT p.vec_id FROM assign p JOIN probe USING (cell), q
            ORDER BY {d}, vec_id LIMIT {k}),
 m AS (SELECT count(*) AS n_matched FROM flat JOIN approx USING (vec_id))
 SELECT {k} AS k, n_matched, n_matched::DOUBLE / {float(k)!r} AS recall_at_k FROM m
+""".strip()
+
+
+RECALL_FLOOR = 0.5
+
+
+def ivf_trained_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Deterministic recall VERDICT for the trained-k-means IVF probe --
+    the hash-checkable correctness signal for the rows-only trained
+    family (pattern: sq.sq8_recall / relational.sketch_accuracy_report).
+    The trained centroids are seeded and deterministic but their float
+    means are not portably SQL-reproducible, so the gate row carries what
+    IS portable: k, the exact-top-k row count (cross-checked against the
+    oracle's closed-form exact k-NN), the floor, and the boolean verdict
+    that the trained probe's measured recall clears it -- measured recall
+    is 0.9 at both gate SFs, so 0.5 is a regression tripwire, not a
+    tautology."""
+    from . import knn as knn_mod
+
+    exact = knn_mod.flat_knn(
+        spark, sf_dir, metric, k=k, query_vec_id=query_vec_id
+    ).select("vec_id")
+    approx = ivf_knn_trained(
+        spark, sf_dir, metric, k=k, query_vec_id=query_vec_id
+    ).select("vec_id")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(
+            exact.join(approx, "vec_id").agg(F.count(F.lit(1)).alias("_m"))
+        )
+        .select(
+            F.lit(k).alias("k"),
+            "n_exact",
+            F.lit(RECALL_FLOOR).alias("recall_floor"),
+            (
+                F.col("_m").cast("double") / F.lit(float(k)) >= F.lit(RECALL_FLOOR)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+def ivf_trained_recall_oracle(
+    metric: str = "cosine", k: int = 10, query_vec_id: int = 0
+) -> str:
+    from .knn import flat_knn_oracle
+
+    flat = flat_knn_oracle(metric, k=k, query_vec_id=query_vec_id)
+    return f"""
+WITH flat AS ({flat})
+SELECT {k} AS k, count(*) AS n_exact, {RECALL_FLOOR} AS recall_floor,
+       true AS recall_ok
+FROM flat
 """.strip()
 
 

@@ -122,9 +122,14 @@ def pq_artifact_path(sf_dir: str, m: int, ks: int, iters: int) -> str:
     import os
     import tempfile
 
+    from ..sources.artifacts import source_ident
+
     src = os.path.join(sf_dir, "embeddings.parquet")
-    ident = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{os.path.getsize(src)}"
-    tag = hashlib.md5(f"{ident}:pq:{m}:{ks}:{iters}:{TRAIN_SAMPLE}".encode()).hexdigest()[:12]
+    # footer fingerprint + ALGO_VERSION via source_ident: regenerated
+    # sources and changed kernels never serve a stale artifact
+    tag = hashlib.md5(
+        f"{source_ident(src)}:pq:{m}:{ks}:{iters}:{TRAIN_SAMPLE}".encode()
+    ).hexdigest()[:12]
     root = os.environ.get(
         "SPARK_GRAFT_ARTIFACT_DIR",
         os.path.join(tempfile.gettempdir(), "spark-graft-artifacts"),
@@ -142,6 +147,11 @@ def _load_persisted_codebooks(
         return None
     rows = spark.read.parquet(path).orderBy("mi", "code").collect()
     if len(rows) != m * ks:
+        import shutil
+
+        # invalid artifact: remove so the save path rewrites it instead of
+        # skipping on _SUCCESS and retraining in every future process
+        shutil.rmtree(path, ignore_errors=True)
         return None
     dsub = len(rows[0]["centroid"])
     books = np.empty((m, ks, dsub), dtype=np.float32)
@@ -474,4 +484,72 @@ SELECT count(*) AS n_vectors,
        (sum(len(embedding)) * 4)::BIGINT AS raw_bytes,
        (count(*) * {M_SUBSPACES})::BIGINT AS code_bytes
 FROM embeddings
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Recall VERDICT gates for the trained-codebook family (pattern:
+# sq.sq8_recall / ivf.ivf_trained_recall): learned centroid floats are not
+# portably SQL-reproducible, so the gate row carries the portable parts --
+# k, the exact-top-k count (cross-checked against closed-form exact k-NN in
+# the oracle), the floor, and the boolean that the trained path's measured
+# recall clears it. Measured recall is 0.7-0.9 at both gate SFs, so the 0.5
+# floor is a regression tripwire, not a tautology.
+# --------------------------------------------------------------------------
+
+RECALL_FLOOR = 0.5
+
+
+def _recall_verdict(exact, approx, k: int):
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(exact.join(approx, "vec_id").agg(F.count(F.lit(1)).alias("_m")))
+        .select(
+            F.lit(k).alias("k"),
+            "n_exact",
+            F.lit(RECALL_FLOOR).alias("recall_floor"),
+            (
+                F.col("_m").cast("double") / F.lit(float(k)) >= F.lit(RECALL_FLOOR)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+def pq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    from .knn import flat_knn
+
+    exact = flat_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id).select("vec_id")
+    approx = pq_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id).select("vec_id")
+    return _recall_verdict(exact, approx, k)
+
+
+def ivfpq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    from .knn import flat_knn
+
+    exact = flat_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id).select("vec_id")
+    approx = ivfpq_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id).select("vec_id")
+    return _recall_verdict(exact, approx, k)
+
+
+def trained_recall_oracle(metric: str = "cosine", k: int = 10, query_vec_id: int = 0) -> str:
+    from .knn import flat_knn_oracle
+
+    flat = flat_knn_oracle(metric, k=k, query_vec_id=query_vec_id)
+    return f"""
+WITH flat AS ({flat})
+SELECT {k} AS k, count(*) AS n_exact, {RECALL_FLOOR} AS recall_floor,
+       true AS recall_ok
+FROM flat
 """.strip()

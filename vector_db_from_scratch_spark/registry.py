@@ -355,6 +355,22 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: sq.sq8_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         sq.sq8_recall_oracle("cosine", k=10, query_vec_id=0),
     )
+    # trained-quantizer family under the gate via deterministic recall
+    # VERDICT rows (k + exact-top-k count cross-checked, boolean floor
+    # check on the trained probe) -- the hash-checkable signal for the
+    # rows-only ivf_knn_trained / pq_knn_rerank / ivfpq_knn paths
+    reg["ann_recall_ivf_trained"] = (
+        lambda spark, sf: ivf.ivf_trained_recall(spark, sf, "cosine", k=10, query_vec_id=0),
+        ivf.ivf_trained_recall_oracle("cosine", k=10, query_vec_id=0),
+    )
+    reg["ann_recall_pq"] = (
+        lambda spark, sf: pq.pq_recall(spark, sf, "cosine", k=10, query_vec_id=0),
+        pq.trained_recall_oracle("cosine", k=10, query_vec_id=0),
+    )
+    reg["ann_recall_ivfpq"] = (
+        lambda spark, sf: pq.ivfpq_recall(spark, sf, "cosine", k=10, query_vec_id=0),
+        pq.trained_recall_oracle("cosine", k=10, query_vec_id=0),
+    )
 
     # --- multimodal binary plumbing + skew mitigation ---
     reg["multimodal_binary_stats"] = (multimodal.binary_stats, multimodal.binary_stats_oracle())
@@ -448,10 +464,14 @@ def build() -> dict[str, Entry]:
         corpus.corpus_group_sample,
         corpus.corpus_group_sample_oracle(),
     )
-    reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs, d.ngram_jaccard_pairs_oracle())
-    # asymmetric containment |A∩B|/|A| over the same inverted index
-    reg["dedup_containment"] = (d.containment_pairs, d.containment_pairs_oracle())
-    reg["dedup_ngram_jaccard_dfcap"] = (d.ngram_jaccard_pairs_dfcap, d.ngram_jaccard_pairs_dfcap_oracle())
+    # flagship Jaccard near-dup is the df-CAPPED form (candidates from rare
+    # shingles only, exact verify over full sets) -- the uncapped self-join
+    # (`ngram_jaccard_pairs`) survives as a test-only recall cross-check,
+    # never as a registered query (a hot boilerplate shingle is a quadratic
+    # join key at 100 TB); same demotion round 3 applied to simhash.
+    reg["dedup_ngram_jaccard"] = (d.ngram_jaccard_pairs_dfcap, d.ngram_jaccard_pairs_dfcap_oracle())
+    # asymmetric containment |A∩B|/|A|, same df-capped candidate subtree
+    reg["dedup_containment"] = (d.containment_pairs_dfcap, d.containment_pairs_dfcap_oracle())
     reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
     reg["dedup_minhash_autotuned"] = (
         lambda spark, sf: d.minhash_lsh_pairs_autotuned(spark, sf, threshold=0.5),
