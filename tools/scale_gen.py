@@ -36,7 +36,14 @@ def _target_dir(sf_dir: str, k: int) -> str:
     ident = []
     for t in ("embeddings", "documents"):
         p = os.path.join(sf_dir, f"{t}.parquet")
-        ident.append(f"{os.path.abspath(p)}:{os.path.getmtime(p)}:{os.path.getsize(p)}")
+        # mtime+size alone can collide across regenerated files (cp -p,
+        # deterministic regeneration); hash the tail 64 KiB (parquet
+        # footer) so content changes always change the tag
+        st = os.stat(p)
+        with open(p, "rb") as fh:
+            fh.seek(max(0, st.st_size - 65536))
+            fp = hashlib.md5(fh.read()).hexdigest()[:12]
+        ident.append(f"{os.path.abspath(p)}:{st.st_mtime}:{st.st_size}:{fp}")
     tag = hashlib.md5(f"{':'.join(ident)}:{k}:{SEED}".encode()).hexdigest()[:12]
     root = os.environ.get(
         "SPARK_GRAFT_ARTIFACT_DIR",

@@ -321,9 +321,22 @@ class EntityStore:
             # identically.
             from .lsh import NUM_PROJECTIONS, SEED, _bucket_of, bucket_expr, projection_matrix
 
+            # None (absent column) falls back to the engine default, but a
+            # PRESENT invalid width (e.g. 0 from an unvalidated migrated
+            # tree) is rejected rather than silently reinterpreted --
+            # `or NUM_PROJECTIONS` would treat 0 as "use the default"
+            num_proj = (
+                NUM_PROJECTIONS
+                if lib.get("num_projections") is None
+                else lib["num_projections"]
+            )
+            if not isinstance(num_proj, int) or num_proj <= 0:
+                raise ValueError(
+                    f"library {library_id}: invalid num_projections {num_proj!r}"
+                )
             proj = projection_matrix(
                 dimension=lib["embedding_dimension"],
-                num_projections=lib.get("num_projections") or NUM_PROJECTIONS,
+                num_projections=num_proj,
                 seed=SEED if lib.get("random_state") is None else lib["random_state"],
             )
             qb = _bucket_of([float(x) for x in query_vector], proj)
@@ -634,6 +647,43 @@ SELECT doc_id, lang, source, n_chars
 FROM documents WHERE doc_id IN ({ids})
 ORDER BY doc_id
 """.strip()
+
+
+def bucketed_documents_table(
+    spark: SparkSession, sf_dir: str, buckets: int = 8, table: str = "documents_bucketed"
+) -> DataFrame:
+    """Write-once key-bucketed documents table: the CRUD-at-scale layout.
+
+    The EntityStore DML guards (``_library``/``_document``/duplicate
+    checks) filter-then-collect, which on a plain parquet table is a full
+    scan per call -- fine at fixture scale, wrong at 100 TB. The
+    production layout buckets (and sorts) the entity table by its key at
+    write time; an equality guard then touches ONE bucket file
+    (``SelectedBucketsCount: 1 out of N`` in the scan node), and batch
+    upserts become MERGE into the bucketed table with no pre-shuffle on
+    either side. See SCALE.md "CRUD at scale"."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (
+        docs.write.mode("overwrite")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
+def bucketed_point_lookup(spark: SparkSession, doc_id: int, table: str = "documents_bucketed") -> DataFrame:
+    """Guard-shaped point lookup against the bucketed layout: Spark's
+    bucket pruning reduces the scan to the key's single bucket
+    (``SelectedBucketsCount: 1 out of N``). Requires
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` -- the
+    default planner drops the bucketed scan when no join/agg consumes the
+    bucketing, and only a bucketed scan gets filter pruning; a lookup
+    service pins the conf at session start."""
+    return spark.table(table).filter(F.col("doc_id") == doc_id).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 # --------------------------------------------------------------------------

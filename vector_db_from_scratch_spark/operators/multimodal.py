@@ -123,6 +123,10 @@ def _decode_wav(payload: bytes) -> np.ndarray:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # mirror the PGM truncated-raster check: a short data chunk
+            # must fail loudly, not silently yield fewer samples
+            raise ValueError(f"truncated WAV chunk {cid!r}: {len(body)} < {size}")
         if cid == b"fmt ":
             fmt_tag, channels, _, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if fmt_tag != 1 or channels != 1 or bits != 8:

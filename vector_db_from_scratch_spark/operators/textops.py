@@ -94,7 +94,14 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for lang, words in T.STOPWORDS.items()
     }
-    pred = F.lit(None).cast("string")
+    # materialize each language score ONCE as a column, then run the
+    # CASE-priority argmax over the columns: inlining the scoring
+    # expressions into every pairwise comparison duplicated each ~2x per
+    # rival language in the generated code (the round-3 warm-run
+    # regression -- codegen blow-up, not data cost)
+    scored = docs.select(
+        "lang", *[scores[lang].alias(f"_s_{lang}") for lang in T.LANG_PRIORITY]
+    )
     # CASE chain in priority order: first lang whose score >= all others wins
     expr = None
     for lang in T.LANG_PRIORITY:
@@ -102,12 +109,12 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for other in T.LANG_PRIORITY:
             if other == lang:
                 continue
-            c = scores[lang] >= scores[other]
+            c = F.col(f"_s_{lang}") >= F.col(f"_s_{other}")
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     pred = expr.otherwise(F.lit("und"))
     return (
-        docs.select("lang", pred.alias("predicted"))
+        scored.select("lang", pred.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted")
@@ -867,7 +874,11 @@ def char_entropy(spark: SparkSession, sf_dir: str, fast: bool = True) -> DataFra
                     {
                         "doc_id": pdf["doc_id"],
                         "n_chars_total": n_chars,
-                        "entropy_bits": np.round(np.array(ents), 6) + 0.0,
+                        # half-up to match F.round / DuckDB round (np.round
+                        # is half-to-even -- a value landing exactly on a
+                        # 6-dp boundary would hash-mismatch the gate)
+                        "entropy_bits": np.floor(np.array(ents) * 1e6 + 0.5) / 1e6
+                        + 0.0,
                     }
                 )
 

@@ -31,3 +31,28 @@ def scratch_dir(prefix: str) -> str:
     path = tempfile.mkdtemp(prefix=prefix)
     _SCRATCH_DIRS.append(path)
     return path
+
+
+# Bumped whenever a training kernel or persisted-artifact layout changes:
+# the version is folded into every content-keyed artifact tag, so an
+# artifact trained by older code is never silently served to newer code
+# (the shared artifact dir outlives processes and code revisions).
+ALGO_VERSION = "v2"
+
+
+def source_ident(path: str) -> str:
+    """Identity string for a source data file used in content-keyed
+    artifact tags: abspath + mtime + size + an md5 of the file's last
+    64 KiB + :data:`ALGO_VERSION`. The tail fingerprint covers the parquet
+    footer (row-group offsets, column statistics), so a regenerated file
+    with preserved mtime and identical size (cp -p, rsync -t,
+    deterministic regeneration) still changes the tag."""
+    import hashlib
+    import os
+
+    st = os.stat(path)
+    with open(path, "rb") as fh:
+        fh.seek(max(0, st.st_size - 65536))
+        tail = fh.read()
+    fp = hashlib.md5(tail).hexdigest()[:12]
+    return f"{os.path.abspath(path)}:{st.st_mtime}:{st.st_size}:{fp}:{ALGO_VERSION}"

@@ -36,7 +36,9 @@ def _track_first(
     for pdf in pdfs:
         if not len(pdf):
             continue
-        batch_min = int(pdf["event_id"].min())
+        # .values.min(): numpy path, ~5x cheaper than Series.min -- this
+        # body runs once per (user, event_type) group per micro-batch
+        batch_min = int(pdf["event_id"].values.min())
         first_id = batch_min if first_id is None else min(first_id, batch_min)
         n += len(pdf)
     state.update((first_id, n))
@@ -67,7 +69,11 @@ def first_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_first_event_once(spark: SparkSession, sf_dir: str, name: str = "t_first") -> DataFrame:
     from .windows import drain_conf
 
-    with drain_conf(spark):
+    # unlike the windowed-agg drains (state-store overhead => few
+    # partitions), this drain's cost is per-GROUP Python work in
+    # applyInPandasWithState, so it wants one state partition per core
+    # (measured 3.8s -> ~2s at sf0.1 going 8 -> defaultParallelism)
+    with drain_conf(spark, partitions=spark.sparkContext.defaultParallelism):
         q = (
             first_event_stream(spark, sf_dir)
             .writeStream.format("memory")

@@ -42,10 +42,14 @@ DRAIN_SHUFFLE_PARTITIONS = 8
 
 
 @contextmanager
-def drain_conf(spark: SparkSession):
+def drain_conf(spark: SparkSession, partitions: int = DRAIN_SHUFFLE_PARTITIONS):
+    """Scope shuffle partitions to a stream drain. Windowed-agg drains
+    want FEW partitions (state-store setup/commit dominates); the
+    applyInPandasWithState drain wants MANY (per-group Python overhead
+    dominates, so parallelism wins) -- callers pick."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    spark.conf.set(key, str(DRAIN_SHUFFLE_PARTITIONS))
+    spark.conf.set(key, str(partitions))
     try:
         yield
     finally:
