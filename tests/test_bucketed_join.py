@@ -52,3 +52,31 @@ def test_bucketed_join_correct(warehouse, spark, sf_dir):
         .count()
     )
     assert n_bucketed == n_plain
+
+
+def test_bucketed_point_lookup_prunes_buckets(spark, sf_dir):
+    """The CRUD-at-scale guard path: an equality lookup on the key-bucketed
+    entity table scans ONE bucket, not the table (SCALE.md "CRUD at
+    scale"; EntityStore guards at fixture scale are full filter-collects,
+    this is their production layout)."""
+    from vector_db_from_scratch_spark.operators.entity import (
+        bucketed_documents_table,
+        bucketed_point_lookup,
+    )
+
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(auto_key)
+    try:
+        # the planner falls back to a plain scan when no join/agg wants the
+        # bucketing; a lookup service pins this off so equality guards
+        # get bucket pruning (SelectedBucketsCount) instead of full scans
+        spark.conf.set(auto_key, "false")
+        bucketed_documents_table(spark, sf_dir, buckets=8, table="docs_b_test")
+        looked = bucketed_point_lookup(spark, 17, table="docs_b_test")
+        plan = plan_string(looked)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        rows = looked.collect()
+        assert [r["doc_id"] for r in rows] == [17]
+    finally:
+        spark.conf.set(auto_key, old)
+        spark.sql("DROP TABLE IF EXISTS docs_b_test")

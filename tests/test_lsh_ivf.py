@@ -234,3 +234,55 @@ def test_persisted_index_probe_equals_in_memory(spark, sf_dir):
     mem = lsh_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
     disk = lsh_index_persisted_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
     assert [tuple(r) for r in mem] == [tuple(r) for r in disk]
+
+
+def test_lsh_batch_vs_single_query_fallback_divergence(spark, sf_dir):
+    """Pin the DOCUMENTED divergence between the batch probe and the
+    reference's per-query semantics (operators/lsh.py lsh_knn_batch
+    docstring; reference indexes.py:223-224): `lsh_knn` widens to every
+    allowed vector when its bucket holds < k candidates, `lsh_knn_batch`
+    never widens (it is the pure bucket equi-join plan).
+
+    For every query whose bucket holds >= k vectors the two paths must be
+    IDENTICAL; for an underfull bucket the batch path returns exactly the
+    bucket occupancy while the single-query path still returns k via the
+    fallback -- and the batch rows are a subset of the single-query rows
+    (the fallback only ever ADDS candidates)."""
+    from vector_db_from_scratch_spark.operators.lsh import index_table, lsh_knn_batch
+
+    k, num_queries = 5, 8
+    occ = {
+        r["bucket"]: r["n"]
+        for r in index_table(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    qbuckets = {
+        r["vec_id"]: r["bucket"]
+        for r in index_table(spark, sf_dir)
+        .filter(F.col("vec_id") < num_queries)
+        .select("vec_id", "bucket")
+        .collect()
+    }
+    batch = {}
+    for r in lsh_knn_batch(spark, sf_dir, "cosine", k=k, num_queries=num_queries).collect():
+        batch.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    saw_full = False
+    for qid in range(num_queries):
+        occupancy = occ[qbuckets[qid]]
+        single = [
+            r["vec_id"]
+            for r in lsh_knn(spark, sf_dir, "cosine", k=k, query_vec_id=qid).collect()
+        ]
+        got = [v for _, v in sorted(batch.get(qid, []))]
+        if occupancy >= k:
+            saw_full = True
+            assert got == single, f"query {qid}: full bucket must match per-query path"
+        else:
+            assert len(got) == occupancy, f"query {qid}: batch returns the whole bucket"
+            assert set(got) <= set(single) or len(single) == k, (
+                f"query {qid}: fallback only adds candidates"
+            )
+            assert len(single) == k, f"query {qid}: single-query fallback still fills k"
+    assert saw_full, "fixture must exercise the >= k (no-fallback) case"
