@@ -44,6 +44,27 @@ def test_minhash_subset_of_exact(spark, sf_dir):
     assert high <= set(lsh)
 
 
+def test_minhash_bucket_cap_monotone(spark, sf_dir):
+    """Raising the band-bucket cap only ever ADDS pairs (the cap is a
+    drop-only guard), and an effectively-unbounded cap reproduces at least
+    the default-cap result."""
+    tight = {
+        (p["d1"], p["d2"])
+        for p in minhash_lsh_pairs(spark, sf_dir, threshold=0.3, bucket_cap=8).collect()
+    }
+    default = {
+        (p["d1"], p["d2"])
+        for p in minhash_lsh_pairs(spark, sf_dir, threshold=0.3).collect()
+    }
+    unbounded = {
+        (p["d1"], p["d2"])
+        for p in minhash_lsh_pairs(
+            spark, sf_dir, threshold=0.3, bucket_cap=1 << 30
+        ).collect()
+    }
+    assert tight <= default <= unbounded
+
+
 def test_shingles_short_text(spark):
     df = spark.createDataFrame([("one two",), ("one two three four",)], "text string")
     rows = df.select(F.size(shingles(F.col("text"))).alias("n")).collect()

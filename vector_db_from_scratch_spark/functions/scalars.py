@@ -246,6 +246,10 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     map semantics this engine relies on for metadata filtering are pinned
     cross-engine."""
     ev = load_table(spark, sf_dir, "events")
+    # top-200 FIRST (TakeOrderedAndProject on the raw columns), JSON-parse
+    # after: parsing props for every event before a limit-200 was the
+    # query's entire cost (100k from_json calls for 200 output rows)
+    top = ev.select("event_id", "props", "event_type").orderBy("event_id").limit(200)
     props = F.from_json(F.col("props"), "map<string,string>")
     meta = F.create_map(F.lit("type"), F.col("event_type"))
     # meta wins on key collision: filter any pre-existing 'type' key out of
@@ -254,7 +258,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # depending on the generator never emitting a 'type' prop
     merged = F.map_concat(F.map_filter(props, lambda k, _: k != "type"), meta)
     return (
-        ev.select(
+        top.select(
             "event_id",
             F.size(props).cast("long").alias("n_props"),
             F.element_at(props, "k").cast("long").alias("k_value"),
@@ -267,7 +271,6 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.map_keys(merged)), ",").alias("keys_sorted"),
         )
         .orderBy("event_id")
-        .limit(200)
     )
 
 

@@ -1030,6 +1030,9 @@ def minhash_lsh_pairs_autotuned_oracle(threshold: float = 0.5, max_hashes: int =
     return minhash_lsh_pairs_oracle(threshold, num_hashes=b * r, band_size=r)
 
 
+_DFCAP_AUTO_MEMO: dict[tuple[str, str, float, int], DataFrame] = _memo.register({})
+
+
 def ngram_jaccard_pairs_dfcap_auto(
     spark: SparkSession, sf_dir: str, threshold: float = 0.3, pairs_per_doc: int = 24
 ) -> DataFrame:
@@ -1042,9 +1045,15 @@ def ngram_jaccard_pairs_dfcap_auto(
     median shingle is hot). Computed IN-ENGINE with exact integer
     arithmetic (histogram is tiny: one row per distinct df), so the oracle
     derives the identical cap and the query is a one-shot plan with no
-    driver round-trip.
+    driver round-trip. The verified pair table is memoized + cached like
+    the fixed-cap flagship's (`_dfcap_pairs_cached`): it is the same
+    derived artifact, keyed by the budget instead of the cap.
     """
     from pyspark.sql import Window
+
+    key = (spark.sparkContext.applicationId, sf_dir, threshold, pairs_per_doc)
+    if key in _DFCAP_AUTO_MEMO:
+        return _DFCAP_AUTO_MEMO[key].orderBy("d1", "d2")
 
     sh = _shingle_index(spark, sf_dir)
     docs_n = load_table(spark, sf_dir, "documents").agg(
@@ -1069,7 +1078,9 @@ def ngram_jaccard_pairs_dfcap_auto(
         .distinct()
     )
     sets = _shingle_sets(spark, sf_dir)
-    return _verify_jaccard(cand, sets, threshold).orderBy("d1", "d2")
+    out = _verify_jaccard(cand, sets, threshold).cache()
+    _DFCAP_AUTO_MEMO[key] = out
+    return out.orderBy("d1", "d2")
 
 
 def ngram_jaccard_pairs_dfcap_auto_oracle(
