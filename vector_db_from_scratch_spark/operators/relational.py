@@ -37,16 +37,21 @@ MICRO = 1_000_000  # all numeric inputs here have <= 6 decimal places
 
 
 def _micros(c: Column) -> Column:
-    """Exact decimal sum scaled to an integral micro-unit BIGINT.
+    """Exact-integer micro-unit sum: round each value to an integral
+    micro-unit BIGINT first, then sum longs.
 
-    Why this dance: a plain double SUM is order-dependent; a decimal SUM is
-    exact but DuckDB's int128-decimal -> double cast is not correctly
-    rounded (1-ulp divergences vs Spark's BigDecimal path). An integral
-    BIGINT, however, converts to double identically in both engines, and a
-    subsequent IEEE division by the same literal yields bit-identical
-    doubles at any magnitude.
-    """
-    return (F.sum(c.cast(DEC)) * F.lit(MICRO)).cast("long")
+    Why this dance: a plain double SUM is order-dependent; the previous
+    per-row decimal(25,6) cast was exact but decimal128 aggregation
+    buffers measure ~2.5x slower than long sums (and DuckDB's
+    int128-decimal -> double cast is not correctly rounded -- 1-ulp
+    divergences vs Spark's BigDecimal path). Per-row rounding happens on
+    IDENTICAL doubles with the same half-away-from-zero rule in both
+    engines (Spark F.round HALF_UP == DuckDB round()), so the long sums
+    match bit-for-bit, integral BIGINTs convert to double identically,
+    and the final IEEE division by the same literal is exact at any
+    magnitude. Long sums also survive any aggregation buffer (window,
+    streaming state) without a decimal slow path."""
+    return F.sum(F.round(c * F.lit(float(MICRO)), 0).cast("long"))
 
 
 def dsum(c: Column) -> Column:
@@ -69,15 +74,17 @@ ORACLE_DEC = f"DECIMAL(25,6)"
 
 
 def osum(expr: str) -> str:
+    # mirrors _micros exactly: per-row round to micro-units (DuckDB round
+    # == half away from zero == Spark HALF_UP), long sum, IEEE divide
     return (
-        f"((sum(({expr})::{ORACLE_DEC}) * {MICRO})::BIGINT::DOUBLE"
+        f"(sum(round(({expr}) * {MICRO}.0)::BIGINT)::DOUBLE"
         f" / {MICRO}.0 + 0.0)"
     )
 
 
 def oavg(expr: str) -> str:
     return (
-        f"(((sum(({expr})::{ORACLE_DEC}) * {MICRO})::BIGINT::DOUBLE"
+        f"((sum(round(({expr}) * {MICRO}.0)::BIGINT)::DOUBLE"
         f" / {MICRO}.0) / count(*) + 0.0)"
     )
 

@@ -8,9 +8,9 @@ still optimize around them:
 
   - salted_aggregate: key -> (key, salt) two-stage aggregation. Stage 1
     spreads each hot key over S partial aggregates; stage 2 combines S rows
-    per key. Exactness is preserved by accumulating in decimal (micro-unit
-    pattern): decimal addition is associative, so the two-stage sum is
-    bit-identical to the one-stage sum.
+    per key. Exactness is preserved by accumulating integral micro-unit
+    longs (relational._micros pattern): integer addition is associative,
+    so the two-stage sum is bit-identical to the one-stage sum.
   - salted_join: the big side gets a deterministic salt in [0, S); the
     small side is replicated S times; the join key becomes (key, salt) --
     every hot key's rows spread over S tasks.
@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.relational import DEC, MICRO, osum
+from ..operators.relational import MICRO, osum
 from ..sources.tables import load_table
 
 NUM_SALTS = 8
@@ -42,18 +42,20 @@ def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation of a (deliberately low-cardinality,
     skew-prone) key. Result is bit-identical to the direct groupBy."""
     ev = load_table(spark, sf_dir, "events")
+    # partials carry integral micro-unit longs (same per-row rounding as
+    # relational._micros, so two-stage == one-stage == oracle exactly)
     stage1 = (
         ev.withColumn("salt", _salt(F.col("event_id")))
         .groupBy("event_type", "salt")
         .agg(
-            F.sum(F.col("value").cast(DEC)).alias("pvalue"),
+            F.sum(F.round(F.col("value") * F.lit(float(MICRO)), 0).cast("long")).alias("pmicros"),
             F.count(F.lit(1)).alias("pn"),
         )
     )
     return (
         stage1.groupBy("event_type")
         .agg(
-            ((F.sum("pvalue") * F.lit(MICRO)).cast("long").cast("double") / F.lit(float(MICRO)))
+            (F.sum("pmicros").cast("double") / F.lit(float(MICRO)))
             .alias("total_value"),
             F.sum("pn").alias("n_events"),
         )
@@ -89,7 +91,7 @@ def salted_weighted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("event_type")
         .agg(
-            ((F.sum(weighted.cast(DEC)) * F.lit(MICRO)).cast("long").cast("double")
+            (F.sum(F.round(weighted * F.lit(float(MICRO)), 0).cast("long")).cast("double")
              / F.lit(float(MICRO)) + F.lit(0.0)).alias("weighted_value"),
             F.count(F.lit(1)).alias("n_events"),
         )

@@ -26,7 +26,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.relational import MICRO, ORACLE_DEC, dsum, osum
+from ..operators.relational import MICRO, dsum, osum
 from ..sources.tables import load_table
 
 GAP = "5 minutes"
