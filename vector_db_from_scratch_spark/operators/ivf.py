@@ -564,20 +564,25 @@ LIMIT {k}
 # --------------------------------------------------------------------------
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .relational import DEC, MICRO
+    from .relational import MICRO
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # per-element micro-unit longs (relational._micros discipline): each
+    # float quantizes to 6dp identically in both engines, long sums are
+    # order-independent, and the aggregation buffer stays integer
     el = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("p0", "val")
     ).select(
         "label",
         (F.col("p0") + 1).cast("long").alias("pos"),
-        F.col("val").cast("double").cast(DEC).alias("v"),
+        F.round(F.col("val").cast("double") * F.lit(float(MICRO)), 0)
+        .cast("long")
+        .alias("v"),
     )
     return (
         el.groupBy("label", "pos")
         .agg(
-            ((F.sum("v") * MICRO).cast("long").cast("double") / F.lit(float(MICRO))
+            (F.sum("v").cast("double") / F.lit(float(MICRO))
              / F.count(F.lit(1)).cast("double")).alias("c")
         )
         .orderBy("label", "pos")
@@ -585,11 +590,11 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def label_centroids_oracle() -> str:
-    from .relational import MICRO, ORACLE_DEC
+    from .relational import MICRO
 
     return f"""
 SELECT label, i AS pos,
-       ((sum(embedding[i]::DOUBLE::{ORACLE_DEC}) * {MICRO})::BIGINT::DOUBLE
+       (sum(round(embedding[i]::DOUBLE * {MICRO}.0)::BIGINT)::DOUBLE
         / {MICRO}.0 / count(*)::DOUBLE) AS c
 FROM embeddings CROSS JOIN range(1, 65) t(i)
 GROUP BY label, i
@@ -787,7 +792,7 @@ def ivf_index_persisted_knn(
 def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(label, n_a, n_b, drift): cosine distance between the two halves'
     centroids per label."""
-    from .relational import DEC, MICRO
+    from .relational import MICRO
 
     emb = load_table(spark, sf_dir, "embeddings")
     el = emb.select(
@@ -798,12 +803,14 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "half",
         (F.col("p0") + 1).cast("long").alias("pos"),
-        F.col("val").cast("double").cast(DEC).alias("v"),
+        F.round(F.col("val").cast("double") * F.lit(float(MICRO)), 0)
+        .cast("long")
+        .alias("v"),
     )
     cent = el.groupBy("label", "half", "pos").agg(
         (
             F.round(
-                (F.sum("v") * MICRO).cast("long").cast("double") / F.lit(float(MICRO))
+                F.sum("v").cast("double") / F.lit(float(MICRO))
                 / F.count(F.lit(1)).cast("double"),
                 6,
             )
@@ -839,17 +846,17 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_drift_oracle() -> str:
-    from .relational import MICRO, ORACLE_DEC
+    from .relational import MICRO
 
     d = oracle_distance_sql("cosine", "a.va", "b.vb")
     return f"""
 WITH el AS (
   SELECT label, (vec_id % 2)::INT AS half, i AS pos,
-         embedding[i]::DOUBLE::{ORACLE_DEC} AS v
+         round(embedding[i]::DOUBLE * {MICRO}.0)::BIGINT AS v
   FROM embeddings CROSS JOIN range(1, 65) t(i)),
 cent AS (
   SELECT label, half, pos,
-         round((sum(v) * {MICRO})::BIGINT::DOUBLE / {MICRO}.0
+         round(sum(v)::DOUBLE / {MICRO}.0
                / count(*)::DOUBLE, 6) + 0.0 AS c
   FROM el GROUP BY label, half, pos),
 vecs AS (

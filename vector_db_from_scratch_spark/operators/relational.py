@@ -236,19 +236,16 @@ WHERE rn <= {n}
 
 
 def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative sum window frame (decimal accumulation for determinism)."""
+    """Cumulative sum window frame (integral micro-unit accumulation for
+    determinism -- same per-row rounding contract as :func:`_micros`)."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = (
-        (F.sum(F.col("o_totalprice").cast(DEC)).over(w) * F.lit(MICRO))
-        .cast("long")
-        .cast("double")
-        / F.lit(float(MICRO))
-    )
+    micros = F.round(F.col("o_totalprice") * F.lit(float(MICRO)), 0).cast("long")
+    running = F.sum(micros).over(w).cast("double") / F.lit(float(MICRO))
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -259,10 +256,10 @@ def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def running_revenue_per_customer_oracle() -> str:
     return f"""
 SELECT o_custkey, o_orderkey,
-       (((sum(o_totalprice::{ORACLE_DEC}) OVER (
+       (sum(round(o_totalprice * {MICRO}.0)::BIGINT) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         ) * {MICRO})::BIGINT::DOUBLE / {MICRO}.0 + 0.0) AS running_total
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::DOUBLE / {MICRO}.0 + 0.0) AS running_total
 FROM orders
 """.strip()
 
@@ -1137,7 +1134,8 @@ def top_supplier(
 
 
 def top_supplier_oracle(date_from: str = "1996-01-01", date_to: str = "1996-04-01") -> str:
-    micro = f"(sum((l_extendedprice * (1.0 - l_discount))::{ORACLE_DEC}) * {MICRO})::BIGINT"
+    # same per-row micro-unit rounding as _micros (the Spark side's rev_micro)
+    micro = f"sum(round((l_extendedprice * (1.0 - l_discount)) * {MICRO}.0)::BIGINT)"
     return f"""
 WITH rev AS (
   SELECT l_suppkey, {micro} AS rev_micro
@@ -1258,11 +1256,12 @@ def market_share(
 def market_share_oracle(
     target_nation: str = "NATION_7", region: str = "EUROPE", p_type: str = "ECONOMY"
 ) -> str:
+    # mirrors _micros: per-row round to micro-units, long sum
     num = (
-        f"(sum((CASE WHEN supp_nation = '{target_nation}' THEN volume ELSE 0.0 END)"
-        f"::{ORACLE_DEC}) * {MICRO})::BIGINT"
+        f"sum(round((CASE WHEN supp_nation = '{target_nation}' THEN volume ELSE 0.0 END)"
+        f" * {MICRO}.0)::BIGINT)"
     )
-    den = f"(sum(volume::{ORACLE_DEC}) * {MICRO})::BIGINT"
+    den = f"sum(round(volume * {MICRO}.0)::BIGINT)"
     return f"""
 WITH base AS (
   SELECT year(o_orderdate) AS o_year,
@@ -1311,10 +1310,10 @@ def promo_revenue(
 
 def promo_revenue_oracle(date_from: str = "1995-09-01", date_to: str = "1995-10-01") -> str:
     num = (
-        f"(sum((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount)"
-        f" ELSE 0.0 END)::{ORACLE_DEC}) * {MICRO})::BIGINT"
+        f"sum(round((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount)"
+        f" ELSE 0.0 END) * {MICRO}.0)::BIGINT)"
     )
-    den = f"(sum((l_extendedprice * (1.0 - l_discount))::{ORACLE_DEC}) * {MICRO})::BIGINT"
+    den = f"sum(round((l_extendedprice * (1.0 - l_discount)) * {MICRO}.0)::BIGINT)"
     return f"""
 SELECT (100.0 * {num}::DOUBLE / {den}::DOUBLE + 0.0) AS promo_share
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1354,7 +1353,7 @@ def small_quantity_revenue(
 
 
 def small_quantity_revenue_oracle(brand: str = "Brand#13", p_type: str = "SMALL") -> str:
-    micro = f"(sum(l_extendedprice::{ORACLE_DEC}) * {MICRO})::BIGINT"
+    micro = f"sum(round(l_extendedprice * {MICRO}.0)::BIGINT)"
     return f"""
 WITH li_b AS (
   SELECT l_partkey, l_quantity, l_extendedprice
@@ -1698,9 +1697,9 @@ ORDER BY user_id
 
 # --------------------------------------------------------------------------
 # ROWS-frame moving aggregate: trailing-4-orders mean per customer. The
-# frame SUM uses the micro-unit decimal discipline (exact at any frame
+# frame SUM accumulates integral micro-unit longs (exact at any frame
 # ordering -- engines disagree on float summation order inside window
-# frames, decimal does not care), then one double division. Completes the
+# frames, integer sums do not care), then one double division. Completes the
 # frame-clause matrix next to the RANGE interval frame
 # (window_trailing_1h) and the unbounded running frame
 # (window_running_revenue).
@@ -1715,7 +1714,9 @@ def trailing_orders_avg(spark: SparkSession, sf_dir: str, frame: int = 3) -> Dat
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-frame, 0)
     )
-    micro = (F.sum(F.col("o_totalprice").cast(DEC)).over(w) * F.lit(MICRO)).cast("long")
+    micro = F.sum(
+        F.round(F.col("o_totalprice") * F.lit(float(MICRO)), 0).cast("long")
+    ).over(w)
     n = F.count(F.lit(1)).over(w).cast("double")
     avg = normalize_float(
         (micro.cast("double") / F.lit(float(MICRO))) / n, round_to=None
@@ -1737,7 +1738,7 @@ def trailing_orders_avg_oracle(frame: int = 3) -> str:
     )
     return f"""
 SELECT o_custkey, o_orderkey,
-       (((sum(o_totalprice::{ORACLE_DEC}) {win}) * {MICRO})::BIGINT::DOUBLE
+       ((sum(round(o_totalprice * {MICRO}.0)::BIGINT) {win})::DOUBLE
         / {MICRO}.0) / (count(*) {win})::DOUBLE + 0.0 AS trailing_avg
 FROM orders
 ORDER BY o_custkey, o_orderkey
@@ -1793,7 +1794,7 @@ def revenue_pareto_oracle() -> str:
     return f"""
 WITH per_cust AS (
   SELECT o_custkey,
-         (sum(o_totalprice::{ORACLE_DEC}) * {MICRO})::BIGINT AS rev_micro
+         sum(round(o_totalprice * {MICRO}.0)::BIGINT) AS rev_micro
   FROM orders GROUP BY o_custkey),
 total AS (SELECT sum(rev_micro)::BIGINT AS total_micro FROM per_cust),
 ranked AS (
