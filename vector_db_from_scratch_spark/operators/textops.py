@@ -941,3 +941,66 @@ FROM documents
 GROUP BY lang, log2_bucket
 ORDER BY lang, log2_bucket
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing: regex redaction of emails / phone numbers with per-doc
+# audit counts -- a standard pre-training compliance pass. The corpus is
+# synthetic, so each document is augmented with DETERMINISTIC doc_id-derived
+# contact strings inside the query (identically in both engines) before
+# scrubbing; the gate therefore exercises real, non-zero redactions and
+# hash-checks the scrubbed text via md5. Patterns are ASCII-only and valid
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB).
+# --------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_emails, n_phones, scrubbed_len, scrubbed_md5): redact
+    email and phone patterns (email first, then phone) and report the
+    audit trail. At 100 TB this is one narrow projection pass -- no
+    shuffle until a final audit aggregate a caller might add."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL), 0)).cast("long").alias("n_emails"),
+            F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE), 0)).cast("long").alias("n_phones"),
+            F.length(scrubbed).cast("long").alias("scrubbed_len"),
+            F.md5(scrubbed).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pii_scrub_oracle() -> str:
+    aug = (
+        "text || ' contact u' || doc_id::VARCHAR || '@example.com or 555-123-'"
+        " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    )
+    email, phone = PII_EMAIL, PII_PHONE
+    scrub = (
+        f"regexp_replace(regexp_replace({aug}, '{email}', '<EMAIL>', 'g'),"
+        f" '{phone}', '<PHONE>', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all({aug}, '{email}'))::BIGINT AS n_emails,
+       len(regexp_extract_all({aug}, '{phone}'))::BIGINT AS n_phones,
+       length({scrub})::BIGINT AS scrubbed_len,
+       md5({scrub}) AS scrubbed_md5
+FROM documents
+ORDER BY doc_id
+""".strip()

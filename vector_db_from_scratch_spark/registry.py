@@ -411,6 +411,8 @@ def build() -> dict[str, Entry]:
     reg["text_oov_rate"] = (t.oov_rate, t.oov_rate_oracle())
     # character-distribution entropy (encoding/garbage detector)
     reg["text_char_entropy"] = (t.char_entropy, t.char_entropy_oracle())
+    # PII redaction with audit counts (md5-gated scrubbed text)
+    reg["text_pii_scrub"] = (t.pii_scrub, t.pii_scrub_oracle())
     # power-of-two length histogram (chunking/packing parameter report)
     reg["text_length_histogram"] = (t.length_histogram, t.length_histogram_oracle())
 
@@ -632,6 +634,12 @@ def build() -> dict[str, Entry]:
         orcio.multi_format_union_stats_oracle(),
     )
     reg["sink_partition_pruned"] = (csvio.partition_pruned_stats, csvio.partition_pruned_stats_oracle())
+    # additive schema evolution: mergeSchema read over two shard generations
+    from .sources import evolution
+    reg["source_schema_evolution"] = (
+        evolution.schema_evolution_stats,
+        evolution.schema_evolution_stats_oracle(),
+    )
 
     # --- event-sequence analytics (funnel, islands, stream-dedup twin) ---
     reg["funnel_view_click_purchase"] = (analytics.funnel_conversion, analytics.funnel_conversion_oracle())
