@@ -37,8 +37,11 @@ GAP = "5 minutes"
 # small value for the drain cuts the fixed overhead without changing any
 # result (same rows, fewer state partitions). On a real cluster the
 # streaming job picks its own shuffle-partition setting at deploy time --
-# this mirrors that, scoped to the drain.
-DRAIN_SHUFFLE_PARTITIONS = 8
+# this mirrors that, scoped to the drain. Measured at sf0.1: the windowed
+# drains run 8 -> 4 -> 2 partitions at 1.45s -> 0.98s -> 0.80s and the
+# two-sided interval join at 2.66s -> 2.04s -> 1.93s; 4 keeps a margin of
+# parallelism for only ~0.15s over the floor.
+DRAIN_SHUFFLE_PARTITIONS = 4
 
 
 @contextmanager
