@@ -567,6 +567,9 @@ def load_store(spark: SparkSession, path: str, fmt: str = "parquet") -> EntitySt
     )
 
 
+_DRIVER_STORE_MEMO: dict[tuple, EntityStore] = _memo.register({})
+
+
 def store_from_driver_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -579,8 +582,20 @@ def store_from_driver_tables(
     (vec_id == doc_id) becomes its single chunk. Proves the entity surface
     runs at data scale, not just on the unit fixtures. ``index_kind``
     applies to every library (flat | random_projection), selecting which
-    search dispatch (Q2 exact scan vs Q3 bucket probe) the store runs."""
+    search dispatch (Q2 exact scan vs Q3 bucket probe) the store runs.
+
+    Memoized with a cached chunks table per configuration: every search
+    through this surface runs >=2 jobs (the <k fallback count + the probe)
+    over the documents x embeddings join, which dominated the warm cost --
+    in production the chunk table is the materialized asset."""
     from ..sources.tables import load_table
+
+    memo_key = (
+        spark.sparkContext.applicationId, sf_dir, index_kind,
+        num_projections, random_state,
+    )
+    if memo_key in _DRIVER_STORE_MEMO:
+        return _DRIVER_STORE_MEMO[memo_key]
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -615,7 +630,16 @@ def store_from_driver_tables(
             F.lit(0).alias("chunk_index"),
         )
     )
-    return EntityStore(libraries=libraries, documents=documents, chunks=chunks)
+    # all three cached: the _library guard collects over libraries (a
+    # distinct over the full docs scan) and search touches documents and
+    # chunks in separate jobs -- each was a fresh scan per call
+    store = EntityStore(
+        libraries=libraries.cache(),
+        documents=documents.cache(),
+        chunks=chunks.cache(),
+    )
+    _DRIVER_STORE_MEMO[memo_key] = store
+    return store
 
 
 # --------------------------------------------------------------------------
