@@ -100,3 +100,35 @@ def test_ivfpq_recall_and_selfhit(spark, sf_dir):
     recall = hits / (n_q * k)
     print(f"ivfpq recall@10 = {recall:.2f}")
     assert recall >= 0.4
+
+
+def test_invalid_persisted_codebook_is_repaired(spark, sf_dir, tmp_path, monkeypatch):
+    """A row-count-invalid codebook artifact behind a _SUCCESS marker must
+    be deleted and rewritten, not skipped-on-save and retrained forever
+    (round-4 advisory: _load returned None but _save saw _SUCCESS)."""
+    import os
+
+    from vector_db_from_scratch_spark.operators import _memo, pq
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
+    _memo.clear()
+    try:
+        books = pq.train_codebooks(spark, sf_dir)
+        path = os.path.join(pq.pq_artifact_path(sf_dir, pq.M_SUBSPACES,
+                                                pq.KS_CODES, pq.LLOYD_ITERS),
+                            "codebooks")
+        assert os.path.exists(os.path.join(path, "_SUCCESS"))
+        # corrupt: drop all parquet parts but keep _SUCCESS (row count 0 != m*ks)
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(path, f))
+        _memo.clear()
+        reloaded = pq.train_codebooks(spark, sf_dir)
+        assert (reloaded == books).all(), "retrained codebooks must be identical"
+        # the repaired artifact is back on disk and loadable
+        _memo.clear()
+        again = pq._load_persisted_codebooks(spark, sf_dir, pq.M_SUBSPACES,
+                                             pq.KS_CODES, pq.LLOYD_ITERS)
+        assert again is not None and (again == books).all()
+    finally:
+        _memo.clear()

@@ -242,7 +242,10 @@ def _load_persisted_centroids(
     path = os.path.join(trained_artifact_path(sf_dir, n_cells, iterations), "centroids")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         return None
-    rows = spark.read.parquet(path).orderBy("cell").collect()
+    try:
+        rows = spark.read.parquet(path).orderBy("cell").collect()
+    except Exception:
+        rows = []  # unreadable (e.g. parts deleted behind _SUCCESS) == invalid
     if len(rows) != n_cells:
         # invalid artifact (e.g. interrupted writer): delete so the save
         # path can rewrite it -- otherwise _SUCCESS makes every future

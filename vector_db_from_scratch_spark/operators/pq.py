@@ -145,7 +145,10 @@ def _load_persisted_codebooks(
     path = os.path.join(pq_artifact_path(sf_dir, m, ks, iters), "codebooks")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         return None
-    rows = spark.read.parquet(path).orderBy("mi", "code").collect()
+    try:
+        rows = spark.read.parquet(path).orderBy("mi", "code").collect()
+    except Exception:
+        rows = []  # unreadable (e.g. parts deleted behind _SUCCESS) == invalid
     if len(rows) != m * ks:
         import shutil
 
