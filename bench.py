@@ -161,21 +161,35 @@ def main() -> None:
     scale_ratio: dict[str, float] = {}
     scale_detail: dict[str, list[float]] = {}
     try:
+        from vector_db_from_scratch_spark.operators import _memo
+
         scaled = scale_gen.scale_dir(sf_dir, SCALE_K)
-        for name in SCALE_QUERIES:
-            fn = all_queries[name]
-            # both sides measured back-to-back (min of 2 warm samples each):
-            # the mid-suite warm[] numbers carry GC/congestion noise that
-            # swamps sub-second queries and makes ratios meaningless
-            sides = []
-            for d in (sf_dir, scaled):
+        # SYMMETRIC measurement protocol: each side starts from a clean
+        # cache (memo registry + Spark block cache dropped), then runs the
+        # query list twice and keeps the min -- the first pass builds that
+        # side's derived artifacts (shingle index, signatures, LSH index),
+        # the second measures the warm query with its artifacts resident.
+        # Without this, the 1x side rode the main suite's warm caches while
+        # the 10x side built cold under ~190 queries of accumulated cache
+        # pressure (eviction + GC), inflating ratios ~4x (rounds 3-4
+        # recorded 14x for dedup_minhash_lsh; clean warm/warm measures
+        # 2.7x on ~980x more emitted pairs).
+        per_side: list[dict[str, float]] = []
+        for d in (sf_dir, scaled):
+            _memo.clear()
+            spark.catalog.clearCache()
+            side: dict[str, float] = {}
+            for name in SCALE_QUERIES:
+                fn = all_queries[name]
                 samples = []
                 for _ in range(2):
                     t1 = time.perf_counter()
                     fn(spark, d).write.format("noop").mode("overwrite").save()
                     samples.append(time.perf_counter() - t1)
-                sides.append(min(samples))
-            t1x, t10 = sides
+                side[name] = min(samples)
+            per_side.append(side)
+        for name in SCALE_QUERIES:
+            t1x, t10 = per_side[0][name], per_side[1][name]
             scale_detail[name] = [round(t1x, 3), round(t10, 3)]
             scale_ratio[name] = round(t10 / t1x, 1) if t1x else float("nan")
     except Exception as e:  # the scale section must never sink the bench
