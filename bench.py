@@ -152,6 +152,11 @@ def main() -> None:
         # round-4 scale fixes under measurement: df-capped Jaccard flagship
         # and the df-capped incremental-ingest classifier
         "dedup_ngram_jaccard", "dedup_incremental_ingest",
+        # relational / window / streaming legs (scale_gen also replicates
+        # lineitem + events with shifted ids)
+        "tpch_pricing_summary", "window_tumbling_events",
+        "stream_tumbling_drained", "funnel_view_click_purchase",
+        "skew_salted_agg",
     ]
     # Reading the dedup_minhash_lsh ratio: the 10x corpus replicates every
     # base doc 10x with a suffix tweak, so each doc's copies are MUTUAL

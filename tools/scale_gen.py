@@ -30,6 +30,7 @@ import sys
 import tempfile
 
 SEED = 20260814
+GEN = 2  # bump when the set of scaled tables or their derivation changes
 
 
 def _target_dir(sf_dir: str, k: int) -> str:
@@ -44,7 +45,7 @@ def _target_dir(sf_dir: str, k: int) -> str:
             fh.seek(max(0, st.st_size - 65536))
             fp = hashlib.md5(fh.read()).hexdigest()[:12]
         ident.append(f"{os.path.abspath(p)}:{st.st_mtime}:{st.st_size}:{fp}")
-    tag = hashlib.md5(f"{':'.join(ident)}:{k}:{SEED}".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{':'.join(ident)}:{k}:{SEED}:{GEN}".encode()).hexdigest()[:12]
     root = os.environ.get(
         "SPARK_GRAFT_ARTIFACT_DIR",
         os.path.join(tempfile.gettempdir(), "spark-graft-artifacts"),
@@ -112,6 +113,36 @@ def scale_dir(sf_dir: str, k: int = 10) -> str:
         f"CREATE VIEW d AS SELECT * FROM '{sf_dir}/documents.parquet';"
         f"COPY ({docs_sql}) TO '{tmp}/documents.parquet' (FORMAT PARQUET);"
     )
+
+    # events + lineitem: replicate K times with id columns shifted past the
+    # base maxima -- per-user event structure and per-order line structure
+    # are preserved (no hot keys invented), the event-time range is
+    # unchanged (windows gain K x rows, not K x windows). This extends the
+    # scale proof-point to the relational/window/streaming families.
+    import os as _os
+    if _os.path.exists(f"{sf_dir}/events.parquet"):
+        ev_sql = " UNION ALL ".join(
+            f"SELECT * REPLACE ("
+            f"event_id + {copy} * (SELECT max(event_id) + 1 FROM ev) AS event_id, "
+            f"user_id + {copy} * (SELECT max(user_id) + 1 FROM ev) AS user_id"
+            f") FROM ev"
+            for copy in range(k)
+        )
+        con.execute(
+            f"CREATE VIEW ev AS SELECT * FROM '{sf_dir}/events.parquet';"
+            f"COPY ({ev_sql}) TO '{tmp}/events.parquet' (FORMAT PARQUET);"
+        )
+    if _os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        li_sql = " UNION ALL ".join(
+            f"SELECT * REPLACE ("
+            f"l_orderkey + {copy} * (SELECT max(l_orderkey) + 1 FROM li) AS l_orderkey"
+            f") FROM li"
+            for copy in range(k)
+        )
+        con.execute(
+            f"CREATE VIEW li AS SELECT * FROM '{sf_dir}/lineitem.parquet';"
+            f"COPY ({li_sql}) TO '{tmp}/lineitem.parquet' (FORMAT PARQUET);"
+        )
     con.close()
 
     open(os.path.join(tmp, "_DONE"), "w").close()
