@@ -178,3 +178,38 @@ def test_connected_components_match_union_find(spark, raw_pairs):
         comp.setdefault(find(n), []).append(n)
     want = {n: min(members) for members in comp.values() for n in members}
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_star_components_match_propagation(spark, raw_pairs):
+    """Alternating large-star/small-star == min-label propagation on
+    random graphs (the documented O(log^2 n) upgrade path must be a
+    drop-in: same (node, cluster_rep) contract)."""
+    from vector_db_from_scratch_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs]
+    pdf = spark.createDataFrame(pairs, "d1 long, d2 long")
+    prop = {r["node"]: r["cluster_rep"] for r in connected_components(pdf).collect()}
+    star = {r["node"]: r["cluster_rep"] for r in connected_components_star(pdf).collect()}
+    assert star == prop
+
+
+def test_star_components_long_chain(spark):
+    """A path graph (diameter = n-1, the propagation worst case) collapses
+    to one component labeled by its minimum."""
+    from vector_db_from_scratch_spark.operators.dedup import connected_components_star
+
+    n = 24
+    pdf = spark.createDataFrame([(i, i + 1) for i in range(n)], "d1 long, d2 long")
+    got = {r["node"]: r["cluster_rep"] for r in connected_components_star(pdf).collect()}
+    assert got == {i: 0 for i in range(n + 1)}

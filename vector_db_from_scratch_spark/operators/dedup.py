@@ -1148,9 +1148,10 @@ def neardup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -
     the plan does not grow with iterations. At 100 TB the same loop holds
     (near-dup components are overwhelmingly tiny -- pairs/triples -- so
     diameter is small); for adversarial long-chain graphs the drop-in
-    upgrade is alternating large-star/small-star (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond"), which converges in
-    O(log^2 n) rounds with the same (node, label) dataflow shape.
+    upgrade is :func:`connected_components_star` (alternating
+    large-star/small-star, Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), which converges in O(log^2 n) rounds with the
+    same (node, label) output contract -- equality property-tested.
     """
     pairs = ngram_jaccard_pairs_dfcap(spark, sf_dir, threshold).select("d1", "d2")
     return _clusters_cached(spark, sf_dir, threshold, "jaccard", pairs).select(
@@ -1196,6 +1197,86 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_rep"))
+
+
+def connected_components_star(pairs: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", 2014) -- the
+    O(log^2 n)-round drop-in documented as :func:`connected_components`'s
+    upgrade path for adversarial long-chain graphs, where min-label
+    propagation needs one round per unit of component diameter. Same
+    (node, cluster_rep) output contract; equality with the propagation
+    form is property-tested on random graphs and pinned on a path graph.
+
+    Per round (each a groupBy + join over the current edge list, nothing
+    proportional to component size in one task):
+      large-star: for every node u with m = min(neighbors(u) + {u}),
+                  re-attach every STRICTLY LARGER neighbor to m;
+      small-star: re-attach every neighbor <= u (and u itself) to m.
+    Edges stay canonical (a < b); convergence = the edge set is a fixed
+    point, at which every edge is (component-min, member)."""
+    edges = (
+        pairs.select(
+            F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _adj(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def _mins(adj: DataFrame) -> DataFrame:
+        return adj.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least("_mv", "u").alias("m")
+        )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        adj = _adj(edges)
+        mins = _mins(adj)
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("d1"), F.col("m").alias("d2"))
+        )
+        edges_l = _canon(large).localCheckpoint()
+
+        adj = _adj(edges_l)
+        mins = _mins(adj)
+        small = (
+            adj.join(mins, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("d1"), F.col("m").alias("d2"))
+            .unionAll(
+                mins.select(F.col("u").alias("d1"), F.col("m").alias("d2"))
+            )
+        )
+        new_edges = _canon(small).localCheckpoint()
+
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.subtract(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+
+    # fixed point: every edge is (component_min, member)
+    return (
+        edges.select(F.col("b").alias("node"), F.col("a").alias("cluster_rep"))
+        .unionAll(edges.select(F.col("a").alias("node"), F.col("a").alias("cluster_rep")))
+        .distinct()
+    )
 
 
 def _cluster_tail(id_alias: str = "doc_id") -> str:
