@@ -1199,6 +1199,21 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     return labels.select("node", F.col("label").alias("cluster_rep"))
 
 
+def neardup_clusters_star(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """:func:`neardup_clusters` served by the large-star/small-star
+    backend -- the adversarial-diameter form under the same oracle (the
+    two algorithms provably produce identical (doc_id, cluster_rep)
+    labelings, so the recursive-CTE clustering oracle gates both)."""
+    pairs = ngram_jaccard_pairs_dfcap(spark, sf_dir, threshold).select("d1", "d2")
+    return (
+        connected_components_star(pairs)
+        .select(F.col("node").alias("doc_id"), "cluster_rep")
+        .orderBy("doc_id")
+    )
+
+
 def connected_components_star(pairs: DataFrame, max_rounds: int = 60) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond", 2014) -- the

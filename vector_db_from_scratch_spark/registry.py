@@ -492,6 +492,9 @@ def build() -> dict[str, Entry]:
     reg["dedup_simhash_pairs"] = (d.simhash_banded_pairs, d.simhash_near_pairs_oracle())
     reg["dedup_simhash_banded"] = (d.simhash_banded_pairs, d.simhash_banded_pairs_oracle())
     reg["dedup_cluster_components"] = (d.neardup_clusters, d.neardup_clusters_oracle())
+    # the same clustering served by the O(log^2 n) large-star/small-star
+    # backend, under the SAME oracle (identical labelings by construction)
+    reg["dedup_cluster_star"] = (d.neardup_clusters_star, d.neardup_clusters_oracle())
     reg["dedup_cluster_minhash"] = (d.neardup_clusters_minhash, d.neardup_clusters_minhash_oracle())
     # LSH-bucket-blocked pairs at the label-blocked entry's 0.4 threshold:
     # the label-blocked all-pairs twin (embedding_neardup) is demoted to a
