@@ -697,6 +697,34 @@ def bucketed_documents_table(
     return spark.table(table)
 
 
+_BUCKETED_TABLE_MEMO: dict[tuple[str, str], str] = _memo.register({})
+
+
+def bucketed_point_lookup_query(
+    spark: SparkSession, sf_dir: str, doc_ids: tuple[int, ...] = (3, 17, 41)
+) -> DataFrame:
+    """The CRUD-at-scale guard path under the gate: key-equality lookups
+    against the write-once bucketed+sorted layout (bucket pruning pinned
+    by tests/test_bucketed_join.py). Table built once per (application,
+    sf_dir); the registered query is the read path."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_TABLE_MEMO:
+        table = "documents_bucketed_gate"
+        bucketed_documents_table(spark, sf_dir, buckets=8, table=table)
+        _BUCKETED_TABLE_MEMO[key] = table
+    table = _BUCKETED_TABLE_MEMO[key]
+    return (
+        spark.table(table)
+        .filter(F.col("doc_id").isin(*doc_ids))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def bucketed_point_lookup_query_oracle(doc_ids: tuple[int, ...] = (3, 17, 41)) -> str:
+    return point_lookup_documents_oracle(doc_ids)
+
+
 def bucketed_point_lookup(spark: SparkSession, doc_id: int, table: str = "documents_bucketed") -> DataFrame:
     """Guard-shaped point lookup against the bucketed layout: Spark's
     bucket pruning reduces the scan to the key's single bucket

@@ -241,6 +241,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: entity.point_lookup_documents(spark, sf),
         entity.point_lookup_documents_oracle(),
     )
+    # the same lookup against the write-once bucketed layout (CRUD at
+    # scale: equality guards scan one bucket, SCALE.md)
+    reg["entity_bucketed_lookup"] = (
+        lambda spark, sf: entity.bucketed_point_lookup_query(spark, sf),
+        entity.bucketed_point_lookup_query_oracle(),
+    )
     # ingest-time embedding-shape validation report (F6)
     reg["entity_embedding_validation"] = (
         lambda spark, sf: entity.embedding_validation_stats(spark, sf),
