@@ -113,3 +113,53 @@ def test_funnel_monotone(spark, sf_dir):
     row = funnel_conversion(spark, sf_dir).collect()[0]
     assert row["step1_users"] >= row["step2_users"] >= row["step3_users"] >= 0
     assert row["step1_users"] > 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            # exact-ish 6dp decimals and half-way boundary seeds
+            st.integers(-10**12, 10**12).map(lambda k: k / 1e6),
+            st.integers(-10**9, 10**9).map(lambda k: (2 * k + 1) / 2e6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_collect_micro_values(vals):
+    _MICRO_VALS.extend(vals)
+
+
+_MICRO_VALS: list[float] = []
+
+
+def test_micro_rounding_contract_cross_engine(spark):
+    """The exact-sum pattern rests on one premise: rounding an IDENTICAL
+    double to integral micro-units agrees between Spark's F.round
+    (HALF_UP) and DuckDB's round() (half away from zero) -- including
+    values engineered to land on or near .5 boundaries after the *1e6
+    multiply. A single divergent value would shift a micro-unit sum and
+    hash-mismatch every dsum/osum gate."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vals = _MICRO_VALS or [0.0000005, -0.0000005, 1.0000005, 123.4567895]
+    pdf_rows = [(i, float(v)) for i, v in enumerate(vals)]
+    sdf = spark.createDataFrame(pdf_rows, "i long, x double")
+    got_spark = {
+        r["i"]: r["m"]
+        for r in sdf.select(
+            "i", F.round(F.col("x") * F.lit(1e6), 0).cast("long").alias("m")
+        ).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {}
+    for i, v in pdf_rows:
+        (m,) = con.execute(
+            "SELECT round(? * 1000000.0)::BIGINT", [v]
+        ).fetchone()
+        got_duck[i] = m
+    assert got_spark == got_duck
