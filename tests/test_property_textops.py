@@ -68,3 +68,48 @@ def test_entropy_bounds(spark):
     got = {r["i"]: r["e"] for r in df.select("i", char_entropy_expr("text").alias("e")).collect()}
     assert got[0] == 0.0
     assert abs(got[1] - math.log2(len(ENTROPY_ALPHABET))) < 1e-6
+
+
+def test_pii_regex_cross_dialect_agreement(spark):
+    """text_pii_scrub's gate assumes Java regex (Spark) and RE2 (DuckDB)
+    agree on the email/phone patterns over arbitrary text. Fuzz strings
+    built from a PII-adjacent alphabet (including partial/malformed
+    addresses and numbers) and compare extraction counts AND the scrubbed
+    output of both engines directly."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.operators.textops import PII_EMAIL, PII_PHONE
+
+    rng = random.Random(20260814)
+    tokens = [
+        "a@b.co", "x.y@ex-1.org", "@nope", "no@", "a@b", "a@b.c", "u@@d.com",
+        "555-123-4567", "55-123-4567", "555-123-456", "1555-123-45678",
+        "word", "w.rd-", "%+-", "a_b@c.d.ee", "12.34", "-", ".",
+    ]
+    texts = [
+        " ".join(rng.choice(tokens) for _ in range(rng.randint(0, 14)))
+        for _ in range(120)
+    ]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    scrub = F.regexp_replace(
+        F.regexp_replace("t", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    got = {
+        r["i"]: (r["ne"], r["np"], r["s"])
+        for r in sdf.select(
+            "i",
+            F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), 0)).alias("ne"),
+            F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), 0)).alias("np"),
+            scrub.alias("s"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        ne, np_, s = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)), len(regexp_extract_all(?, ?)),"
+            " regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'), ?, '<PHONE>', 'g')",
+            [t, PII_EMAIL, t, PII_PHONE, t, PII_EMAIL, PII_PHONE],
+        ).fetchone()
+        assert got[i] == (ne, np_, s), (i, t, got[i], (ne, np_, s))
