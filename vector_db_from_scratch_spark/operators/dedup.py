@@ -1122,17 +1122,23 @@ _CLUSTER_MEMO: dict[tuple[str, str, float, str], DataFrame] = _memo.register({})
 
 
 def _clusters_cached(
-    spark: SparkSession, sf_dir: str, threshold: float, kind: str, pairs: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    kind: str,
+    pairs: DataFrame,
+    backend=None,
 ) -> DataFrame:
     """Memoized connected-components labels for a pair graph. The
-    min-label propagation loop runs a full Spark job per round (count()
-    for the convergence check), so re-running it on every call dominated
+    label-propagation/star loops run full Spark jobs per round (count()
+    for the convergence check), so re-running them on every call dominated
     the clustering queries' warm cost; the label table is tiny (one row
     per near-dup doc) and static per (sf_dir, threshold), so cache the
     converged result like the pair table it derives from."""
     key = (spark.sparkContext.applicationId, sf_dir, threshold, kind)
     if key not in _CLUSTER_MEMO:
-        _CLUSTER_MEMO[key] = connected_components(pairs).cache()
+        fn = backend if backend is not None else connected_components
+        _CLUSTER_MEMO[key] = fn(pairs).cache()
     return _CLUSTER_MEMO[key]
 
 
@@ -1208,7 +1214,9 @@ def neardup_clusters_star(
     labelings, so the recursive-CTE clustering oracle gates both)."""
     pairs = ngram_jaccard_pairs_dfcap(spark, sf_dir, threshold).select("d1", "d2")
     return (
-        connected_components_star(pairs)
+        _clusters_cached(
+            spark, sf_dir, threshold, "star", pairs, backend=connected_components_star
+        )
         .select(F.col("node").alias("doc_id"), "cluster_rep")
         .orderBy("doc_id")
     )
