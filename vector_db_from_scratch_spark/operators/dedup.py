@@ -589,6 +589,147 @@ def minhash_lsh_pairs(
     return _verify_jaccard(surv, sets, threshold).orderBy("d1", "d2")
 
 
+def minhash_lsh_pairs_bucketcap_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    pairs_per_doc: int = 24,
+) -> DataFrame:
+    """MinHash banding where the band-bucket cap comes from the bucket-size
+    histogram instead of the fixed ``BUCKET_CAP``: the largest cap whose
+    cumulative within-bucket pair mass sum_{size<=cap} n_buckets(size) *
+    size*(size-1)/2 stays within ``pairs_per_doc * n_docs`` -- the
+    candidate join is BOUNDED LINEAR in corpus size by construction, the
+    same budget discipline as :func:`ngram_jaccard_pairs_dfcap_auto`.
+    Computed in-engine with exact integer arithmetic, so the oracle
+    derives the identical cap. The signature pre-filter and shingle-set
+    verification are unchanged."""
+    sig = _minhash_signature_cached(spark, sf_dir, num_hashes)
+    n_bands = num_hashes // band_size
+    band_keys = [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"m{band * band_size + r}").cast("string")
+                for r in range(band_size)
+            ],
+        )
+        for band in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bkey")
+    )
+    bs = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("bn"))
+    hist = bs.groupBy("bn").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bn").rowsBetween(Window.unboundedPreceding, 0)
+    mass = (F.col("cnt") * F.col("bn") * (F.col("bn") - 1) / F.lit(2)).cast("long")
+    cum = hist.withColumn("cum_pairs", F.sum(mass).over(w))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    cap = (
+        cum.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("cum_pairs") <= F.lit(pairs_per_doc) * F.col("n_docs"))
+        .agg(F.coalesce(F.max("bn"), F.lit(1)).alias("cap"))
+    )
+    kept = (
+        bands.join(bs, ["band", "bkey"])
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("bn") <= F.col("cap"))
+        .select("doc_id", "band", "bkey")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sigarr = sig.select(
+        "doc_id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            "sig1", "sig2", lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    surv = (
+        cand.join(
+            sigarr.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1")), "d1"
+        )
+        .join(
+            sigarr.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2")), "d2"
+        )
+        .filter(matches >= F.lit(_min_matches(threshold, num_hashes)))
+        .select("d1", "d2")
+    )
+    sets = _shingle_sets(spark, sf_dir)
+    return _verify_jaccard(surv, sets, threshold).orderBy("d1", "d2")
+
+
+def minhash_lsh_pairs_bucketcap_auto_oracle(
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    pairs_per_doc: int = 24,
+) -> str:
+    params = minhash_params(num_hashes)
+    mins = ",\n       ".join(
+        f"min(({a} * sh + {b}) % {MERSENNE31}) AS m{j}" for j, (a, b) in enumerate(params)
+    )
+    n_bands = num_hashes // band_size
+    band_selects = []
+    for band in range(n_bands):
+        cols = [f"m{band * band_size + r}" for r in range(band_size)]
+        key = " || ',' || ".join(f"{c}::VARCHAR" for c in cols)
+        band_selects.append(f"SELECT doc_id, {band} AS band, {key} AS bkey FROM sig")
+    bands = "\nUNION ALL\n".join(band_selects)
+    est = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(num_hashes)
+    )
+    return f"""
+WITH {_shingle_index_sql()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+bs AS (SELECT band, bkey, count(*) AS bn FROM bands GROUP BY 1, 2),
+hist AS (SELECT bn, count(*) AS cnt FROM bs GROUP BY bn),
+cum AS (SELECT bn, sum((cnt * bn * (bn - 1) / 2)::BIGINT)
+                  OVER (ORDER BY bn ROWS UNBOUNDED PRECEDING) AS cum_pairs
+        FROM hist),
+cap AS (SELECT coalesce(max(bn), 1) AS cap FROM cum
+        WHERE cum_pairs <= {pairs_per_doc} * (SELECT count(*) FROM documents)),
+kept AS (SELECT b.doc_id, b.band, b.bkey
+         FROM bands b JOIN bs USING (band, bkey), cap
+         WHERE bs.bn <= cap.cap),
+cand0 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+cand AS (SELECT d1, d2 FROM cand0
+         JOIN sig sa ON sa.doc_id = d1
+         JOIN sig sb ON sb.doc_id = d2
+         WHERE {est} >= {_min_matches(threshold, num_hashes)}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT d1, d2, count(*) AS c
+          FROM cand JOIN sh sa ON sa.doc_id = d1
+                    JOIN sh sb ON sb.doc_id = d2 AND sa.sh = sb.sh
+          GROUP BY d1, d2)
+SELECT d1, d2, c::DOUBLE / (s1.n + s2.n - c)::DOUBLE AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE c::DOUBLE / (s1.n + s2.n - c)::DOUBLE >= {threshold}
+ORDER BY d1, d2
+""".strip()
+
+
 def _minhash_pairs_cte(
     threshold: float,
     num_hashes: int,

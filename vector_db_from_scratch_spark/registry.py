@@ -486,6 +486,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: d.minhash_lsh_pairs_autotuned(spark, sf, threshold=0.5),
         d.minhash_lsh_pairs_autotuned_oracle(threshold=0.5),
     )
+    # bucket cap derived from the bucket-size histogram under a linear
+    # per-doc pair budget (the dfcap_auto discipline applied to banding)
+    reg["dedup_minhash_bucketcap_auto"] = (
+        d.minhash_lsh_pairs_bucketcap_auto,
+        d.minhash_lsh_pairs_bucketcap_auto_oracle(),
+    )
     reg["dedup_ngram_jaccard_dfcap_auto"] = (
         d.ngram_jaccard_pairs_dfcap_auto,
         d.ngram_jaccard_pairs_dfcap_auto_oracle(),
