@@ -80,3 +80,35 @@ def test_partition_pruned_stats_plan_prunes(spark, sf_dir):
     assert read_documents_csv(spark, documents_csv_dir(spark, sf_dir)).count() == n
     assert read_documents_jsonl(spark, documents_jsonl_dir(spark, sf_dir)).count() == n
     assert len(PRUNE_LANGS) == 2
+
+
+def test_schema_evolution_merged_read(spark, sf_dir):
+    """mergeSchema read over the two shard generations: the unified schema
+    is the union (late v2 columns surface as NULL for v1 rows), the
+    gen=... directory names surface as a partition column, and no rows are
+    lost across generations."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.sources.evolution import (
+        evolved_documents_dir,
+    )
+
+    import os
+
+    root = evolved_documents_dir(spark, sf_dir)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", root)
+        .parquet(os.path.join(root, "gen=v1"), os.path.join(root, "gen=v2"))
+    )
+    fields = {f.name for f in merged.schema.fields}
+    assert {"doc_id", "lang", "text", "source", "n_chars", "gen"} <= fields
+    n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert merged.count() == n_total
+    v1_nulls = merged.filter(F.col("gen") == "v1").filter(
+        F.col("n_chars").isNotNull()
+    ).count()
+    assert v1_nulls == 0, "v1 shards lack n_chars; merge must NULL-fill"
+    assert merged.filter(
+        (F.col("gen") == "v2") & F.col("n_chars").isNull()
+    ).count() == 0
