@@ -50,7 +50,16 @@ def _micros(c: Column) -> Column:
     match bit-for-bit, integral BIGINTs convert to double identically,
     and the final IEEE division by the same literal is exact at any
     magnitude. Long sums also survive any aggregation buffer (window,
-    streaming state) without a decimal slow path."""
+    streaming state) without a decimal slow path.
+
+    Range bound: the pattern holds while a group's |sum| * 1e6 stays under
+    2^63 (~9.2e12 in value units -- four orders of magnitude above the
+    largest group at bench scale). A Q1-style global group over ~1e12
+    rows at 100 TB WOULD overflow int64 micros; the drop-in there is
+    per-row micros summed as decimal(38,0) -- still integer-exact (no
+    fractional decimal arithmetic, so none of the decimal->double cast
+    divergence this pattern avoids), at decimal-buffer cost only for the
+    queries that need the headroom."""
     return F.sum(F.round(c * F.lit(float(MICRO)), 0).cast("long"))
 
 
