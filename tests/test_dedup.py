@@ -44,6 +44,28 @@ def test_minhash_subset_of_exact(spark, sf_dir):
     assert high <= set(lsh)
 
 
+def test_minhash_bucketcap_auto_sound(spark, sf_dir):
+    """The budget-derived-cap variant still only emits true near-dup pairs
+    (subset of the exact all-pairs graph at the same threshold, identical
+    Jaccard values)."""
+    from vector_db_from_scratch_spark.operators.dedup import (
+        minhash_lsh_pairs_bucketcap_auto,
+    )
+
+    exact = {
+        (p["d1"], p["d2"]): p["jaccard"]
+        for p in ngram_jaccard_pairs(spark, sf_dir, threshold=0.3).collect()
+    }
+    auto = {
+        (p["d1"], p["d2"]): p["jaccard"]
+        for p in minhash_lsh_pairs_bucketcap_auto(spark, sf_dir, threshold=0.3).collect()
+    }
+    assert auto, "budget cap must not erase the planted near-dups at fixture scale"
+    assert set(auto) <= set(exact)
+    for k, v in auto.items():
+        assert v == exact[k]
+
+
 def test_minhash_bucket_cap_monotone(spark, sf_dir):
     """Raising the band-bucket cap only ever ADDS pairs (the cap is a
     drop-only guard), and an effectively-unbounded cap reproduces at least
