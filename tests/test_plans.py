@@ -108,3 +108,29 @@ def test_persisted_lsh_probe_prunes_bucket_partition(spark, sf_dir):
     # the pruned scan carries a bucket equality in its partition filters
     pf = scan.split("PartitionFilters:", 1)[1]
     assert "bucket" in pf
+
+
+def test_minhash_plan_has_no_cartesian_and_broadcast_prefilter(spark, sf_dir):
+    """The round-4 scale guards must stay in the physical plan: no
+    CartesianProduct anywhere (all pair spaces are equi-joins), and the
+    plan's exchange count stays bounded (the r3 plan carried 12)."""
+    from vector_db_from_scratch_spark.operators.dedup import minhash_lsh_pairs
+    from vector_db_from_scratch_spark.plans import count_shuffles, plan_string
+
+    df = minhash_lsh_pairs(spark, sf_dir)
+    assert "CartesianProduct" not in plan_string(df)
+    assert count_shuffles(df) <= 11, count_shuffles(df)
+
+
+def test_dfcap_jaccard_broadcasts_rare_shingles(spark, sf_dir):
+    """The df-capped flagship's candidate generation joins the shingle
+    index against a BROADCAST rare-shingle set (the cap filter must never
+    shuffle the index to apply it), and carries no cartesian product."""
+    from vector_db_from_scratch_spark.operators.dedup import (
+        ngram_jaccard_pairs_dfcap,
+    )
+    from vector_db_from_scratch_spark.plans import plan_string
+
+    plan = plan_string(ngram_jaccard_pairs_dfcap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
