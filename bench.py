@@ -102,11 +102,16 @@ def main() -> None:
     # measurably poison subsequent batch timings in the same JVM (r02:
     # skew_salted_join 0.8s -> 49s when it followed the stateful drain).
     # queries() keeps its gate-facing priority order; only the bench
-    # iteration reorders.
+    # iteration reorders. Within each class the order is SORTED BY NAME so
+    # per-query timings stay comparable across rounds: queries() order now
+    # ROTATES with recorded correctness results, and letting the timing
+    # order follow it re-attributes shared-artifact build costs (shingle
+    # index, signatures, LSH tables) to whichever query happens to run
+    # first in a given round.
     all_queries = entrymod.queries()
-    ordered = [n for n in all_queries if not n.startswith("stream_")] + [
+    ordered = sorted(n for n in all_queries if not n.startswith("stream_")) + sorted(
         n for n in all_queries if n.startswith("stream_")
-    ]
+    )
     for name in ordered:
         fn = all_queries[name]
         if name in EXCLUDE:
