@@ -210,3 +210,93 @@ def test_streaming_sliding_equals_batch(spark, sf_dir):
     batch = sliding_counts(spark, sf_dir)
     cols = ["window_start", "n", "total_value"]
     assert _rows(stream_res, cols) == _rows(batch.select(*cols), cols)
+
+
+def test_late_event_dropped_beyond_watermark(spark, tmp_path):
+    """The POSITIVE late-data case: an event arriving after the watermark
+    passed its window's end is DROPPED by the streaming aggregation
+    (append mode) while the batch twin still counts it -- the Dataflow
+    trade-off the watermark exists to make, pinned explicitly instead of
+    only ever testing the no-late-data equivalence.
+
+    Two engine subtleties this pins (observed on this Spark build):
+    the window-finalization boundary is exclusive (watermark must be
+    STRICTLY past the window end), and the late-record filter uses the
+    watermark with one batch of lag relative to state eviction -- so the
+    late file arrives two batches after the watermark-advancing event."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.streaming.windows import events_stream_from
+
+    src_dir = str(tmp_path / "late_replay")
+    os.makedirs(src_dir)
+
+    def write(name, rows, mtime):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        p = os.path.join(src_dir, name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    m = time.time() - 1000
+    # batch 0: three on-time events in the [10:00, 11:00) window
+    write("f1.parquet", [(1, base), (2, base + dt.timedelta(minutes=10)),
+                         (3, base + dt.timedelta(minutes=20))], m)
+    # batch 1: 13:00 event -> watermark 12:00 (delay 1h), strictly past
+    # the window end, so the window finalizes and emits n=3
+    write("f2.parquet", [(4, base + dt.timedelta(hours=3))], m + 10)
+    # batch 2: keeps the stream moving so the 12:00 watermark is in force
+    # for the NEXT batch's late filter
+    write("f3.parquet", [(5, base + dt.timedelta(hours=3, minutes=5))], m + 20)
+    # batch 3: a LATE event back in the closed window -- must be dropped
+    write("f4.parquet", [(6, base + dt.timedelta(minutes=5))], m + 30)
+
+    stream = events_stream_from(spark, src_dir, files_per_trigger=1).withWatermark(
+        "ts", "1 hour"
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    q.stop()
+    got = {
+        r["window_start"]: r["n"]
+        for r in spark.sql("SELECT * FROM t_late_drop").collect()
+    }
+    assert got.get(base) == 3, f"late event must NOT be counted: {got}"
+    assert dropped == 1, f"exactly the late row is dropped by the watermark: {dropped}"
+
+    batch = {
+        r["window_start"]: r["n"]
+        for r in spark.read.parquet(src_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .collect()
+    }
+    assert batch[base] == 4, "batch counts the late row the stream dropped"
