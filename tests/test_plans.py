@@ -114,9 +114,15 @@ def test_minhash_plan_has_no_cartesian_and_broadcast_prefilter(spark, sf_dir):
     """The round-4 scale guards must stay in the physical plan: no
     CartesianProduct anywhere (all pair spaces are equi-joins), and the
     plan's exchange count stays bounded (the r3 plan carried 12)."""
+    from vector_db_from_scratch_spark.operators import _memo
     from vector_db_from_scratch_spark.operators.dedup import minhash_lsh_pairs
     from vector_db_from_scratch_spark.plans import count_shuffles, plan_string
 
+    # fresh-artifact plan: suite-populated memo caches swap scan subtrees
+    # for InMemoryTableScans whose partitioning adds exchanges, making the
+    # count order-dependent
+    _memo.clear()
+    spark.catalog.clearCache()
     df = minhash_lsh_pairs(spark, sf_dir)
     assert "CartesianProduct" not in plan_string(df)
     assert count_shuffles(df) <= 11, count_shuffles(df)
