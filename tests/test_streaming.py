@@ -300,3 +300,39 @@ def test_late_event_dropped_beyond_watermark(spark, tmp_path):
         .collect()
     }
     assert batch[base] == 4, "batch counts the late row the stream dropped"
+
+
+def test_observed_metrics_match_batch(spark, sf_dir):
+    """df.observe() on the streaming source: per-query data-quality
+    metrics (row count + exact integral value sum) accumulated by the
+    engine during the drain must equal the batch aggregate -- the
+    zero-extra-pass observability hook a production stream would export."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.operators.relational import MICRO
+    from vector_db_from_scratch_spark.streaming.windows import events_stream
+
+    micros = F.round(F.col("value") * F.lit(float(MICRO)), 0).cast("long")
+    observed = events_stream(spark, sf_dir).observe(
+        "quality", F.count(F.lit(1)).alias("n"), F.sum(micros).alias("value_micros")
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    got_n = got_sum = 0
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("quality") if p["observedMetrics"] else None
+        if m is not None:
+            got_n += m["n"]
+            got_sum += m["value_micros"]
+    q.stop()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(micros).alias("s")
+    ).collect()[0]
+    assert got_n == want["n"]
+    assert got_sum == want["s"]
