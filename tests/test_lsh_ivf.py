@@ -286,3 +286,25 @@ def test_lsh_batch_vs_single_query_fallback_divergence(spark, sf_dir):
             )
             assert len(single) == k, f"query {qid}: single-query fallback still fills k"
     assert saw_full, "fixture must exercise the >= k (no-fallback) case"
+
+
+def test_lsh_batch_fallback_matches_single_query_everywhere(spark, sf_dir):
+    """The union-plan batch fallback must reproduce the single-query
+    semantics for EVERY query -- full buckets and underfull buckets alike
+    (this is the operator that resolves the divergence the plain batch
+    probe documents)."""
+    from vector_db_from_scratch_spark.operators.lsh import lsh_knn_batch_fallback
+
+    k, num_queries = 5, 8
+    batch = {}
+    for r in lsh_knn_batch_fallback(
+        spark, sf_dir, "cosine", k=k, num_queries=num_queries
+    ).collect():
+        batch.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid in range(num_queries):
+        single = [
+            r["vec_id"]
+            for r in lsh_knn(spark, sf_dir, "cosine", k=k, query_vec_id=qid).collect()
+        ]
+        got = [v for _, v in sorted(batch.get(qid, []))]
+        assert got == single, f"query {qid}: fallback batch must equal per-query path"

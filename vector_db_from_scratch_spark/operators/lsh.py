@@ -288,6 +288,91 @@ def lsh_knn_batch(
     )
 
 
+def lsh_knn_batch_fallback(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 5,
+    num_queries: int = 8,
+) -> DataFrame:
+    """Batch probe WITH the reference's per-query `<k` fallback
+    (indexes.py:223-224) as a union plan -- no driver round-trip per
+    query: per-bucket occupancy joins onto the query set, queries whose
+    bucket holds >= k candidates take the bucket-probe branch, the rest
+    re-scan every vector (exactly what the single-query path does), and
+    one window ranks the union. Resolves the divergence
+    :func:`lsh_knn_batch` documents: this operator matches
+    :func:`lsh_knn` per query, at batch shape (equality pinned in
+    tests)."""
+    from pyspark.sql import Window
+
+    emb = index_table(spark, sf_dir)
+    occ = emb.groupBy("bucket").agg(F.count(F.lit(1)).alias("occ"))
+    queries = (
+        emb.filter(F.col("vec_id") < num_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .join(
+            occ.select(F.col("bucket").alias("qbucket"), "occ"),
+            "qbucket",
+            "left",
+        )
+        .withColumn("occ", F.coalesce("occ", F.lit(0)))
+    )
+    probe_q = queries.filter(F.col("occ") >= k).drop("occ")
+    full_q = queries.filter(F.col("occ") < k).drop("occ", "qbucket")
+    probed = emb.join(F.broadcast(probe_q), F.col("bucket") == F.col("qbucket")).select(
+        "query_id", "vec_id", "embedding", "q"
+    )
+    widened = emb.crossJoin(F.broadcast(full_q)).select(
+        "query_id", "vec_id", "embedding", "q"
+    )
+    pool = probed.unionAll(widened)
+    w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    return (
+        pool.select(
+            "query_id",
+            "vec_id",
+            distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_knn_batch_fallback_oracle(
+    metric: str = "cosine", k: int = 5, num_queries: int = 8
+) -> str:
+    d = oracle_distance_sql(metric, "p.v", "p.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {bucket_sql('embedding::DOUBLE[]')} AS bucket
+           FROM embeddings),
+occ AS (SELECT bucket, count(*) AS occ FROM e GROUP BY bucket),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {bucket_sql('embedding::DOUBLE[]')} AS qbucket
+      FROM embeddings WHERE vec_id < {num_queries}),
+qo AS (SELECT q.*, coalesce(occ.occ, 0) AS occ
+       FROM q LEFT JOIN occ ON q.qbucket = occ.bucket),
+pool AS (
+  SELECT qo.query_id, e.vec_id, e.v, qo.qv
+  FROM e JOIN qo ON e.bucket = qo.qbucket AND qo.occ >= {k}
+  UNION ALL
+  SELECT qo.query_id, e.vec_id, e.v, qo.qv
+  FROM e CROSS JOIN qo WHERE qo.occ < {k}),
+scored AS (
+  SELECT query_id, vec_id, {d} AS distance,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {d}, vec_id) AS rank
+  FROM pool p)
+SELECT query_id, vec_id, distance, rank
+FROM scored WHERE rank <= {k}
+""".strip()
+
+
 def lsh_knn_batch_oracle(metric: str = "cosine", k: int = 5, num_queries: int = 8) -> str:
     d = oracle_distance_sql(metric, "e.v", "q.qv")
     return f"""

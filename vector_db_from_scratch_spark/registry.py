@@ -546,6 +546,13 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: lsh.lsh_knn_batch(spark, sf, "cosine", k=5, num_queries=8),
         lsh.lsh_knn_batch_oracle("cosine", k=5, num_queries=8),
     )
+    # the batch probe WITH the reference's per-query <k fallback as a
+    # union plan (no driver round-trip per query) -- per-query results
+    # equal lsh_knn exactly (tests pin it)
+    reg["lsh_knn_batch_fallback"] = (
+        lambda spark, sf: lsh.lsh_knn_batch_fallback(spark, sf, "cosine", k=5, num_queries=8),
+        lsh.lsh_knn_batch_fallback_oracle("cosine", k=5, num_queries=8),
+    )
     reg["ivf_knn_batch"] = (
         lambda spark, sf: ivf.ivf_knn_batch(spark, sf, "cosine", k=5, num_queries=8),
         ivf.ivf_knn_batch_oracle("cosine", k=5, num_queries=8),
