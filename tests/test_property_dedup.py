@@ -213,3 +213,19 @@ def test_star_components_long_chain(spark):
     pdf = spark.createDataFrame([(i, i + 1) for i in range(n)], "d1 long, d2 long")
     got = {r["node"]: r["cluster_rep"] for r in connected_components_star(pdf).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_star_components_converge_fast_on_long_chain(spark):
+    """O(log^2 n) convergence pinned operationally: a diameter-48 path
+    collapses within 8 alternation rounds (min-label propagation would
+    need 48) -- if it had not converged by max_rounds the labels would be
+    wrong and the assertion below would fail."""
+    from vector_db_from_scratch_spark.operators.dedup import connected_components_star
+
+    n = 48
+    pdf = spark.createDataFrame([(i, i + 1) for i in range(n)], "d1 long, d2 long")
+    got = {
+        r["node"]: r["cluster_rep"]
+        for r in connected_components_star(pdf, max_rounds=8).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
