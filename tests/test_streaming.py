@@ -336,3 +336,98 @@ def test_observed_metrics_match_batch(spark, sf_dir):
     ).collect()[0]
     assert got_n == want["n"]
     assert got_sum == want["s"]
+
+
+def test_left_outer_interval_join_null_emission(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: the null-padded row for an
+    unmatched left row is emitted only after the GLOBAL watermark (the MIN
+    across both sides' watermarks) strictly passes its join window --
+    three engine semantics pinned at once:
+      1. outer stream-stream joins require an equality key alongside the
+         time-interval condition;
+      2. the watermark that closes join state is min(left, right), so a
+         stalled right side blocks null emission forever;
+      3. unmatched rows whose windows never close are (correctly) absent
+         from the drained result -- the batch twin reports them, which is
+         the documented streaming/batch divergence for outer joins."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.streaming.windows import events_stream_from
+
+    src_dir = str(tmp_path / "outer_replay")
+    os.makedirs(src_dir)
+
+    def write(name, rows, mtime):
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "kind": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            }
+        )
+        p = os.path.join(src_dir, name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+    m = time.time() - 1000
+    # user 1 clicks and purchases within the 30-minute window; user 2
+    # clicks and never purchases
+    write("f1.parquet", [(1, 1, "click", base),
+                         (2, 2, "click", base + dt.timedelta(minutes=1))], m)
+    write("f2.parquet", [(3, 1, "purchase", base + dt.timedelta(minutes=10))], m + 10)
+    # BOTH sides must advance for the min-watermark to move; the trailing
+    # batches also absorb the one-batch emission lag
+    for i, mins in enumerate((0, 1, 2)):
+        write(
+            f"f{3 + i}.parquet",
+            [
+                (4 + i, 3 + i, "click", base + dt.timedelta(hours=5, minutes=mins)),
+                (7 + i, 9, "purchase", base + dt.timedelta(hours=5, minutes=mins)),
+            ],
+            m + 20 + 10 * i,
+        )
+
+    ev = events_stream_from(spark, src_dir, files_per_trigger=1)
+    clicks = (
+        ev.filter(F.col("kind") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    buys = (
+        ev.filter(F.col("kind") == "purchase")
+        .select(F.col("user_id").alias("bu"), F.col("event_id").alias("buy_id"),
+                F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "10 minutes")
+    )
+    j = clicks.join(
+        buys,
+        (F.col("cu") == F.col("bu"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("t_outer_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["click_id"], r["buy_id"])
+        for r in spark.sql("SELECT click_id, buy_id FROM t_outer_join").collect()
+    )
+    # matched pair + the closed-window null; the 15:00+ clicks' windows
+    # never close before the stream ends, so they are absent
+    assert got == [(1, 3), (2, None)], got
