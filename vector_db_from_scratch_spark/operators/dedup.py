@@ -451,15 +451,19 @@ BUCKET_CAP = 64
 
 def _min_matches(threshold: float, num_hashes: int) -> int:
     """Integer cutoff for the signature-estimated Jaccard pre-filter:
-    candidates whose signatures agree on fewer than ceil(threshold * K)
+    candidates whose signatures agree on fewer than floor(threshold * K)
     components are dropped before exact verification. E[matches] = K * j
-    for true Jaccard j, so this prunes at the verification threshold
-    itself using data already in hand (two K-int arrays) -- no shingle
-    work for the band-collision false-positive mass. Computed in Python so
-    Spark and the oracle share one exact integer."""
+    for true Jaccard j; floor (not ceil) keeps every candidate whose
+    signature-estimated Jaccard is >= the verification threshold, so the
+    pre-filter never prunes above the threshold exact verification will
+    apply (ceil would raise the effective cutoff to ceil(t*K)/K > t and
+    silently drop true pairs with Jaccard in [t, ceil(t*K)/K)). Uses data
+    already in hand (two K-int arrays) -- no shingle work for the
+    band-collision false-positive mass. Computed in Python so Spark and
+    the oracle share one exact integer."""
     import math
 
-    return math.ceil(threshold * num_hashes - 1e-9)
+    return math.floor(threshold * num_hashes + 1e-9)
 
 
 def autotune_bands(threshold: float, max_hashes: int = 16) -> tuple[int, int]:
@@ -1405,6 +1409,7 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 60) -> DataFra
             .distinct()
         )
 
+    converged = False
     for _ in range(max_rounds):
         adj = _adj(edges)
         mins = _mins(adj)
@@ -1432,8 +1437,20 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 60) -> DataFra
             and new_edges.subtract(edges).limit(1).count() == 0
         ):
             edges = new_edges
+            converged = True
             break
         edges = new_edges
+
+    if not converged:
+        # The label-emission step below assumes the fixed point (every edge
+        # is (component-min, member)); on non-convergence a node could get
+        # multiple cluster_rep rows or a non-minimal rep with no error --
+        # a silent wrong answer. Fail loudly instead: max_rounds is
+        # O(log^2 n), so exhausting it means the input is pathological.
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixed point in "
+            f"{max_rounds} rounds; labels would be unreliable"
+        )
 
     # fixed point: every edge is (component_min, member)
     return (

@@ -25,6 +25,8 @@ table and these transformations are the batch jobs that rewrite them.
 
 from __future__ import annotations
 
+import hashlib
+
 from dataclasses import dataclass, replace
 from functools import reduce
 
@@ -709,7 +711,12 @@ def bucketed_point_lookup_query(
     sf_dir); the registered query is the read path."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUCKETED_TABLE_MEMO:
-        table = "documents_bucketed_gate"
+        # Fold an sf_dir tag into the table name: one application may gate
+        # several sf_dirs, and a shared name would let the second build
+        # overwrite the first sf_dir's table while its memo still points
+        # there (stale-read hazard).
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        table = f"documents_bucketed_gate_{tag}"
         bucketed_documents_table(spark, sf_dir, buckets=8, table=table)
         _BUCKETED_TABLE_MEMO[key] = table
     table = _BUCKETED_TABLE_MEMO[key]

@@ -237,20 +237,26 @@ def trained_artifact_path(sf_dir: str, n_cells: int, iterations: int) -> str:
 def _load_persisted_centroids(
     spark: SparkSession, sf_dir: str, n_cells: int, iterations: int
 ) -> list[list[float]] | None:
-    import shutil
+    from ..sources.artifacts import discard_corrupt_artifact, is_read_corruption
 
     path = os.path.join(trained_artifact_path(sf_dir, n_cells, iterations), "centroids")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         return None
     try:
         rows = spark.read.parquet(path).orderBy("cell").collect()
-    except Exception:
-        rows = []  # unreadable (e.g. parts deleted behind _SUCCESS) == invalid
+    except Exception as exc:
+        # Only provable read-path corruption (parts deleted behind
+        # _SUCCESS, bad footer) justifies discarding the shared artifact;
+        # a transient failure must leave it intact for other readers.
+        # Discard is rename-aside to avoid racing a concurrent writer.
+        if is_read_corruption(exc):
+            discard_corrupt_artifact(path)
+        return None
     if len(rows) != n_cells:
-        # invalid artifact (e.g. interrupted writer): delete so the save
+        # invalid artifact (e.g. interrupted writer): discard so the save
         # path can rewrite it -- otherwise _SUCCESS makes every future
         # process skip the save and retrain forever
-        shutil.rmtree(path, ignore_errors=True)
+        discard_corrupt_artifact(path)
         return None
     return [[float(x) for x in r["centroid"]] for r in rows]
 

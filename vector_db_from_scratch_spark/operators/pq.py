@@ -142,19 +142,24 @@ def _load_persisted_codebooks(
 ) -> np.ndarray | None:
     import os
 
+    from ..sources.artifacts import discard_corrupt_artifact, is_read_corruption
+
     path = os.path.join(pq_artifact_path(sf_dir, m, ks, iters), "codebooks")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         return None
     try:
         rows = spark.read.parquet(path).orderBy("mi", "code").collect()
-    except Exception:
-        rows = []  # unreadable (e.g. parts deleted behind _SUCCESS) == invalid
+    except Exception as exc:
+        # Discard only on provable read-path corruption, never on a
+        # transient failure; rename-aside avoids racing concurrent writers
+        # (twin of ivf._load_persisted_centroids).
+        if is_read_corruption(exc):
+            discard_corrupt_artifact(path)
+        return None
     if len(rows) != m * ks:
-        import shutil
-
-        # invalid artifact: remove so the save path rewrites it instead of
+        # invalid artifact: discard so the save path rewrites it instead of
         # skipping on _SUCCESS and retraining in every future process
-        shutil.rmtree(path, ignore_errors=True)
+        discard_corrupt_artifact(path)
         return None
     dsub = len(rows[0]["centroid"])
     books = np.empty((m, ks, dsub), dtype=np.float32)

@@ -33,6 +33,49 @@ def scratch_dir(prefix: str) -> str:
     return path
 
 
+def discard_corrupt_artifact(path: str) -> None:
+    """Remove an invalid persisted artifact via rename-aside: an atomic
+    ``os.rename`` detaches the directory from its live path first, so a
+    concurrent reader never observes a half-deleted tree and a concurrent
+    writer's fresh output under the live path is never swept by our
+    rmtree. If the rename fails (another process already discarded or is
+    rewriting it), do nothing -- the other process owns the repair."""
+    import os
+
+    aside = f"{path}.corrupt-{os.getpid()}"
+    try:
+        os.rename(path, aside)
+    except OSError:
+        return
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def is_read_corruption(exc: Exception) -> bool:
+    """True only for read-path failures indicating the artifact itself is
+    damaged (parts deleted behind ``_SUCCESS``, truncated parquet footer,
+    path vanished) -- NOT transient failures (executor loss, OOM,
+    interrupted job), which must never trigger deletion of a valid shared
+    artifact that other processes are reading."""
+    try:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(exc, AnalysisException):
+            return True
+    except ImportError:  # pragma: no cover - very old pyspark
+        pass
+    text = str(exc)
+    return any(
+        marker in text
+        for marker in (
+            "FileNotFoundException",
+            "is not a Parquet file",
+            "Could not read footer",
+            "PATH_NOT_FOUND",
+            "UNABLE_TO_INFER_SCHEMA",
+        )
+    )
+
+
 # Bumped whenever a training kernel or persisted-artifact layout changes:
 # the version is folded into every content-keyed artifact tag, so an
 # artifact trained by older code is never silently served to newer code
