@@ -112,6 +112,18 @@ def main() -> None:
     ordered = sorted(n for n in all_queries if not n.startswith("stream_")) + sorted(
         n for n in all_queries if n.startswith("stream_")
     )
+
+    # First-touch artifact builds get their own timed lines (VERDICT r4
+    # "What's wrong" #3): memoized index/pair/cluster artifacts are forced
+    # in dependency order BEFORE the query loop, so per-query cold numbers
+    # measure the query -- not whichever build its bench position happened
+    # to inherit -- and stay comparable round-over-round. builds_sec is
+    # added into the headline total so `value` keeps the same semantics as
+    # earlier rounds (where builds were buried inside first-touch queries).
+    from vector_db_from_scratch_spark.builds import run_builds
+
+    builds = run_builds(spark, sf_dir)
+    builds_sec = round(sum(v for v in builds.values() if v > 0), 3)
     for name in ordered:
         fn = all_queries[name]
         if name in EXCLUDE:
@@ -157,12 +169,21 @@ def main() -> None:
         # round-4 scale fixes under measurement: df-capped Jaccard flagship
         # and the df-capped incremental-ingest classifier
         "dedup_ngram_jaccard", "dedup_incremental_ingest",
-        # relational / window / streaming legs (scale_gen also replicates
-        # lineitem + events with shifted ids)
+        # relational / window legs (scale_gen also replicates lineitem +
+        # events with shifted ids)
         "tpch_pricing_summary", "window_tumbling_events",
-        "stream_tumbling_drained", "funnel_view_click_purchase",
-        "skew_salted_agg",
+        "funnel_view_click_purchase", "skew_salted_agg",
+        # streaming drain LAST, mirroring the main suite's stream-last
+        # ordering: a stateful drain spins up state stores + streaming
+        # python workers that poison subsequent batch timings in the same
+        # JVM (r02: 0.8s -> 49s for the query after the drain)
+        "stream_tumbling_drained",
     ]
+    # Queries whose OUTPUT grows with the data (pair tables): the wall
+    # ratio alone misreads them (scale_gen's copies are mutual near-dups,
+    # so true pairs grow ~k^2 per base doc); record output rows per side
+    # and report time-per-emitted-pair alongside the wall ratio.
+    SCALE_OUTPUT_NORMALIZED = {"dedup_minhash_lsh"}
     # Reading the dedup_minhash_lsh ratio: the 10x corpus replicates every
     # base doc 10x with a suffix tweak, so each doc's copies are MUTUAL
     # near-dups -- the TRUE pair output grows ~k^2 per base doc (measured
@@ -185,10 +206,12 @@ def main() -> None:
         # recorded 14x for dedup_minhash_lsh; clean warm/warm measures
         # 2.7x on ~980x more emitted pairs).
         per_side: list[dict[str, float]] = []
+        per_side_rows: list[dict[str, int]] = []
         for d in (sf_dir, scaled):
             _memo.clear()
             spark.catalog.clearCache()
             side: dict[str, float] = {}
+            side_rows: dict[str, int] = {}
             for name in SCALE_QUERIES:
                 fn = all_queries[name]
                 samples = []
@@ -197,15 +220,34 @@ def main() -> None:
                     fn(spark, d).write.format("noop").mode("overwrite").save()
                     samples.append(time.perf_counter() - t1)
                 side[name] = min(samples)
+                if name in SCALE_OUTPUT_NORMALIZED:
+                    side_rows[name] = fn(spark, d).count()  # warm: memo hit
             per_side.append(side)
+            per_side_rows.append(side_rows)
         for name in SCALE_QUERIES:
             t1x, t10 = per_side[0][name], per_side[1][name]
-            scale_detail[name] = [round(t1x, 3), round(t10, 3)]
-            scale_ratio[name] = round(t10 / t1x, 1) if t1x else float("nan")
+            wall = round(t10 / t1x, 1) if t1x else float("nan")
+            if name in SCALE_OUTPUT_NORMALIZED:
+                n1, n10 = per_side_rows[0][name], per_side_rows[1][name]
+                pairs_ratio = round(n10 / n1, 1) if n1 else float("nan")
+                # time-per-emitted-pair ratio: the output-normalized cost.
+                # <= ~1.5 means the 10x side pays no more per result than
+                # the 1x side -- the sublinear-per-result scaling claim,
+                # measured instead of argued in prose (VERDICT r4 wrong #1).
+                norm = round(wall / pairs_ratio, 3) if pairs_ratio else float("nan")
+                scale_detail[name] = [round(t1x, 3), round(t10, 3), n1, n10]
+                scale_ratio[name] = {
+                    "wall_ratio": wall,
+                    "pairs_ratio": pairs_ratio,
+                    "sec_per_pair_ratio": norm,
+                }
+            else:
+                scale_detail[name] = [round(t1x, 3), round(t10, 3)]
+                scale_ratio[name] = wall
     except Exception as e:  # the scale section must never sink the bench
         scale_ratio = {"error": str(e)[:60]}
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()) + builds_sec, 3)
     total_warm = round(sum(warm.values()), 3)
     detail = {
         "metric": "total_query_sec",
@@ -216,6 +258,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "value_warm": total_warm,
+        "builds": builds,
+        "builds_sec": builds_sec,
         "plans": plans,
         "scale10x": scale_detail,
     }
@@ -231,6 +275,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "value_warm": total_warm,
+        "builds_sec": builds_sec,
         "scale10x": scale_ratio,
         "detail": "BENCH_DETAIL.json",
     }

@@ -73,3 +73,19 @@ def test_knn_per_label_covers_every_label_and_matches_filtered(spark, sf_dir):
     assert [(v, d) for _, v, d in sorted(by_label[lbl])] == [
         (r["vec_id"], r["distance"]) for r in single
     ]
+
+
+def test_batch_knn_fast_matches_expression_path(spark, sf_dir):
+    """The GEMM batch kernel must agree with the declarative two-phase
+    window form on every metric -- same rows, distances, and ranks."""
+    from vector_db_from_scratch_spark.operators.knn import batch_knn, batch_knn_fast
+
+    for metric in ("cosine", "euclidean", "dot_product"):
+        slow = batch_knn(spark, sf_dir, metric, k=5, num_queries=4).collect()
+        fast = batch_knn_fast(spark, sf_dir, metric, k=5, num_queries=4).collect()
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted(
+            [(r["query_id"], r["rank"], r["vec_id"], r["distance"]) for r in slow]
+        ) == sorted(
+            [(r["query_id"], r["rank"], r["vec_id"], r["distance"]) for r in fast]
+        ), metric

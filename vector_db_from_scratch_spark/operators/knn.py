@@ -32,8 +32,33 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import distance_expr, oracle_distance_sql
 from ..sources.tables import load_table
+from . import _memo
 
 EMB = "embeddings"
+
+# (applicationId, sf_dir, num_queries) -> (qids ndarray, qmat ndarray); the
+# collect is bounded by construction (num_queries rows), memoized so a
+# long-lived session pays the lookup job once per query batch
+_QMAT_MEMO: dict[tuple[str, str, int], tuple] = _memo.register({})
+
+
+def _query_matrix(spark: SparkSession, sf_dir: str, num_queries: int):
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir, num_queries)
+    if key not in _QMAT_MEMO:
+        qrows = (
+            load_table(spark, sf_dir, EMB)
+            .filter(F.col("vec_id") < num_queries)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+        qmat = np.asarray(
+            [[float(x) for x in r["embedding"]] for r in qrows], dtype=np.float64
+        )
+        _QMAT_MEMO[key] = (qids, qmat)
+    return _QMAT_MEMO[key]
 
 
 def query_vector_df(spark: SparkSession, sf_dir: str, vec_id: int) -> DataFrame:
@@ -157,7 +182,13 @@ def flat_knn_fast(
                 d = -(m @ q)
             d = np.round(d, 6) + 0.0
             ids = pdf["vec_id"].to_numpy()
-            order = np.lexsort((ids, d))[:k]
+            if len(d) > 4 * k:
+                # O(n) pre-select, tie-inclusive (see batch_knn_fast)
+                kth = np.partition(d, k - 1)[k - 1]
+                sel = np.flatnonzero(d <= kth)
+                order = sel[np.lexsort((ids[sel], d[sel]))][:k]
+            else:
+                order = np.lexsort((ids, d))[:k]
             yield pd.DataFrame({"vec_id": ids[order], "distance": d[order]})
 
     survivors = emb.select("vec_id", "embedding").mapInPandas(
@@ -218,6 +249,96 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
 SELECT query_id, vec_id, distance, rank
 FROM scored WHERE rank <= {k}
 """.strip()
+
+
+def batch_knn_fast(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 5,
+    num_queries: int = 8,
+) -> DataFrame:
+    """Scale path for multi-query k-NN: one BLAS GEMM (``m @ Q.T``) per
+    Arrow batch scores ALL queries against the batch at once, followed by a
+    per-(query, batch) NumPy top-k -- the batch twin of
+    :func:`flat_knn_fast` with identical semantics and the same oracle as
+    :func:`batch_knn`.
+
+    The query matrix is bounded by construction (``num_queries`` rows
+    collected once, shipped in the task closure), the scan side streams
+    through Arrow batches with no shuffle, and the global phase ranks only
+    the ``<= k * num_batches`` survivors per query. This is where the
+    engine most clearly beats the reference's one-query-at-a-time lock
+    (vector_db/vector_store.py:30,237): amortizing the scan across the
+    whole query batch costs one matrix product instead of Q scans.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    emb = load_table(spark, sf_dir, EMB)
+    qids, qmat = _query_matrix(spark, sf_dir, num_queries)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def local_topk(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            if metric == "euclidean":
+                # per-query difference norm: the |v|^2 - 2vq + |q|^2 GEMM
+                # trick cancels catastrophically for near-identical
+                # vectors; Q is small, so Q vectorized passes stay cheap
+                dmat = np.stack(
+                    [np.linalg.norm(m - qmat[j], axis=1) for j in range(len(qids))],
+                    axis=1,
+                )
+            else:
+                sims = m @ qmat.T
+                if metric == "cosine":
+                    nv = np.linalg.norm(m, axis=1)
+                    denom = nv[:, None] * qnorm[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        dmat = np.where(denom == 0.0, np.inf, 1.0 - sims / denom)
+                else:
+                    dmat = -sims
+            dmat = np.round(dmat, 6) + 0.0
+            out_q, out_v, out_d = [], [], []
+            for j in range(len(qids)):
+                d = dmat[:, j]
+                if len(d) > 4 * k:
+                    # O(n) pre-select before the O(m log m) lexsort: keep
+                    # every row whose distance <= the k-th smallest value
+                    # (ties INCLUDED, so the id tie-break below stays exact)
+                    kth = np.partition(d, k - 1)[k - 1]
+                    sel = np.flatnonzero(d <= kth)
+                    order = sel[np.lexsort((ids[sel], d[sel]))][:k]
+                else:
+                    order = np.lexsort((ids, d))[:k]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_v.append(ids[order])
+                out_d.append(d[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "distance": np.concatenate(out_d),
+                }
+            )
+
+    survivors = emb.select("vec_id", "embedding").mapInPandas(
+        local_topk, "query_id long, vec_id long, distance double"
+    )
+    # survivors <= k * num_batches per query -- a window over query_id alone
+    # is safe here (unlike over the raw scored set, see batch_knn docstring)
+    global_w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(global_w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "distance", "rank")
+    )
 
 
 def radius_search(

@@ -1,5 +1,6 @@
 from .audit import (
     count_shuffles,
+    runtime_exchange_stats,
     plan_fingerprint,
     plan_string,
     pushed_filters,
@@ -8,6 +9,7 @@ from .audit import (
 
 __all__ = [
     "count_shuffles",
+    "runtime_exchange_stats",
     "plan_fingerprint",
     "plan_string",
     "pushed_filters",

@@ -43,6 +43,26 @@ def count_shuffles(df: DataFrame) -> int:
     return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan_string(df)))
 
 
+def runtime_exchange_stats(df: DataFrame) -> tuple[int, int] | None:
+    """Execute ``df`` and return ``(executed_shuffles, reused_shuffles)``
+    from the AQE FINAL plan -- the true runtime shuffle cost, as opposed to
+    :func:`count_shuffles`'s static upper bound.
+
+    Composite pipelines over memoized/cached subtrees carry scary static
+    counts (every Exchange under an InMemoryRelation body is counted even
+    though a hot cache never re-runs it); at runtime only the distinct
+    ``ShuffleQueryStage`` ids in the final adaptive plan actually moved
+    data, and repeated ids are exchange reuses. Returns None when no
+    adaptive final plan is available (non-AQE query shapes)."""
+    df.collect()
+    s = plan_string(df)
+    if "isFinalPlan=true" not in s:
+        return None
+    final = s.split("== Initial Plan ==")[0]
+    ids = re.findall(r"ShuffleQueryStage (\d+)", final)
+    return len(set(ids)), len(ids) - len(set(ids))
+
+
 def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in plan_string(df)
 

@@ -190,8 +190,15 @@ def build() -> dict[str, Entry]:
             (lambda m: lambda spark, sf: knn.flat_knn_fast(spark, sf, m, k=10, query_vec_id=0))(_m),
             knn.flat_knn_oracle(_m, k=10, query_vec_id=0),
         )
-    # multi-query batch (beyond-reference; two-phase distributed top-k)
+    # multi-query batch (beyond-reference): one GEMM per Arrow batch scores
+    # all queries at once, then the two-phase distributed top-k; same
+    # oracle as the declarative twin below
     reg["knn_batch"] = (
+        lambda spark, sf: knn.batch_knn_fast(spark, sf, "cosine", k=5, num_queries=8),
+        knn.batch_knn_oracle("cosine", k=5, num_queries=8),
+    )
+    # declarative expression-path twin (reference-shaped plan, same oracle)
+    reg["knn_batch_expr"] = (
         lambda spark, sf: knn.batch_knn(spark, sf, "cosine", k=5, num_queries=8),
         knn.batch_knn_oracle("cosine", k=5, num_queries=8),
     )
