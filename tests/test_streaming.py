@@ -431,3 +431,17 @@ def test_left_outer_interval_join_null_emission(spark, tmp_path):
     # matched pair + the closed-window null; the 15:00+ clicks' windows
     # never close before the stream ends, so they are absent
     assert got == [(1, 3), (2, None)], got
+
+
+def test_left_join_drained_emits_null_rows(spark, sf_dir):
+    """The gated left-outer drain must actually exercise the outer path:
+    at least one click has no purchase in its window (null-padded row),
+    and no watermark-sentinel rows leak into the result."""
+    from vector_db_from_scratch_spark.streaming.joins import (
+        click_purchase_left_join_drained,
+    )
+
+    rows = click_purchase_left_join_drained(spark, sf_dir).collect()
+    assert any(r["purchase_id"] is None for r in rows)
+    assert any(r["purchase_id"] is not None for r in rows)
+    assert all(r["user_id"] >= 0 for r in rows)

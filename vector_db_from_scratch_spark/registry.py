@@ -697,6 +697,12 @@ def build() -> dict[str, Entry]:
     # streaming INDEX ingestion: LSH bucket assignment as a streaming
     # stateful aggregation whose drained state == the batch occupancy
     reg["stream_lsh_ingest_drained"] = (w.lsh_ingest_drained, w.lsh_ingest_drained_oracle())
+    # multiplexed multi-topic source: union of landing dirs with a lineage
+    # column, one streaming query, per-topic windows under the gate
+    reg["stream_multiplex_drained"] = (
+        w.multiplex_counts_drained,
+        w.multiplex_counts_drained_oracle(),
+    )
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins
@@ -708,6 +714,13 @@ def build() -> dict[str, Entry]:
     reg["stream_join_drained"] = (
         stream_joins.click_purchase_join_drained,
         stream_joins.click_purchase_join_drained_oracle(),
+    )
+    # LEFT OUTER interval join: null emission at min-watermark liveness,
+    # made deterministic by sentinel batches (semantics pinned by
+    # tests/test_streaming.py::test_left_outer_interval_join_null_emission)
+    reg["stream_join_left_drained"] = (
+        stream_joins.click_purchase_left_join_drained,
+        stream_joins.click_purchase_left_join_drained_oracle(),
     )
     # custom stateful operator (applyInPandasWithState) under the gate:
     # drain the stream, reduce to final per-key state, hash-match batch SQL

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import _memo
 from ..sources.tables import load_table
 from .windows import events_stream
 
@@ -109,6 +110,117 @@ FROM c JOIN p ON c_user = p_user
              AND click_ts <= purchase_ts
              AND click_ts >= purchase_ts - INTERVAL 10 MINUTE
 ORDER BY user_id, purchase_id, click_id
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# LEFT OUTER interval stream-stream join -- the semantically hard form:
+# the null-padded row for an unmatched click may only be emitted once the
+# GLOBAL watermark (min across both sides) strictly passes the click's
+# join window, and the emission lags state eviction by one micro-batch on
+# this build (both pinned in tests/test_streaming.py::
+# test_left_outer_interval_join_null_emission). To put it under the
+# DuckDB-oracle gate deterministically, the drain replays events as
+# time-ordered slices and appends sentinel batches (user_id = -1, far
+# future, BOTH event types so BOTH sides' watermarks advance) that close
+# every real click's window and absorb the emission lag; sentinels are
+# filtered from the result, so the drained output equals the plain batch
+# LEFT JOIN -- which is exactly the oracle.
+# --------------------------------------------------------------------------
+
+_LEFT_REPLAY_MEMO: dict[tuple[str, str], str] = _memo.register({})
+
+N_REPLAY_SLICES = 3
+N_SENTINEL_BATCHES = 3
+
+
+def _left_join_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Replay dir: the events table in N_REPLAY_SLICES time-ordered files,
+    followed by N_SENTINEL_BATCHES sentinel files (one click + one
+    purchase each, user_id = -1, starting 30 days after the real data)."""
+    import datetime as dt
+    import time as _time
+
+    from ..sources.artifacts import scratch_dir
+    from .windows import replay_events_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LEFT_REPLAY_MEMO:
+        out = scratch_dir("ssjoin-left-replay-")
+        replay_events_dir(spark, sf_dir, out, n_files=N_REPLAY_SLICES)
+        ev = load_table(spark, sf_dir, "events")
+        mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        for i in range(N_SENTINEL_BATCHES):
+            if isinstance(mx, int):  # ns->long shim layout
+                ts = mx + (30 * 24 * 3600 + 60 * i) * 1_000_000_000
+            else:
+                ts = mx + dt.timedelta(days=30, minutes=i)
+            rows = [
+                (-(2 * i + 1), ts, -1, "click", 0.0, None),
+                (-(2 * i + 2), ts, -1, "purchase", 0.0, None),
+            ]
+            (
+                spark.createDataFrame(rows, ev.schema)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(out)
+            )
+            _time.sleep(0.1)  # distinct mtimes -> deterministic arrival order
+        _LEFT_REPLAY_MEMO[key] = out
+    return _LEFT_REPLAY_MEMO[key]
+
+
+def click_purchase_left_join_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked LEFT OUTER interval join drained under the gate:
+    every click row appears once per purchase within its 10-minute window,
+    or once with NULL purchase columns when no purchase arrived before the
+    min-watermark closed its window. With the sentinel batches closing all
+    real windows, the result hash-matches the batch LEFT JOIN oracle."""
+    from .windows import drain_conf, events_stream_from
+
+    replay = _left_join_replay_dir(spark, sf_dir)
+    ev = events_stream_from(spark, replay, files_per_trigger=1)
+    clicks, purchases = _sides(ev)
+    clicks = clicks.withWatermark("click_ts", WINDOW)
+    purchases = purchases.withWatermark("purchase_ts", WINDOW)
+    j = clicks.join(purchases, _join_cond(), "left_outer")
+    with drain_conf(spark):
+        q = (
+            j.writeStream.format("memory")
+            .queryName("t_gate_ssjoin_left")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    res = spark.sql("SELECT * FROM t_gate_ssjoin_left")
+    return (
+        res.filter(F.col("c_user") >= 0)  # drop watermark-sentinel rows
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
+def click_purchase_left_join_drained_oracle() -> str:
+    return """
+WITH c AS (SELECT user_id AS c_user, event_id AS click_id, ts::TIMESTAMP AS click_ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts::TIMESTAMP AS purchase_ts
+      FROM events WHERE event_type = 'purchase')
+SELECT c_user AS user_id, click_id, purchase_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM c LEFT JOIN p ON c_user = p_user
+                  AND click_ts <= purchase_ts
+                  AND click_ts >= purchase_ts - INTERVAL 10 MINUTE
+ORDER BY user_id, click_id, purchase_id
 """.strip()
 
 

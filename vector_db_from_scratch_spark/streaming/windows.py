@@ -26,6 +26,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import _memo
 from ..operators.relational import MICRO, dsum, osum
 from ..sources.tables import load_table
 
@@ -596,4 +597,70 @@ SELECT {bucket_sql('embedding::DOUBLE[]')} AS bucket,
 FROM embeddings
 GROUP BY bucket
 ORDER BY bucket
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Multiplexed streaming source: N topic directories unioned into ONE
+# streaming query with a lineage column -- the multi-topic ingestion shape
+# a real pipeline needs (one job consuming clickstream + purchases + logs,
+# each its own landing dir, windows computed per topic). The union of file
+# streams is a single logical plan: each side keeps its own source/offset
+# tracking, the windowed aggregation state is shared, and lineage is just
+# a literal column stamped per side -- no per-topic job, no downstream
+# merge step. Drained complete-mode result == batch GROUP BY over the
+# reunited data, which is the oracle.
+# --------------------------------------------------------------------------
+
+_MULTIPLEX_MEMO: dict[tuple[str, str], tuple[str, str]] = _memo.register({})
+
+
+def _multiplex_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Two topic landing dirs: events split by user_id parity (a stand-in
+    for per-topic partitioning), built once per (application, sf_dir)."""
+    from ..sources.artifacts import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MULTIPLEX_MEMO:
+        ev = load_table(spark, sf_dir, "events")
+        da = scratch_dir("topic-a-")
+        db = scratch_dir("topic-b-")
+        ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(da)
+        ev.filter(F.col("user_id") % 2 != 0).coalesce(1).write.mode("overwrite").parquet(db)
+        _MULTIPLEX_MEMO[key] = (da, db)
+    return _MULTIPLEX_MEMO[key]
+
+
+def multiplex_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    da, db = _multiplex_dirs(spark, sf_dir)
+    sa = events_stream_from(spark, da, files_per_trigger=8).withColumn("topic", F.lit("a"))
+    sb = events_stream_from(spark, db, files_per_trigger=8).withColumn("topic", F.lit("b"))
+    return sa.unionByName(sb)
+
+
+def multiplex_counts_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(topic, hour) event counts computed by ONE streaming query over
+    the unioned topic dirs, drained under the gate."""
+    u = multiplex_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        u.groupBy(F.window("ts", "1 hour").alias("w"), "topic")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "topic", "n")
+    )
+    res = run_stream_once(agg, "t_gate_multiplex")
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "topic",
+        "n",
+    ).orderBy("window_start", "topic")
+
+
+def multiplex_counts_drained_oracle() -> str:
+    return """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS topic,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, topic
 """.strip()
