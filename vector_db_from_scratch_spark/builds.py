@@ -45,7 +45,7 @@ def build_specs() -> list[tuple[str, Callable[[SparkSession, str], object]]]:
         ("shingle_index", lambda s, d: dedup._shingle_index(s, d)),
         ("shingle_df_counts", lambda s, d: dedup._shingle_df_counts(s, d)),
         ("shingle_sets", lambda s, d: dedup._shingle_sets(s, d)),
-        ("minhash_signatures", lambda s, d: dedup._minhash_signature_cached(s, d)),
+        ("minhash_signatures", lambda s, d: dedup._minhash_signature_cached(s, d, dedup.NUM_HASHES)),
         # --- derived pair tables (reuse the primitives above)
         ("pair_intersections", lambda s, d: dedup._pair_intersections(s, d)),
         ("jaccard_dfcap_pairs", lambda s, d: dedup.ngram_jaccard_pairs_dfcap(s, d)),

@@ -120,6 +120,79 @@ def ivf_knn(
 _CENTROID_MEMO: dict[tuple[str, str, int, int], list[list[float]]] = _memo.register({})
 
 
+def _lloyd_partials(c64: "np.ndarray"):
+    """The Lloyd assignment step as an Arrow kernel: one BLAS distance
+    matrix per batch, argmin with ties to the lowest cell, one
+    (cell, n, sums) partial row per non-empty cell. Module-level so the
+    TRAINING kernel itself is gateable: :func:`kmeans_iter1_sizes` runs
+    this exact code path under the DuckDB oracle."""
+
+    def partials(it):
+        import pandas as pd
+
+        for pdf in it:
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((m[:, None, :] - c64[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest cell, like the SQL twin
+            cells = np.unique(assign)
+            yield pd.DataFrame(
+                {
+                    "cell": cells.astype("int32"),
+                    "n": [int((assign == c).sum()) for c in cells],
+                    "sums": [m[assign == c].sum(axis=0).tolist() for c in cells],
+                }
+            )
+
+    return partials
+
+
+def kmeans_iter1_sizes(
+    spark: SparkSession, sf_dir: str, n_cells: int = NUM_CELLS
+) -> DataFrame:
+    """Integer fingerprint of the k-means TRAINING kernel: per-cell
+    assignment counts after the first Lloyd assignment step, computed by
+    the same :func:`_lloyd_partials` Arrow kernel :func:`train_centroids`
+    iterates -- the ``pq_code_sizes`` trick applied to Lloyd. Iteration 1
+    assigns against the seeded init (first n_cells vectors), which a
+    declarative SQL argmin reproduces exactly; iterations >= 2 assign
+    against learned float means whose last-ulp rounding is not portably
+    SQL-reproducible, so they remain covered by the recall-verdict gates
+    (ann_recall_ivf_trained et al.) instead."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    ]
+    c64 = np.asarray(cents, dtype=np.float64)
+    parts = emb.mapInPandas(
+        _lloyd_partials(c64), "cell int, n long, sums array<double>"
+    )
+    return (
+        parts.groupBy("cell")
+        .agg(F.sum("n").alias("n_assigned"))
+        .orderBy("cell")
+    )
+
+
+def kmeans_iter1_sizes_oracle(n_cells: int = NUM_CELLS) -> str:
+    """Raw (unrounded) squared euclidean argmin, ties to the lowest cell --
+    exactly the kernel's comparison (it argmins d^2; sqrt is monotone)."""
+    d2 = "list_sum(list_transform(list_zip(e.v, c.cv), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id < {n_cells}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, c.cell) AS rn
+    FROM e, c)
+  WHERE rn = 1)
+SELECT cell::INTEGER AS cell, count(*) AS n_assigned
+FROM assign GROUP BY cell ORDER BY cell
+""".strip()
+
+
 def train_centroids(
     spark: SparkSession,
     sf_dir: str,
@@ -165,25 +238,10 @@ def train_centroids(
     # cold path at any data size.)
     for _ in range(iterations):
         c64 = np.asarray(cents, dtype=np.float64)
-
-        def partials(it):
-            import pandas as pd
-
-            for pdf in it:
-                m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-                d2 = ((m[:, None, :] - c64[None, :, :]) ** 2).sum(axis=2)
-                assign = d2.argmin(axis=1)  # ties -> lowest cell, like the SQL twin
-                cells = np.unique(assign)
-                yield pd.DataFrame(
-                    {
-                        "cell": cells.astype("int32"),
-                        "n": [int((assign == c).sum()) for c in cells],
-                        "sums": [m[assign == c].sum(axis=0).tolist() for c in cells],
-                    }
-                )
-
         agg: dict[int, tuple[int, np.ndarray]] = {}
-        for r in emb.mapInPandas(partials, "cell int, n long, sums array<double>").collect():
+        for r in emb.mapInPandas(
+            _lloyd_partials(c64), "cell int, n long, sums array<double>"
+        ).collect():
             n0, s0 = agg.get(r["cell"], (0, 0.0))
             agg[r["cell"]] = (n0 + r["n"], s0 + np.asarray(r["sums"]))
         cents = [

@@ -567,6 +567,14 @@ def build() -> dict[str, Entry]:
     # index introspection: bucket occupancy histogram (S10-metadata analog)
     reg["lsh_bucket_stats"] = (lsh.bucket_stats, lsh.bucket_stats_oracle())
     reg["ivf_cell_stats"] = (ivf.ivf_cell_stats, ivf.ivf_cell_stats_oracle())
+    # the k-means TRAINING kernel under the gate: iteration-1 assignment
+    # counts from the exact _lloyd_partials Arrow kernel train_centroids
+    # iterates, vs a declarative SQL argmin (seeded init, so the floats
+    # are portable); later iterations stay covered by the recall verdicts
+    reg["ivf_kmeans_iter1_sizes"] = (
+        ivf.kmeans_iter1_sizes,
+        ivf.kmeans_iter1_sizes_oracle(),
+    )
     # S10/S11 persisted-artifact round trip: save partitionBy(bucket),
     # load, probe -- the probe is a partition-pruned parquet read
     reg["lsh_index_persisted_knn"] = (
