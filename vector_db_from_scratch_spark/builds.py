@@ -67,7 +67,22 @@ def build_specs() -> list[tuple[str, Callable[[SparkSession, str], object]]]:
         ("sq8_ranges", lambda s, d: sq.sq8_knn(s, d)),
         # --- entity-layout artifacts
         ("bucketed_gate_table", lambda s, d: entity.bucketed_point_lookup_query(s, d)),
+        # --- streaming replay fixtures (parquet slice + sentinel writes)
+        ("ssjoin_left_replay", _ssjoin_left_replay),
+        ("multiplex_topic_dirs", _multiplex_dirs_build),
     ]
+
+
+def _ssjoin_left_replay(s: SparkSession, d: str) -> None:
+    from .streaming import joins
+
+    joins._left_join_replay_dir(s, d)
+
+
+def _multiplex_dirs_build(s: SparkSession, d: str) -> None:
+    from .streaming import windows
+
+    windows._multiplex_dirs(s, d)
 
 
 def run_builds(spark: SparkSession, sf_dir: str) -> dict[str, float]:
