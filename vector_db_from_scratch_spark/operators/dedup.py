@@ -593,6 +593,9 @@ def minhash_lsh_pairs(
     return _verify_jaccard(surv, sets, threshold).orderBy("d1", "d2")
 
 
+_BUCKETCAP_AUTO_MEMO: dict[tuple, DataFrame] = _memo.register({})
+
+
 def minhash_lsh_pairs_bucketcap_auto(
     spark: SparkSession,
     sf_dir: str,
@@ -609,7 +612,14 @@ def minhash_lsh_pairs_bucketcap_auto(
     same budget discipline as :func:`ngram_jaccard_pairs_dfcap_auto`.
     Computed in-engine with exact integer arithmetic, so the oracle
     derives the identical cap. The signature pre-filter and shingle-set
-    verification are unchanged."""
+    verification are unchanged. The verified pair table is memoized like
+    every other derived pair artifact (_PAIRS_MEMO discipline)."""
+    memo_key = (
+        spark.sparkContext.applicationId, sf_dir,
+        threshold, num_hashes, band_size, pairs_per_doc,
+    )
+    if memo_key in _BUCKETCAP_AUTO_MEMO:
+        return _BUCKETCAP_AUTO_MEMO[memo_key].orderBy("d1", "d2")
     sig = _minhash_signature_cached(spark, sf_dir, num_hashes)
     n_bands = num_hashes // band_size
     band_keys = [
@@ -678,7 +688,9 @@ def minhash_lsh_pairs_bucketcap_auto(
         .select("d1", "d2")
     )
     sets = _shingle_sets(spark, sf_dir)
-    return _verify_jaccard(surv, sets, threshold).orderBy("d1", "d2")
+    out = _verify_jaccard(surv, sets, threshold).cache()
+    _BUCKETCAP_AUTO_MEMO[memo_key] = out
+    return out.orderBy("d1", "d2")
 
 
 def minhash_lsh_pairs_bucketcap_auto_oracle(
