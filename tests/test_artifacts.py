@@ -35,3 +35,37 @@ def test_source_ident_embeds_algo_version(tmp_path):
     p = str(tmp_path / "emb.parquet")
     _write(p, b"x" * 128, 1700000000.0)
     assert artifacts.source_ident(p).endswith(f":{artifacts.ALGO_VERSION}")
+
+
+def test_is_read_corruption_classifier():
+    """Only provable read-path damage may trigger artifact deletion;
+    transient executor/JVM failures must never delete a shared artifact."""
+    from pyspark.errors import AnalysisException
+
+    from vector_db_from_scratch_spark.sources.artifacts import is_read_corruption
+
+    assert is_read_corruption(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist")
+    )
+    assert is_read_corruption(
+        RuntimeError("java.io.FileNotFoundException: part-0000 deleted")
+    )
+    assert is_read_corruption(RuntimeError("x is not a Parquet file"))
+    assert not is_read_corruption(RuntimeError("ExecutorLostFailure (executor 3)"))
+    assert not is_read_corruption(MemoryError("java.lang.OutOfMemoryError"))
+
+
+def test_discard_corrupt_artifact_rename_aside(tmp_path):
+    """Discard must detach via rename (no half-deleted live path) and be a
+    no-op when the path is already gone."""
+    import os
+
+    from vector_db_from_scratch_spark.sources.artifacts import discard_corrupt_artifact
+
+    d = tmp_path / "artifact"
+    d.mkdir()
+    (d / "part-0").write_text("x")
+    discard_corrupt_artifact(str(d))
+    assert not d.exists()
+    assert not any(p.name.startswith("artifact.corrupt") for p in tmp_path.iterdir())
+    discard_corrupt_artifact(str(d))  # already gone: no raise
