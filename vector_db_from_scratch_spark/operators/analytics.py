@@ -305,3 +305,81 @@ SELECT event_type, hour, n,
 FROM scored
 ORDER BY event_type, hour
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's LATEST click at or
+# before it -- the point-in-time correlation primitive (trade-vs-quote,
+# event-vs-model-version, impression-vs-attribution) the brief calls out
+# as a custom operator Spark lacks natively. Spark-first formulation: NO
+# range join, NO per-row subquery -- union both sides, ONE shuffle on
+# user_id, and a running last_value(ignorenulls) over the merged
+# event-time order fills the most recent click forward into each
+# purchase row. O(n log n_per_user) within partitions, skew-free on the
+# user key, exactly one exchange at any scale.
+#
+# The oracle cross-validates against DuckDB's NATIVE ASOF LEFT JOIN -- an
+# independent implementation of the semantics, not a mirror of the window
+# algebra. Tie discipline (both engines): clicks sort before purchases at
+# equal ts (<= semantics), and among clicks tied on (user_id, ts) the max
+# event_id wins (the oracle dedups to that click; the window's ordering
+# makes it the last value seen).
+# --------------------------------------------------------------------------
+
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    u = ev.filter(F.col("event_type").isin("click", "purchase"))
+    # clicks before purchases at equal ts => click_ts <= purchase_ts matches
+    order_cols = [
+        F.col("ts"),
+        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)),
+        F.col("event_id"),
+    ]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn(
+        "last_click_id",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    ).withColumn(
+        "last_click_ts",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        filled.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "last_click_id",
+            F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+def asof_last_click_oracle() -> str:
+    return """
+WITH c AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts),
+p AS (
+  SELECT user_id, ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase')
+SELECT p.user_id AS user_id, p.purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       c.click_id AS last_click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY user_id, purchase_id
+""".strip()

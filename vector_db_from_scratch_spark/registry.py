@@ -684,6 +684,9 @@ def build() -> dict[str, Entry]:
     reg["window_event_islands"] = (analytics.event_islands, analytics.event_islands_oracle())
     reg["stream_first_event_per_key"] = (analytics.first_event_per_key, analytics.first_event_per_key_oracle())
     reg["window_retention_cohorts"] = (analytics.retention_cohorts, analytics.retention_cohorts_oracle())
+    # as-of join (point-in-time correlation): one-shuffle merged-stream
+    # last_value fill, cross-validated against DuckDB's NATIVE ASOF JOIN
+    reg["join_asof_last_click"] = (analytics.asof_last_click, analytics.asof_last_click_oracle())
     # z-score volume anomalies from exact-integer moments (portable stddev)
     reg["window_anomaly_zscore"] = (
         analytics.event_volume_anomalies,
