@@ -295,6 +295,76 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """.strip()
 
 
+def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one pass --
+    the full grouping-sets surface next to :func:`order_rollup`'s
+    hierarchy. GROUPING() ids disambiguate a NULL group value from a
+    subtotal row, so the hash compare is exact even if a grouping column
+    were nullable. One shuffle: Spark expands the cube map-side and
+    aggregates the expanded keys in a single exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+    )
+
+
+def order_cube_oracle() -> str:
+    return f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {osum('o_totalprice')} AS total_price,
+       grouping(o_orderstatus)::BIGINT AS g_status,
+       grouping(o_orderpriority)::BIGINT AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""".strip()
+
+
+PIVOT_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def order_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status spread across priority columns. The
+    pivot values are DECLARED (not discovered), so the plan is a single
+    hash aggregate of conditional counts -- one shuffle, no second pass to
+    enumerate distinct values, which is the form that scales (value
+    discovery at 100 TB is its own full scan). The oracle states the same
+    conditional aggregation explicitly."""
+    orders = load_table(spark, sf_dir, "orders")
+    pv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(PIVOT_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(f"p{i + 1}")
+            for i, p in enumerate(PIVOT_PRIORITIES)
+        ],
+    )
+    return renamed.orderBy("o_orderstatus")
+
+
+def order_pivot_oracle() -> str:
+    cols = ",\n       ".join(
+        f"count(*) FILTER (o_orderpriority = '{p}') AS p{i + 1}"
+        for i, p in enumerate(PIVOT_PRIORITIES)
+    )
+    return f"""
+SELECT o_orderstatus,
+       {cols}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # Semi / anti joins (J2 / J5 cascade-delete semantics)
 # --------------------------------------------------------------------------

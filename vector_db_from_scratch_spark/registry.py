@@ -227,6 +227,10 @@ def build() -> dict[str, Entry]:
     reg["window_top_orders_per_customer"] = (r.top_orders_per_customer, r.top_orders_per_customer_oracle())
     reg["window_running_revenue"] = (r.running_revenue_per_customer, r.running_revenue_per_customer_oracle())
     reg["rollup_orders"] = (r.order_rollup, r.order_rollup_oracle())
+    # full grouping-sets surface: CUBE + GROUPING() subtotal disambiguation
+    reg["cube_orders"] = (r.order_cube, r.order_cube_oracle())
+    # PIVOT with declared values (single-pass conditional aggregation)
+    reg["pivot_orders"] = (r.order_pivot, r.order_pivot_oracle())
     reg["semi_join_urgent_customers"] = (r.customers_with_urgent_orders, r.customers_with_urgent_orders_oracle())
     reg["anti_join_cascade_delete"] = (r.lineitems_after_order_delete, r.lineitems_after_order_delete_oracle())
     reg["hierarchy_join_rollup"] = (r.hierarchy_rollup, r.hierarchy_rollup_oracle())
