@@ -248,3 +248,46 @@ def test_pq_persisted_equals_in_process(spark, sf_dir):
         spark, sf_dir, pq.M_SUBSPACES, pq.KS_CODES, pq.LLOYD_ITERS
     )
     assert (reloaded == pq.train_codebooks(spark, sf_dir)).all()
+
+
+def test_asof_tie_semantics(spark, tmp_path):
+    """As-of tie discipline, pinned on a constructed frame: a click at the
+    SAME ts as the purchase matches (<= semantics) regardless of event_id
+    order, among ties the max click event_id wins, and a purchase with no
+    prior click gets NULLs."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vector_db_from_scratch_spark.operators.analytics import asof_last_click
+
+    base = dt.datetime(2026, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1: two clicks tied at t0 (ids 5 and 7), purchase id 6 at t0:
+        # click-before-purchase at equal ts => both match; max id 7 wins
+        (5, base, 1, "click"),
+        (7, base, 1, "click"),
+        (6, base, 1, "purchase"),
+        # user 2: purchase before any click -> NULL
+        (8, base, 2, "purchase"),
+        (9, base + dt.timedelta(minutes=1), 2, "click"),
+        # user 3: later click must not leak backward; nearest prior wins
+        (10, base, 3, "click"),
+        (11, base + dt.timedelta(minutes=5), 3, "purchase"),
+        (12, base + dt.timedelta(minutes=9), 3, "click"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = {
+        r["purchase_id"]: r["last_click_id"]
+        for r in asof_last_click(spark, str(tmp_path)).collect()
+    }
+    assert got == {6: 7, 8: None, 11: 10}
