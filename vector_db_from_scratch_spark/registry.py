@@ -718,6 +718,13 @@ def build() -> dict[str, Entry]:
         w.multiplex_counts_drained,
         w.multiplex_counts_drained_oracle(),
     )
+    # foreachBatch UPSERT sink: per-batch keyed merge into a parquet state
+    # table (atomic swap); final state == batch argmax under the gate
+    from .streaming import sinks as stream_sinks
+    reg["stream_upsert_drained"] = (
+        stream_sinks.upsert_sink_drained,
+        stream_sinks.upsert_sink_drained_oracle(),
+    )
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins
