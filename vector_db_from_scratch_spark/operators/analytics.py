@@ -308,22 +308,23 @@ ORDER BY event_type, hour
 
 
 # --------------------------------------------------------------------------
-# As-of join: each purchase matched to the user's LATEST click at or
-# before it -- the point-in-time correlation primitive (trade-vs-quote,
-# event-vs-model-version, impression-vs-attribution) the brief calls out
-# as a custom operator Spark lacks natively. Spark-first formulation: NO
-# range join, NO per-row subquery -- union both sides, ONE shuffle on
-# user_id, and a running last_value(ignorenulls) over the merged
-# event-time order fills the most recent click forward into each
-# purchase row. O(n log n_per_user) within partitions, skew-free on the
-# user key, exactly one exchange at any scale.
+# As-of LEFT join: each purchase matched to the user's LATEST click at or
+# before it, KEEPING purchases with no prior click as null-padded rows --
+# the outer form of relational.asof_purchase_click (which drops them) and
+# the one an attribution pipeline actually needs (unattributed purchases
+# are a reported class, not discarded rows). Also carries both event
+# times, so attribution lag is computable downstream. Same Spark-first
+# formulation: NO range join, NO per-row subquery -- union both sides,
+# ONE shuffle on user_id, and a running last_value(ignorenulls) over the
+# merged event-time order fills the most recent click forward.
 #
 # The oracle cross-validates against DuckDB's NATIVE ASOF LEFT JOIN -- an
 # independent implementation of the semantics, not a mirror of the window
 # algebra. Tie discipline (both engines): clicks sort before purchases at
 # equal ts (<= semantics), and among clicks tied on (user_id, ts) the max
 # event_id wins (the oracle dedups to that click; the window's ordering
-# makes it the last value seen).
+# makes it the last value seen). Pinned by tests/test_round3_ops.py::
+# test_asof_tie_semantics on a constructed frame.
 # --------------------------------------------------------------------------
 
 def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -297,11 +297,13 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all four grouping sets in one pass --
-    the full grouping-sets surface next to :func:`order_rollup`'s
-    hierarchy. GROUPING() ids disambiguate a NULL group value from a
-    subtotal row, so the hash compare is exact even if a grouping column
-    were nullable. One shuffle: Spark expands the cube map-side and
-    aggregates the expanded keys in a single exchange."""
+    completing the grouping surface next to :func:`order_rollup` (the
+    hierarchy prefix sets) and :func:`grouping_sets_orders` (explicit
+    sets via the spark.sql path). GROUPING() ids disambiguate a NULL
+    group value from a subtotal row, so the hash compare is exact even
+    if a grouping column were nullable. One shuffle: Spark expands the
+    cube map-side and aggregates the expanded keys in a single
+    exchange."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
@@ -329,12 +331,14 @@ PIVOT_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
 
 
 def order_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT: order counts per status spread across priority columns. The
-    pivot values are DECLARED (not discovered), so the plan is a single
-    hash aggregate of conditional counts -- one shuffle, no second pass to
-    enumerate distinct values, which is the form that scales (value
-    discovery at 100 TB is its own full scan). The oracle states the same
-    conditional aggregation explicitly."""
+    """The DataFrame ``pivot()`` OPERATOR with DECLARED values (the twin
+    :func:`order_status_pivot` states the same reshaping as manual
+    conditional aggregation -- this one exercises Spark's native pivot
+    path). Declared values matter at scale: without them pivot runs a
+    distinct-value discovery pass first, which at 100 TB is its own full
+    scan; with them the plan is a single hash aggregate of conditional
+    counts -- one shuffle. The oracle states the equivalent FILTERed
+    aggregation explicitly."""
     orders = load_table(spark, sf_dir, "orders")
     pv = (
         orders.groupBy("o_orderstatus")
@@ -607,21 +611,6 @@ ORDER BY p_brand, p_partkey
 # --------------------------------------------------------------------------
 # Cube + pivot-style conditional aggregation
 # --------------------------------------------------------------------------
-
-def order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-def order_cube_oracle() -> str:
-    return """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
-FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""".strip()
-
 
 def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-aggregation pivot (statuses to columns) -- expressed with
