@@ -445,3 +445,13 @@ def test_left_join_drained_emits_null_rows(spark, sf_dir):
     assert any(r["purchase_id"] is None for r in rows)
     assert any(r["purchase_id"] is not None for r in rows)
     assert all(r["user_id"] >= 0 for r in rows)
+
+
+def test_upsert_sink_deterministic(spark, sf_dir):
+    """Two independent drains (fresh state dirs) produce identical final
+    state -- the upsert merge is deterministic under replay."""
+    from vector_db_from_scratch_spark.streaming.sinks import upsert_sink_drained
+
+    a = [tuple(r) for r in upsert_sink_drained(spark, sf_dir).collect()]
+    b = [tuple(r) for r in upsert_sink_drained(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0

@@ -1,8 +1,12 @@
-"""foreachBatch sinks: the production pattern for streaming writes Spark
-has no native sink for -- each micro-batch runs an arbitrary BATCH job
-(merge/upsert, multi-table fan-out, JDBC) against the batch DataFrame.
+"""Streaming sinks: checkpointed parquet append and foreachBatch sinks --
+the production patterns for streaming writes Spark has no native sink
+for. The S7 analog for streams: exactly-once file-sink semantics come
+from the checkpoint (source offsets + file manifest); foreachBatch is
+the escape hatch -- each micro-batch arrives as a batch DataFrame with
+an epoch id for idempotence, against which arbitrary batch jobs run
+(merge/upsert, multi-table fan-out, JDBC).
 
-Here: a keyed UPSERT sink. Each micro-batch reduces to one row per
+The gated flagship is a keyed UPSERT sink. Each micro-batch reduces to one row per
 user_id (the latest event by (ts, event_id)) and merges it into a parquet
 state table -- insert new keys, replace beaten rows. After the drain, the
 state table must equal the batch "latest event per key" argmax, which is
@@ -25,6 +29,45 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .windows import events_stream
+
+
+def write_events_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """Checkpointed append of the raw stream to a parquet sink; returns the
+    query (caller drains/stops). Restart-safe: rerunning with the same
+    checkpoint emits nothing new for already-committed source files."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def aggregate_via_foreach_batch(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """foreachBatch: per-micro-batch custom sink logic (here: overwrite an
+    aggregate snapshot keyed by batch -- the idempotent-upsert shape)."""
+    ev = events_stream(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
 
 def _latest_per_key(df: DataFrame) -> DataFrame:
     """(user_id, m=struct(ts, event_id, event_type)) argmax reduction --
