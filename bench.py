@@ -173,6 +173,8 @@ def main() -> None:
         # events with shifted ids)
         "tpch_pricing_summary", "window_tumbling_events",
         "funnel_view_click_purchase", "skew_salted_agg",
+        # one-shuffle merged-stream as-of join over the replicated events
+        "join_asof_last_click",
         # streaming drain LAST, mirroring the main suite's stream-last
         # ordering: a stateful drain spins up state stores + streaming
         # python workers that poison subsequent batch timings in the same

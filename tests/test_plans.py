@@ -140,3 +140,17 @@ def test_dfcap_jaccard_broadcasts_rare_shingles(spark, sf_dir):
     plan = plan_string(ngram_jaccard_pairs_dfcap(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_user_shuffle(spark, sf_dir):
+    """The as-of join must stay the one-shuffle merged-stream form: no
+    range join (BroadcastNestedLoop/Cartesian), and at most the user_id
+    window exchange plus the presentation sort."""
+    from vector_db_from_scratch_spark.operators.analytics import asof_last_click
+    from vector_db_from_scratch_spark.plans import count_shuffles, plan_string
+
+    df = asof_last_click(spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_shuffles(df) <= 2, count_shuffles(df)
