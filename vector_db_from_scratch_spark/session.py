@@ -22,7 +22,14 @@ def get_spark(app_name: str = "vector-db-spark", cpus: int | None = None) -> Spa
     return (
         SparkSession.builder.master(master)
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
+        # overridable for robustness sweeps: every gated query must produce
+        # identical hashes at ANY partition count (the determinism contract
+        # forbids float-order-dependent results), and a deployment tunes
+        # this to its cluster
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+        )
         # pin the session zone: streaming event-time columns must be cast
         # NTZ->TIMESTAMP for watermarks, and only under UTC is that cast the
         # identity on rendered values (keeps stream twins equal to the
