@@ -1,0 +1,56 @@
+"""AST-level source-hygiene guards motivated by two real round-5 defects:
+a duplicate top-level `def` in an operator module silently shadowed the
+earlier one (Python last-def-wins, commit 17a92ec), and
+`reg["cube_orders"]` was assigned twice in registry.py (the first
+assignment lost without any error).  These tests pin the CLASS of bug,
+not just the instances."""
+
+import ast
+import pathlib
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+PKG = pathlib.Path("/root/repo/vector_db_from_scratch_spark")
+
+
+def _module_files():
+    return [p for p in PKG.rglob("*.py") if "__pycache__" not in p.parts]
+
+
+def test_no_duplicate_top_level_defs():
+    offenders = {}
+    for path in _module_files():
+        tree = ast.parse(path.read_text(), filename=str(path))
+        names = Counter(
+            node.name
+            for node in tree.body
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
+        )
+        dupes = sorted(n for n, c in names.items() if c > 1)
+        if dupes:
+            offenders[str(path.relative_to(PKG))] = dupes
+    assert not offenders, f"shadowed top-level defs: {offenders}"
+
+
+def test_no_duplicate_registry_keys():
+    """Every literal `reg["name"] = ...` in registry.build() must be unique —
+    a repeat silently overwrites the earlier entry."""
+    tree = ast.parse((PKG / "registry.py").read_text())
+    keys = Counter()
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Assign):
+            continue
+        for tgt in node.targets:
+            if (
+                isinstance(tgt, ast.Subscript)
+                and isinstance(tgt.value, ast.Name)
+                and tgt.value.id == "reg"
+                and isinstance(tgt.slice, ast.Constant)
+                and isinstance(tgt.slice.value, str)
+            ):
+                keys[tgt.slice.value] += 1
+    dupes = sorted(k for k, c in keys.items() if c > 1)
+    assert not dupes, f"registry keys assigned more than once: {dupes}"
+    assert len(keys) > 150, "registry literal-key scan lost its subject"

@@ -136,9 +136,15 @@ def _reorder(reg: dict[str, Entry]) -> dict[str, Entry]:
     ]
     for n in _interleave_families(fresh):
         out[n] = reg[n]
-    for n, e in reg.items():
-        if n not in out and e[1] is not None:
-            out[n] = e
+    # Family-interleave the already-verified remainder too: when the fresh
+    # pool shrinks below the driver's ~50-entry window, the tail would
+    # otherwise fill with a registration-ordered run of one family
+    # (VERDICT r5: 14 consecutive knn_* broke the family cap).
+    verified_gated = [
+        n for n, e in reg.items() if n not in out and e[1] is not None
+    ]
+    for n in _interleave_families(verified_gated):
+        out[n] = reg[n]
     for n, e in reg.items():
         if n not in out:
             out[n] = e
@@ -241,7 +247,6 @@ def build() -> dict[str, Entry]:
     reg["filter_events_json"] = (r.events_json_filter, r.events_json_filter_oracle())
     reg["tpch_revenue_forecast"] = (r.revenue_forecast, r.revenue_forecast_oracle())
     reg["tpch_min_cost_parts"] = (r.min_cost_parts, r.min_cost_parts_oracle())
-    reg["cube_orders"] = (r.order_cube, r.order_cube_oracle())
     reg["pivot_order_status"] = (r.order_status_pivot, r.order_status_pivot_oracle())
     reg["set_intersect_customers"] = (r.building_and_urgent, r.building_and_urgent_oracle())
     reg["set_except_customers"] = (r.building_without_urgent, r.building_without_urgent_oracle())
