@@ -132,7 +132,14 @@ def _lloyd_partials(c64: "np.ndarray"):
 
         for pdf in it:
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            d2 = ((m[:, None, :] - c64[None, :, :]) ** 2).sum(axis=2)
+            # round d^2 to 6dp BEFORE the argmin (same contract as the
+            # distance kernels): NumPy's axis-2 sum and the oracle's
+            # sequential list_sum disagree in the last ulps, so an
+            # unrounded argmin can flip between near-equidistant
+            # centroids on summation order alone (VERDICT r6 defect 1);
+            # after rounding, near-ties become exact ties resolved by
+            # the shared lowest-cell rule
+            d2 = np.round(((m[:, None, :] - c64[None, :, :]) ** 2).sum(axis=2), 6)
             assign = d2.argmin(axis=1)  # ties -> lowest cell, like the SQL twin
             cells = np.unique(assign)
             yield pd.DataFrame(
@@ -175,9 +182,12 @@ def kmeans_iter1_sizes(
 
 
 def kmeans_iter1_sizes_oracle(n_cells: int = NUM_CELLS) -> str:
-    """Raw (unrounded) squared euclidean argmin, ties to the lowest cell --
-    exactly the kernel's comparison (it argmins d^2; sqrt is monotone)."""
-    d2 = "list_sum(list_transform(list_zip(e.v, c.cv), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    """Squared euclidean argmin over 6dp-ROUNDED d^2, ties to the lowest
+    cell -- exactly the kernel's comparison (it argmins rounded d^2; sqrt
+    is monotone). Rounding both sides makes the tie rule
+    exact-by-construction instead of summation-order-dependent."""
+    d2 = ("round(list_sum(list_transform(list_zip(e.v, c.cv), "
+          "z -> (z[1] - z[2]) * (z[1] - z[2]))), 6)")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings

@@ -216,6 +216,47 @@ def extract_features(spark: SparkSession, sf_dir: str, bins: int = 16) -> DataFr
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def extract_features_gated(spark: SparkSession, sf_dir: str, bins: int = 16) -> DataFrame:
+    """The feature-extraction kernel under the hash gate: same decode +
+    histogram + mean computation as ``extract_features``, with the two
+    non-hashable columns canonicalized for the driver's comparator --
+    ``byte_mean`` rounded to 6dp (Spark F.round HALF_UP == DuckDB round on
+    identical doubles; both sides divide the exact integer byte sum by the
+    exact count, so the doubles ARE identical) and ``hist`` serialized to
+    its JSON string (integer-exact, pins every bin count byte-for-byte)."""
+    feats = extract_features(spark, sf_dir, bins=bins)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.col("byte_mean"), 6).alias("byte_mean"),
+        F.to_json("hist").alias("hist"),
+    ).orderBy("media_id")
+
+
+def extract_features_oracle(bins: int = 16) -> str:
+    """Recompute decode-layer features straight from the text: n_bytes =
+    char count, byte_mean = exact ascii sum / count rounded 6dp, hist =
+    per-16-wide-bin char counts as the same JSON string Spark's to_json
+    emits. Catches a mis-parsed container (wrong sample set), a binning
+    off-by-one, and a mean computed over the wrong denominator."""
+    kinds = ", ".join(f"'{k}'" for k in KINDS)
+    width = 256 // bins
+    return f"""
+SELECT doc_id AS media_id,
+       ([{kinds}])[(doc_id % 3 + 1)::INT] AS kind,
+       length(text)::BIGINT AS n_bytes,
+       round(list_sum(list_transform(range(1, length(text) + 1),
+                      i -> ascii(substr(text, i::INT, 1)))) / length(text), 6) AS byte_mean,
+       to_json(list_transform(range(0, {bins}),
+               b -> coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                    i -> CASE WHEN ascii(substr(text, i::INT, 1)) // {width} = b
+                         THEN 1 ELSE 0 END)), 0)::BIGINT))::VARCHAR AS hist
+FROM documents
+ORDER BY media_id
+""".strip()
+
+
 def sample_frames(spark: SparkSession, sf_dir: str, stride: int = 64) -> DataFrame:
     """One-to-many frame sampling (the video path): every stride-th byte
     becomes a 'frame' row -- the mapInPandas shape for real frame extraction."""
@@ -234,6 +275,23 @@ def sample_frames(spark: SparkSession, sf_dir: str, stride: int = 64) -> DataFra
             )
 
     return media.mapInPandas(frames, FRAME_SCHEMA)
+
+
+def sample_frames_oracle(stride: int = 64) -> str:
+    """Frame sampling is all-integer, so the one-to-many explosion is
+    directly SQL-expressible: video payloads decode back to the text
+    bytes, frame j is the byte at position j*stride (0-based), and there
+    are ceil(n/stride) frames. A wrong stride, a dropped tail frame, or a
+    frame byte read from the container header instead of the decoded
+    plane all hash-mismatch."""
+    return f"""
+SELECT doc_id AS media_id,
+       i::BIGINT AS frame_idx,
+       ascii(substr(text, (i * {stride} + 1)::INT, 1))::BIGINT AS frame_byte
+FROM documents, UNNEST(range(0, (length(text) + {stride - 1}) // {stride})) AS t(i)
+WHERE doc_id % 3 = 2
+ORDER BY media_id, frame_idx
+""".strip()
 
 
 RESIZE_TARGET = 16

@@ -397,9 +397,18 @@ def build() -> dict[str, Entry]:
 
     # --- multimodal binary plumbing + skew mitigation ---
     reg["multimodal_binary_stats"] = (multimodal.binary_stats, multimodal.binary_stats_oracle())
-    # mapInPandas feature extraction: not SQL-expressible -> rows-only check
-    reg["multimodal_features"] = (_scalarize(multimodal.extract_features), None)
-    reg["multimodal_frame_sample"] = (multimodal.sample_frames, None)
+    # mapInPandas feature extraction, hash-GATED (round 7): byte_mean
+    # rounded 6dp both sides, hist pinned as its JSON string -- the last
+    # two kernels whose correctness rested on pytest alone now have
+    # integer-exact oracles (VERDICT r6 item 1)
+    reg["multimodal_features"] = (
+        multimodal.extract_features_gated,
+        multimodal.extract_features_oracle(),
+    )
+    reg["multimodal_frame_sample"] = (
+        multimodal.sample_frames,
+        multimodal.sample_frames_oracle(),
+    )
     reg["multimodal_blob_dedup"] = (multimodal.blob_dedup, multimodal.blob_dedup_oracle())
     # the resize kernel (Arrow/NumPy gather) under the gate byte-for-byte
     reg["multimodal_resize"] = (multimodal.resize_media, multimodal.resize_media_oracle())
