@@ -7,12 +7,9 @@ not just the instances."""
 
 import ast
 import pathlib
-import sys
 from collections import Counter
 
-sys.path.insert(0, "/root/repo")
-
-PKG = pathlib.Path("/root/repo/vector_db_from_scratch_spark")
+PKG = pathlib.Path(__file__).resolve().parent.parent / "vector_db_from_scratch_spark"
 
 
 def _module_files():
@@ -35,11 +32,17 @@ def test_no_duplicate_top_level_defs():
 
 
 def test_no_duplicate_registry_keys():
-    """Every literal `reg["name"] = ...` in registry.build() must be unique —
-    a repeat silently overwrites the earlier entry."""
+    """Every literal `reg["name"] = ...` inside registry.build() must be
+    unique — a repeat silently overwrites the earlier entry. The scan is
+    scoped to the build() function so an unrelated helper that reassigns
+    a local `reg[...]` cannot false-positive."""
     tree = ast.parse((PKG / "registry.py").read_text())
+    build = next(
+        node for node in tree.body
+        if isinstance(node, ast.FunctionDef) and node.name == "build"
+    )
     keys = Counter()
-    for node in ast.walk(tree):
+    for node in ast.walk(build):
         if not isinstance(node, ast.Assign):
             continue
         for tgt in node.targets:

@@ -28,10 +28,20 @@ def test_rotation_prioritizes_never_verified():
             "without a green driver row"
         )
 
-    n_rows_only = sum(1 for e in reg.values() if e[1] is None)
-    assert all(reg[n][1] is None for n in names[-n_rows_only:]), (
-        "rows-only entries sort last"
-    )
+    # never-driver-recorded rows-only entries rotate in right after the
+    # fresh gated pool (VERDICT r6 item 6: two persisted-ANN paths had
+    # never appeared in any window); once recorded they sort last
+    rows_only_never = {n for n in rest if n not in seen and reg[n][1] is None}
+    if rows_only_never:
+        start = len(gated_never)
+        assert set(rest[start : start + len(rows_only_never)]) == rows_only_never, (
+            "never-recorded rows-only entries follow the fresh gated pool"
+        )
+    rows_only_seen = [n for n in names if reg[n][1] is None and n in seen]
+    if rows_only_seen:
+        assert all(
+            reg[n][1] is None for n in names[-len(rows_only_seen):]
+        ), "already-recorded rows-only entries sort last"
 
 
 def test_rotation_interleaves_families():

@@ -793,6 +793,56 @@ FROM flat
 """.strip()
 
 
+def ivf_persisted_equality(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Deterministic equality VERDICT between the trained probe and the
+    same probe served from the persisted artifact -- the driver-gateable
+    signal for the two rows-only persisted paths (VERDICT r6 item 6).
+    Both sides run the identical :func:`_probe_trained` plan over the
+    identical float32 centroids (parquet round-trips float32 bit-exactly),
+    so (vec_id, distance) rows must match 1:1; the gate row carries the
+    counts and the boolean, which the oracle asserts closed-form."""
+    inproc = ivf_knn_trained(
+        spark, sf_dir, metric, k=k, query_vec_id=query_vec_id
+    ).select("vec_id", "distance")
+    disk = ivf_trained_persisted_knn(
+        spark, sf_dir, metric, k=k, query_vec_id=query_vec_id
+    ).select("vec_id", "distance")
+    return (
+        inproc.agg(F.count(F.lit(1)).alias("n_inproc"))
+        .crossJoin(disk.agg(F.count(F.lit(1)).alias("n_persisted")))
+        .crossJoin(
+            inproc.join(disk, ["vec_id", "distance"]).agg(
+                F.count(F.lit(1)).alias("n_equal")
+            )
+        )
+        .select(
+            F.lit(k).alias("k"),
+            "n_inproc",
+            "n_persisted",
+            (
+                (F.col("n_equal") == F.col("n_inproc"))
+                & (F.col("n_inproc") == F.col("n_persisted"))
+            ).alias("all_equal"),
+        )
+    )
+
+
+def persisted_equality_oracle(k: int = 10) -> str:
+    """The probe returns exactly k rows at every gate SF (pool >= k), and
+    the persisted round trip is bit-exact, so the verdict row is
+    closed-form: any dropped row, extra row, or diverging distance flips
+    a count or the boolean and hash-mismatches."""
+    return f"""
+SELECT {k} AS k, {k} AS n_inproc, {k} AS n_persisted, true AS all_equal
+""".strip()
+
+
 def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index introspection: per-cell occupancy of the IVF assignment --
     the IVF twin of lsh.bucket_stats (persisted index metadata, S10

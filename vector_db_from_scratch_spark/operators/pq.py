@@ -551,6 +551,45 @@ def ivfpq_recall(
     return _recall_verdict(exact, approx, k)
 
 
+def pq_persisted_equality(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Deterministic equality VERDICT between the in-process ADC+rerank
+    probe and the same probe served from the persisted codebooks/codes
+    artifact (ivf.ivf_persisted_equality twin; VERDICT r6 item 6). The
+    float32 codebooks and the integer codes round-trip parquet bit-exactly,
+    so both probes must emit identical (vec_id, distance) rows; the oracle
+    asserts the counts and the boolean closed-form."""
+    inproc = pq_knn(
+        spark, sf_dir, metric, k=k, query_vec_id=query_vec_id
+    ).select("vec_id", "distance")
+    disk = pq_persisted_knn(
+        spark, sf_dir, metric, k=k, query_vec_id=query_vec_id
+    ).select("vec_id", "distance")
+    return (
+        inproc.agg(F.count(F.lit(1)).alias("n_inproc"))
+        .crossJoin(disk.agg(F.count(F.lit(1)).alias("n_persisted")))
+        .crossJoin(
+            inproc.join(disk, ["vec_id", "distance"]).agg(
+                F.count(F.lit(1)).alias("n_equal")
+            )
+        )
+        .select(
+            F.lit(k).alias("k"),
+            "n_inproc",
+            "n_persisted",
+            (
+                (F.col("n_equal") == F.col("n_inproc"))
+                & (F.col("n_inproc") == F.col("n_persisted"))
+            ).alias("all_equal"),
+        )
+    )
+
+
 def trained_recall_oracle(metric: str = "cosine", k: int = 10, query_vec_id: int = 0) -> str:
     from .knn import flat_knn_oracle
 

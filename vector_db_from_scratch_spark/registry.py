@@ -136,6 +136,17 @@ def _reorder(reg: dict[str, Entry]) -> dict[str, Entry]:
     ]
     for n in _interleave_families(fresh):
         out[n] = reg[n]
+    # Never-driver-recorded ROWS-ONLY entries come next (VERDICT r6 item 6:
+    # ivf_trained_persisted_knn / pq_persisted_knn had never appeared in
+    # any window because rows-only sorted last unconditionally). A rows-only
+    # row is a weaker check, but "rows_match recorded once" beats "no driver
+    # row of any kind"; once recorded they fall back behind the gated pool.
+    fresh_rows_only = [
+        n for n, e in reg.items()
+        if n not in out and n not in seen and e[1] is None
+    ]
+    for n in _interleave_families(fresh_rows_only):
+        out[n] = reg[n]
     # Family-interleave the already-verified remainder too: when the fresh
     # pool shrinks below the driver's ~50-entry window, the tail would
     # otherwise fill with a registration-ordered run of one family
@@ -331,6 +342,12 @@ def build() -> dict[str, Entry]:
         ),
         None,
     )
+    # persisted-vs-in-process equality as a deterministic VERDICT row
+    # (the hash-gated signal for the rows-only persisted path above)
+    reg["ann_equal_ivf_persisted"] = (
+        lambda spark, sf: ivf.ivf_persisted_equality(spark, sf, "cosine", k=10, query_vec_id=0),
+        ivf.persisted_equality_oracle(k=10),
+    )
     reg["pq_knn_rerank"] = (
         lambda spark, sf: pq.pq_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         None,
@@ -340,6 +357,11 @@ def build() -> dict[str, Entry]:
     reg["pq_persisted_knn"] = (
         lambda spark, sf: pq.pq_persisted_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         None,
+    )
+    # persisted-vs-in-process equality verdict (ann_equal_ivf_persisted twin)
+    reg["ann_equal_pq_persisted"] = (
+        lambda spark, sf: pq.pq_persisted_equality(spark, sf, "cosine", k=10, query_vec_id=0),
+        ivf.persisted_equality_oracle(k=10),
     )
     # accounting is centroid-independent integers -> fully gated
     reg["pq_code_sizes"] = (
