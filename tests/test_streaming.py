@@ -455,3 +455,30 @@ def test_upsert_sink_deterministic(spark, sf_dir):
     a = [tuple(r) for r in upsert_sink_drained(spark, sf_dir).collect()]
     b = [tuple(r) for r in upsert_sink_drained(spark, sf_dir).collect()]
     assert a == b and len(a) > 0
+
+
+def test_upsert_sink_versioned_pointer_swap(tmp_path, spark):
+    """The upsert sink's atomicity mechanism: each committed version is a
+    complete directory, CURRENT always names one that exists (never a
+    missing path mid-swap), and GC keeps exactly the new version plus its
+    immediate predecessor as the in-flight-reader grace window."""
+    import os
+
+    from vector_db_from_scratch_spark.streaming.sinks import (
+        _commit_version,
+        current_state_path,
+    )
+
+    root = str(tmp_path)
+    assert current_state_path(root) is None
+    for batch_id in range(4):
+        vdir = os.path.join(root, f"v{batch_id}")
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "_SUCCESS"), "w"):
+            pass
+        _commit_version(root, vdir, batch_id)
+        cur = current_state_path(root)
+        assert cur == vdir and os.path.exists(cur)
+        versions = sorted(n for n in os.listdir(root) if n.startswith("v"))
+        expect = [f"v{i}" for i in (batch_id - 1, batch_id) if i >= 0]
+        assert versions == expect, versions

@@ -18,8 +18,13 @@ container -- plain parquet swap stands in, same dataflow).
 Scale notes: the per-batch merge is one groupBy on user_id (the batch
 side, small) + one outer-join-shaped combine against the state table;
 with a table format this is MERGE INTO with file skipping on the key.
-The swap is atomic via rename, so a concurrent reader sees old or new
-state, never a torn write.
+Each batch writes a NEW versioned directory and then atomically renames
+a pointer file (CURRENT) over the old one, so a concurrent reader that
+resolves the pointer sees a complete old or new snapshot -- there is no
+instant with no state path (the defect of the previous two-rename swap).
+The immediately-previous version is retained until the next swap as a
+grace window for in-flight readers; a table format's snapshot GC is the
+production form of the same idea.
 """
 
 from __future__ import annotations
@@ -78,23 +83,52 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
     )
 
 
+def current_state_path(state_root: str) -> str | None:
+    """Resolve the live snapshot directory via the CURRENT pointer file;
+    None before the first committed version."""
+    ptr = os.path.join(state_root, "CURRENT")
+    try:
+        with open(ptr) as fh:
+            return os.path.join(state_root, fh.read().strip())
+    except OSError:
+        return None
+
+
+def _commit_version(state_root: str, version_dir: str, batch_id: int) -> None:
+    """Atomically repoint CURRENT at ``version_dir`` (rename over an
+    existing file is atomic on POSIX), then GC every version except the
+    new one and its immediate predecessor -- the grace window for readers
+    that resolved the pointer just before the swap."""
+    ptr = os.path.join(state_root, "CURRENT")
+    tmp_ptr = ptr + f".tmp-{batch_id}"
+    with open(tmp_ptr, "w") as fh:
+        fh.write(os.path.basename(version_dir))
+    os.rename(tmp_ptr, ptr)
+    keep = {os.path.basename(version_dir), f"v{batch_id - 1}"}
+    for name in os.listdir(state_root):
+        if name.startswith("v") and name not in keep:
+            shutil.rmtree(os.path.join(state_root, name), ignore_errors=True)
+
+
 def upsert_sink_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the replayed events stream through a foreachBatch upsert into
-    a parquet state table; return the final state (latest event per user),
-    gated against the batch argmax oracle."""
+    a versioned parquet state table (CURRENT-pointer swap, see module
+    docstring); return the final state (latest event per user), gated
+    against the batch argmax oracle."""
     from ..sources.artifacts import scratch_dir
     from .joins import _left_join_replay_dir
     from .windows import drain_conf, events_stream_from
 
     replay = _left_join_replay_dir(spark, sf_dir)  # memoized slices + sentinels
-    state = os.path.join(scratch_dir("upsert-state-"), "state")
+    state_root = scratch_dir("upsert-state-")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         # sentinels (user_id < 0) are watermark fuel for the join drain
         # that shares this replay dir; the upsert ignores them
         batch_latest = _latest_per_key(batch_df.filter(F.col("user_id") >= 0))
-        if os.path.exists(os.path.join(state, "_SUCCESS")):
-            cur = batch_df.sparkSession.read.parquet(state)
+        cur_path = current_state_path(state_root)
+        if cur_path is not None:
+            cur = batch_df.sparkSession.read.parquet(cur_path)
             merged = _latest_per_key(
                 cur.unionByName(batch_latest).select(
                     "user_id", F.col("m.ts").alias("ts"),
@@ -104,13 +138,9 @@ def upsert_sink_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             merged = batch_latest
-        tmp = state + f".tmp-{batch_id}"
-        merged.coalesce(4).write.mode("overwrite").parquet(tmp)
-        old = state + f".old-{batch_id}"
-        if os.path.exists(state):
-            os.rename(state, old)
-        os.rename(tmp, state)  # atomic swap: readers see old or new, never torn
-        shutil.rmtree(old, ignore_errors=True)
+        version_dir = os.path.join(state_root, f"v{batch_id}")
+        merged.coalesce(4).write.mode("overwrite").parquet(version_dir)
+        _commit_version(state_root, version_dir, batch_id)
 
     ev = events_stream_from(spark, replay, files_per_trigger=1)
     with drain_conf(spark):
@@ -121,7 +151,7 @@ def upsert_sink_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
-    final = spark.read.parquet(state)
+    final = spark.read.parquet(current_state_path(state_root))
     return final.select(
         "user_id",
         F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
