@@ -449,12 +449,28 @@ def test_left_join_drained_emits_null_rows(spark, sf_dir):
 
 def test_upsert_sink_deterministic(spark, sf_dir):
     """Two independent drains (fresh state dirs) produce identical final
-    state -- the upsert merge is deterministic under replay."""
+    state -- the upsert merge is deterministic under replay. Uses the
+    UNDECORATED drain (__wrapped__): the registry-facing form memoizes per
+    (application, sf_dir), which would make a second call vacuous here."""
     from vector_db_from_scratch_spark.streaming.sinks import upsert_sink_drained
 
-    a = [tuple(r) for r in upsert_sink_drained(spark, sf_dir).collect()]
-    b = [tuple(r) for r in upsert_sink_drained(spark, sf_dir).collect()]
+    drain = upsert_sink_drained.__wrapped__
+    a = [tuple(r) for r in drain(spark, sf_dir).collect()]
+    b = [tuple(r) for r in drain(spark, sf_dir).collect()]
     assert a == b and len(a) > 0
+
+
+def test_memoized_drain_repeat_reads_pinned_result(spark, sf_dir):
+    """The drain memo returns the SAME pinned result object on repeat
+    calls (the continuous-query-sink discipline) and the pinned rows
+    still equal a fresh re-execution of the engine."""
+    from vector_db_from_scratch_spark.streaming.windows import counter_drained
+
+    first = counter_drained(spark, sf_dir)
+    again = counter_drained(spark, sf_dir)
+    assert first is again
+    fresh = counter_drained.__wrapped__(spark, sf_dir)
+    assert [tuple(r) for r in first.collect()] == [tuple(r) for r in fresh.collect()]
 
 
 def test_upsert_sink_versioned_pointer_swap(tmp_path, spark):

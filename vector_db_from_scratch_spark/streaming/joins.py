@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators import _memo
 from ..sources.tables import load_table
-from .windows import events_stream
+from .windows import events_stream, memoize_drain
 
 WINDOW = "10 minutes"
 
@@ -81,6 +81,7 @@ def run_join_once(spark: SparkSession, sf_dir: str, name: str = "t_ssjoin") -> D
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@memoize_drain
 def click_purchase_join_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL stream-stream interval join (two watermarked sides, bounded
     join state) drained through an append-mode memory sink and put under
@@ -178,6 +179,7 @@ def _left_join_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     return _LEFT_REPLAY_MEMO[key]
 
 
+@memoize_drain
 def click_purchase_left_join_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermarked LEFT OUTER interval join drained under the gate:
     every click row appears once per purchase within its 10-minute window,

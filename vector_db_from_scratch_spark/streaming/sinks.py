@@ -35,7 +35,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windows import events_stream
+from .windows import events_stream, memoize_drain
 
 
 def write_events_parquet(
@@ -110,6 +110,7 @@ def _commit_version(state_root: str, version_dir: str, batch_id: int) -> None:
             shutil.rmtree(os.path.join(state_root, name), ignore_errors=True)
 
 
+@memoize_drain
 def upsert_sink_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the replayed events stream through a foreachBatch upsert into
     a versioned parquet state table (CURRENT-pointer swap, see module

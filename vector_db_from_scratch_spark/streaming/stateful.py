@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .windows import events_stream
+from .windows import events_stream, memoize_drain
 
 OUTPUT_SCHEMA = "user_id long, event_type string, first_event_id long, n long"
 STATE_SCHEMA = "first_event_id long, n long"
@@ -87,6 +87,7 @@ def run_first_event_once(spark: SparkSession, sf_dir: str, name: str = "t_first"
     return spark.sql(f"SELECT * FROM {name}")
 
 
+@memoize_drain
 def first_event_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom stateful operator under the oracle gate: drain the
     applyInPandasWithState stream, then take each key's FINAL state (update
