@@ -1,0 +1,63 @@
+"""Bloom-filter join pruning: semantics + plan shape.
+
+The oracle gate pins exact values (tools/check.py); these tests pin the
+INVARIANTS that make the operator a correct runtime filter -- no false
+negatives, bounded false-positive rate at the 10-bits/key sizing, a
+non-negative packed bitmap, and broadcast (never shuffled) membership
+probes.
+"""
+
+import pyspark.sql.functions as F
+
+from vector_db_from_scratch_spark.operators import bloom
+from vector_db_from_scratch_spark.plans import plan_string
+from vector_db_from_scratch_spark.sources.tables import load_table
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """revenue/count through the Bloom pre-filter + exact re-check must
+    equal the plain semi-join: a Bloom filter can only over-approximate."""
+    row = bloom.bloom_prefiltered_join(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    plain = li.join(
+        F.broadcast(keys), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    ).count()
+    assert row["n_exact"] == plain
+    assert row["false_positives"] >= 0
+    assert row["n_prefilter"] == row["n_exact"] + row["false_positives"]
+
+
+def test_bloom_false_positive_rate_bounded(spark, sf_dir):
+    """At ~10 bits/key with K=3 the theoretical fp rate is ~1.7%; assert
+    an order-of-magnitude guard so a sizing or hashing regression (which
+    would push the filter toward all-pass) fails loudly."""
+    row = bloom.bloom_prefiltered_join(spark, sf_dir).collect()[0]
+    li_total = load_table(spark, sf_dir, "lineitem").count()
+    non_members = li_total - row["n_exact"]
+    if non_members:
+        assert row["false_positives"] / non_members < 0.2
+
+
+def test_bloom_bitmap_packing(spark, sf_dir):
+    """Words are non-negative (63-bit packing), word indexes are inside
+    the sized filter, and total set bits never exceed K * n_keys."""
+    rows = bloom.bloom_bitmap(spark, sf_dir).collect()
+    stats = bloom.bloom_prefiltered_join(spark, sf_dir).collect()[0]
+    assert rows, "empty bitmap"
+    assert all(r["word"] > 0 for r in rows)
+    assert all(0 <= r["word_idx"] < stats["m_bits"] // bloom.BITS_PER_WORD for r in rows)
+    set_bits = sum(bin(r["word"]).count("1") for r in rows)
+    assert 0 < set_bits <= bloom.K_HASHES * stats["n_keys"]
+
+
+def test_bloom_membership_probes_broadcast(spark, sf_dir):
+    """The K membership probes must be broadcast left-semi joins -- the
+    fact table may not shuffle before it is pruned."""
+    plan = plan_string(bloom.bloom_prefiltered_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("LeftSemi") >= bloom.K_HASHES + 1

@@ -1,0 +1,186 @@
+"""Bloom-filter join pruning: the explicit, gate-checkable form of the
+runtime-filter / dynamic-partition-pruning lever that carries selective
+big-fact joins at 100 TB.
+
+The pattern: a selective predicate lands on a dimension (here urgent
+orders); instead of shuffling the full fact table into the semi-join, a
+Bloom filter of the surviving dimension keys is BROADCAST and the fact is
+pre-filtered by membership before any exchange -- false positives are
+re-checked by the exact join, false negatives are impossible, so the
+result is identical to the plain semi-join while the shuffle carries only
+the Bloom survivors. Spark applies this implicitly via runtime row-group
+filters / DPP on partitioned tables; this module makes the mechanism
+explicit and puts BOTH the filter's bitmap and the end-to-end pruned join
+under the DuckDB-oracle gate (the false-positive count is part of the
+gated row, so the filter's quality is measured every round, not assumed).
+
+Portability: bit positions come from the repo's md5-derived 60-bit hash
+(functions/hashing.py -- bit-equal in both engines), the bitmap packs 63
+bits per BIGINT word (shifts stay in non-negative territory in Java and
+DuckDB alike), and the filter is sized at ~10 bits/key with pure integer
+arithmetic both engines reproduce exactly: m = 63 * ((10*n + 62) // 63).
+
+Scale posture: build = one scan of the filtered dimension emitting
+(word_idx, word) partial aggregates (<= m/63 rows per partition);
+membership = K broadcast left-semi joins against the <= 3n-row position
+set (no fact-row explosion, no regroup); the fact table never shuffles
+until after pruning. At a billion keys the same plan ships the bitmap as
+a broadcast variable; the position-set join here is the bounded local
+stand-in with the identical plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+from ..sources.tables import load_table
+from .relational import dsum, osum
+
+K_HASHES = 3
+BITS_PER_WORD = 63  # keep shifted words non-negative in both engines
+BITS_PER_KEY = 10  # ~1.7% false-positive rate at K=3
+
+
+def _m_bits(n_keys: int) -> int:
+    return BITS_PER_WORD * ((BITS_PER_KEY * n_keys + BITS_PER_WORD - 1) // BITS_PER_WORD)
+
+
+def _urgent_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+
+
+def _pos_expr(key, i: int, m_bits: int):
+    """Bit position of hash i for a key column -- md5-derived, mod m."""
+    return hash60(F.concat(key.cast("string"), F.lit(f"#bloom{i}"))) % m_bits
+
+
+def _pos_sql(expr: str, i: int) -> str:
+    """DuckDB twin of :func:`_pos_expr`; ``m`` comes from the params CTE."""
+    hashed = hash60_sql(expr + f" || '#bloom{i}'")
+    return f"({hashed} % (SELECT m FROM params))"
+
+
+_ORACLE_PARAMS = f"""
+urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+params AS (SELECT {BITS_PER_WORD} * (({BITS_PER_KEY} * count(*) + {BITS_PER_WORD - 1})
+                                     // {BITS_PER_WORD}) AS m
+           FROM urgent)
+""".strip()
+
+
+def _positions_df(keys: DataFrame, m_bits: int) -> DataFrame:
+    """One ``pos`` row per (key, hash): the Bloom filter as a position set."""
+    return keys.select(
+        F.explode(
+            F.array(*[_pos_expr(F.col("o_orderkey"), i, m_bits) for i in range(K_HASHES)])
+        ).alias("pos")
+    )
+
+
+def bloom_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter's packed bitmap as a (word_idx, word) table -- the
+    artifact a cluster run broadcasts. Build is one narrow scan + one
+    aggregation on word_idx (partial bit_or map-side); only set words are
+    emitted. Fully hash-gated: a wrong hash, modulus, packing width, or
+    sizing rule flips a word."""
+    keys = _urgent_keys(spark, sf_dir)
+    m_bits = _m_bits(keys.count())
+    pos = _positions_df(keys, m_bits)
+    return (
+        pos.select(
+            F.expr(f"pos div {BITS_PER_WORD}").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(pos % {BITS_PER_WORD} as int))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("word"))
+        .orderBy("word_idx")
+    )
+
+
+def bloom_bitmap_oracle() -> str:
+    hashes = ", ".join(_pos_sql("o_orderkey::VARCHAR", i) for i in range(K_HASHES))
+    return f"""
+WITH {_ORACLE_PARAMS},
+pos AS (SELECT pos FROM (SELECT unnest([{hashes}]) AS pos FROM urgent))
+SELECT pos // {BITS_PER_WORD} AS word_idx,
+       bit_or(1::BIGINT << (pos % {BITS_PER_WORD})::INT) AS word
+FROM pos
+GROUP BY word_idx
+ORDER BY word_idx
+""".strip()
+
+
+def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Bloom-pruned semi-join, gated with its false-positive
+    accounting: lineitem rows pass the K membership probes (broadcast
+    left-semi joins against the position set -- set bit <=> position
+    present, the exact bitmap semantics without driver-side bit math),
+    then the exact semi-join against the urgent keys removes the false
+    positives. revenue_exact must equal the plain semi-join's revenue (no
+    false negatives possible); n_prefilter - n_exact IS the measured
+    false-positive mass, recorded in the gated row."""
+    keys = _urgent_keys(spark, sf_dir)
+    m_bits = _m_bits(keys.count())
+    bits = _positions_df(keys, m_bits).distinct()
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pre = li
+    for i in range(K_HASHES):
+        pre = pre.join(
+            F.broadcast(bits),
+            _pos_expr(F.col("l_orderkey"), i, m_bits) == F.col("pos"),
+            "left_semi",
+        )
+    exact = pre.join(
+        F.broadcast(keys), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    return (
+        keys.agg(F.count(F.lit(1)).alias("n_keys"))
+        .crossJoin(pre.agg(F.count(F.lit(1)).alias("n_prefilter")))
+        .crossJoin(
+            exact.agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "revenue_exact"
+                ),
+            )
+        )
+        .select(
+            "n_keys",
+            F.lit(m_bits).alias("m_bits"),
+            "n_prefilter",
+            "n_exact",
+            (F.col("n_prefilter") - F.col("n_exact")).alias("false_positives"),
+            "revenue_exact",
+        )
+    )
+
+
+def bloom_prefiltered_join_oracle() -> str:
+    bits_member = " AND ".join(
+        f"{_pos_sql('l_orderkey::VARCHAR', i)} IN (SELECT pos FROM bits)"
+        for i in range(K_HASHES)
+    )
+    hashes = ", ".join(_pos_sql("o_orderkey::VARCHAR", i) for i in range(K_HASHES))
+    return f"""
+WITH {_ORACLE_PARAMS},
+bits AS (SELECT DISTINCT pos FROM (SELECT unnest([{hashes}]) AS pos FROM urgent)),
+pre AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+        WHERE {bits_member}),
+ex AS (SELECT * FROM pre WHERE l_orderkey IN (SELECT o_orderkey FROM urgent))
+SELECT (SELECT count(*) FROM urgent) AS n_keys,
+       (SELECT m FROM params) AS m_bits,
+       (SELECT count(*) FROM pre) AS n_prefilter,
+       count(*) AS n_exact,
+       (SELECT count(*) FROM pre) - count(*) AS false_positives,
+       {osum('l_extendedprice * (1 - l_discount)')} AS revenue_exact
+FROM ex
+""".strip()

@@ -443,6 +443,14 @@ def build() -> dict[str, Entry]:
     reg["skew_salted_agg"] = (skew.salted_event_totals, skew.salted_event_totals_oracle())
     reg["skew_salted_join"] = (skew.salted_weighted_join, skew.salted_weighted_join_oracle())
 
+    # --- Bloom-filter join pruning (explicit runtime-filter / DPP form) ---
+    from .operators import bloom
+    reg["sketch_bloom_bitmap"] = (bloom.bloom_bitmap, bloom.bloom_bitmap_oracle())
+    reg["join_bloom_prefiltered"] = (
+        bloom.bloom_prefiltered_join,
+        bloom.bloom_prefiltered_join_oracle(),
+    )
+
     # --- text analysis over documents (training-data-pipeline surface) ---
     t = textops
     reg["text_token_stats"] = (t.token_stats, t.token_stats_oracle())
