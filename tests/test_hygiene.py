@@ -31,6 +31,33 @@ def test_no_duplicate_top_level_defs():
     assert not offenders, f"shadowed top-level defs: {offenders}"
 
 
+def test_scale_block_generator_idempotent(tmp_path, monkeypatch):
+    """bench.regenerate_scale_block must rewrite ONLY the marker-delimited
+    block (prose outside survives, repeated runs converge) -- this is the
+    mechanism that stopped SCALE.md's hand-copied-number drift."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    import bench
+
+    doc = tmp_path / "SCALE.md"
+    doc.write_text(
+        "prose before\n\n"
+        f"{bench.SCALE_BLOCK_BEGIN}\nstale content 6.3x\n{bench.SCALE_BLOCK_END}\n\n"
+        "prose after\n"
+    )
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    detail = {"sf": 0.1, "scale10x": {"q_plain": [1.0, 2.0], "q_pairs": [1.0, 4.0, 10, 1000]}}
+    bench.regenerate_scale_block(detail)
+    once = doc.read_text()
+    bench.regenerate_scale_block(detail)
+    assert doc.read_text() == once, "not idempotent"
+    assert "prose before" in once and "prose after" in once
+    assert "stale content" not in once
+    assert "| q_plain | 1.0 | 2.0 | 2.0x | - |" in once
+    assert "pairs 10 -> 1000 (100.0x); sec/pair ratio 0.04" in once
+
+
 def test_no_duplicate_registry_keys():
     """Every literal `reg["name"] = ...` inside registry.build() must be
     unique — a repeat silently overwrites the earlier entry. The scan is
