@@ -113,3 +113,24 @@ def test_pii_regex_cross_dialect_agreement(spark):
             [t, PII_EMAIL, t, PII_PHONE, t, PII_EMAIL, PII_PHONE],
         ).fetchone()
         assert got[i] == (ne, np_, s), (i, t, got[i], (ne, np_, s))
+
+
+def test_bpe_top_merges_match_python_reference(spark, sf_dir):
+    """The iteration-1 BPE merge table equals a brute-force Python recount
+    over the same whitespace-split words (frequency-weighted overlapping
+    adjacent pairs, ties by pair text)."""
+    import re
+
+    from vector_db_from_scratch_spark.operators.textops import bpe_top_merges
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = bpe_top_merges(spark, sf_dir, top_n=20).collect()
+    texts = [r["text"] for r in load_table(spark, sf_dir, "documents").collect()]
+    counts = Counter()
+    for text in texts:
+        for word in re.split(r"\s+", text):
+            if len(word) >= 2:
+                for i in range(len(word) - 1):
+                    counts[word[i : i + 2]] += 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["pair"], r["n"]) for r in rows] == expect

@@ -330,6 +330,66 @@ FROM documents ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# BPE merge TRAINING, iteration 1 under the gate: the tokenizer-training
+# kernel (most-frequent adjacent symbol pair over the word-frequency
+# table) is SQL-expressible when the symbols are still single characters,
+# exactly the ivf_kmeans_iter1_sizes discipline -- later iterations mutate
+# the symbol vocabulary (the merged pair becomes one symbol) and are an
+# iterative driver loop in a real trainer, but a wrong word split, pair
+# window, frequency weighting, or tie rule is already caught at iteration
+# one. Scale shape: one words aggregation (shuffle on word), one pairs
+# aggregation (shuffle on 2-char pair, trivially balanced), top-N via
+# TakeOrderedAndProject -- the corpus text moves through exactly one
+# exchange, the same plan a 100 TB tokenizer-training pass needs per merge.
+# --------------------------------------------------------------------------
+
+BPE_TOP_MERGES = 20
+
+
+def bpe_top_merges(spark: SparkSession, sf_dir: str, top_n: int = BPE_TOP_MERGES) -> DataFrame:
+    """Top-N candidate merges after BPE iteration 1: adjacent character
+    pairs weighted by word frequency (every occurrence of a word
+    contributes each of its len-1 overlapping pairs, the textbook count),
+    ties broken by pair text for cross-engine determinism at the cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_n)
+    )
+
+
+def bpe_top_merges_oracle(top_n: int = BPE_TOP_MERGES) -> str:
+    return rf"""
+WITH words AS (
+  SELECT w AS word
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+  WHERE length(w) >= 2),
+wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, i::INT, 2))) AS pair, freq
+  FROM wf)
+SELECT pair, sum(freq)::BIGINT AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {top_n}
+""".strip()
+
+
+# --------------------------------------------------------------------------
 # Winnowing fingerprints: min shingle-hash per sliding window of size W --
 # the local-fingerprint scheme (MOSS-style) whose guarantee is that any
 # sufficiently long match shares a fingerprint. Emitted as the distinct

@@ -459,6 +459,8 @@ def build() -> dict[str, Entry]:
     reg["text_language_id_trigram"] = (t.language_id_trigram, t.language_id_trigram_oracle())
     reg["text_fingerprints"] = (t.fingerprints, t.fingerprints_oracle())
     reg["text_token_counts_bpe"] = (t.token_counts_bpe, t.token_counts_bpe_oracle())
+    # tokenizer TRAINING kernel, iteration 1 gated (kmeans-iter1 discipline)
+    reg["text_bpe_top_merges"] = (t.bpe_top_merges, t.bpe_top_merges_oracle())
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
     reg["text_repetition_metrics"] = (t.repetition_metrics, t.repetition_metrics_oracle())
     reg["text_unigram_lm_scores"] = (t.unigram_lm_scores, t.unigram_lm_scores_oracle())
