@@ -61,3 +61,29 @@ def test_bloom_membership_probes_broadcast(spark, sf_dir):
     plan = plan_string(bloom.bloom_prefiltered_join(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert plan.count("LeftSemi") >= bloom.K_HASHES + 1
+
+
+def test_kmv_exact_regime_and_estimator_math(spark, sf_dir):
+    """Below K_MIN distinct values the sketch IS the exact set (estimate =
+    k = exact, rel_err 0); the bottom-k estimator formula itself is
+    validated driver-side on 5000 synthetic md5 hashes (error well under
+    the ~1/sqrt(k) band)."""
+    import hashlib
+
+    from vector_db_from_scratch_spark.operators import kmv
+
+    row = kmv.kmv_distinct(spark, sf_dir).collect()[0]
+    if row["exact_distinct"] < kmv.K_MIN:
+        assert row["k"] == row["exact_distinct"]
+        assert row["est_distinct"] == float(row["k"])
+        assert row["rel_err"] == 0.0
+    else:
+        assert row["rel_err"] < 0.25
+
+    n = 5000
+    hashes = sorted(
+        int(hashlib.md5(f"{i}#x".encode()).hexdigest()[:15], 16) for i in range(n)
+    )
+    kth = hashes[kmv.K_MIN - 1]
+    est = (kmv.K_MIN - 1) * kmv.HASH_SPACE / kth
+    assert abs(est - n) / n < 0.25

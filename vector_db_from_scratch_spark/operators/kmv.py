@@ -1,0 +1,76 @@
+"""KMV (k-minimum-values) distinct-count sketch -- the deterministic
+sketch family member.
+
+HLL's register internals differ per engine, so its estimates can only be
+gated as within-tolerance verdicts (relational.sketch_accuracy_report).
+KMV has no such limitation when built on the repo's portable md5-derived
+hash: the k smallest hash values -- and therefore the estimate
+(k-1) * 2^60 / h_(k), the classic bottom-k estimator (Bar-Yossef et al.
+2002) -- are bit-identical in Spark and DuckDB, so the SKETCH ITSELF is
+under the hash gate, including its measured relative error against the
+exact distinct count.
+
+Scale posture: the sketch is a TakeOrdered over the hashed-distinct keys
+-- each partition surfaces at most k candidate hashes, k rows reach the
+driver regardless of corpus size, and sketches from disjoint shards merge
+by keeping the k smallest of the union (the standard mergeability
+argument), which is exactly how a 100 TB distinct-count rolls up per
+partition -> per shard -> global. The exact count exists here only to
+gate the error; production runs the sketch alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+from ..sources.tables import load_table
+
+K_MIN = 256
+HASH_SPACE = float(2**60)
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One gated row: (k, kth_min, est_distinct, exact_distinct, rel_err)
+    for the distinct user_id count of events. Fewer than K_MIN distinct
+    hashes means the sketch IS the exact set (estimate = k, the standard
+    small-cardinality rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    hashes = ev.select(hash60(F.col("user_id").cast("string")).alias("h")).distinct()
+    topk = hashes.orderBy("h").limit(K_MIN)
+    est = F.when(
+        F.col("k") < K_MIN, F.col("k").cast("double")
+    ).otherwise((F.col("k") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min"))
+    return (
+        topk.agg(F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min"))
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_distinct")))
+        .select(
+            "k",
+            "kth_min",
+            F.round(est, 6).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+def kmv_distinct_oracle() -> str:
+    h = hash60_sql("user_id::VARCHAR")
+    est = (
+        f"CASE WHEN k < {K_MIN} THEN k::DOUBLE "
+        f"ELSE (k - 1) * {HASH_SPACE!r} / kth_min END"
+    )
+    return f"""
+WITH h AS (SELECT DISTINCT {h} AS h FROM events),
+topk AS (SELECT h FROM h ORDER BY h LIMIT {K_MIN}),
+agg AS (SELECT count(*) AS k, max(h) AS kth_min FROM topk),
+ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT k, kth_min,
+       round({est}, 6) AS est_distinct,
+       exact_distinct,
+       round(abs(({est}) - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM agg, ex
+""".strip()

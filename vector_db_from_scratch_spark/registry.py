@@ -450,6 +450,10 @@ def build() -> dict[str, Entry]:
         bloom.bloom_prefiltered_join,
         bloom.bloom_prefiltered_join_oracle(),
     )
+    # KMV bottom-k distinct sketch: deterministic on the portable hash, so
+    # the estimate itself (and its measured error) is under the hash gate
+    from .operators import kmv
+    reg["sketch_kmv_distinct"] = (kmv.kmv_distinct, kmv.kmv_distinct_oracle())
 
     # --- text analysis over documents (training-data-pipeline surface) ---
     t = textops
