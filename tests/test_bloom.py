@@ -87,3 +87,19 @@ def test_kmv_exact_regime_and_estimator_math(spark, sf_dir):
     kth = hashes[kmv.K_MIN - 1]
     est = (kmv.K_MIN - 1) * kmv.HASH_SPACE / kth
     assert abs(est - n) / n < 0.25
+
+
+def test_kmv_set_ops_invariants(spark, sf_dir):
+    """Sketch set algebra: intersection estimate never exceeds the union
+    estimate, sample counts are bounded by the sketch size, and in the
+    small regime (both sets under K_MIN, theta = full hash space) the
+    estimates ARE the exact counts."""
+    from vector_db_from_scratch_spark.operators import kmv
+
+    row = kmv.kmv_set_ops(spark, sf_dir).collect()[0]
+    assert row["est_inter"] <= row["est_union"]
+    assert row["n_inter"] <= row["n_union"] <= 2 * kmv.K_MIN
+    assert row["exact_inter"] <= row["exact_union"]
+    if row["theta"] == 2**60:
+        assert row["est_union"] == float(row["exact_union"])
+        assert row["est_inter"] == float(row["exact_inter"])

@@ -57,6 +57,105 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style SET ALGEBRA on two KMV sketches -- the production
+    reason mergeable sketches exist: estimate |A ∪ B| and |A ∩ B| from
+    the per-set sketches alone (A = click users, B = purchase users).
+
+    theta = min of the two sketch thresholds (kth min when the sketch is
+    full, the whole hash space otherwise); hashes below theta inside the
+    union / intersection of the two k-sets are uniform samples of the
+    respective true sets, so n * 2^60 / theta estimates each cardinality
+    (Dasgupta et al., the theta-sketch framework). Every input to the
+    estimate is integer-deterministic on the portable hash, so the whole
+    row -- thresholds, sample counts, estimates, exact counts -- is under
+    the hash gate. At 100 TB only the two k-row sketches meet; the raw
+    sets never co-shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def hashes(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(hash60(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+        )
+
+    space = 2**60
+    a, b = hashes("click"), hashes("purchase")
+    sa, sb = a.orderBy("h").limit(K_MIN), b.orderBy("h").limit(K_MIN)
+    th_a = sa.agg(
+        F.when(F.count(F.lit(1)) < K_MIN, F.lit(space)).otherwise(F.max("h")).alias("th_a")
+    )
+    th_b = sb.agg(
+        F.when(F.count(F.lit(1)) < K_MIN, F.lit(space)).otherwise(F.max("h")).alias("th_b")
+    )
+    theta = th_a.crossJoin(th_b).select(F.least("th_a", "th_b").alias("theta"))
+    union_n = (
+        sa.union(sb).distinct().crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_union"))
+    )
+    inter_n = (
+        sa.join(sb, "h").crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact_union = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .agg(F.countDistinct("user_id").alias("exact_union"))
+    )
+    exact_inter = (
+        a.join(b, "h").agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est = lambda n: F.round(n.cast("double") * F.lit(HASH_SPACE) / F.col("theta"), 6)
+    return (
+        theta.crossJoin(union_n)
+        .crossJoin(inter_n)
+        .crossJoin(exact_union)
+        .crossJoin(exact_inter)
+        .select(
+            "theta",
+            "n_union",
+            "n_inter",
+            est(F.col("n_union")).alias("est_union"),
+            est(F.col("n_inter")).alias("est_inter"),
+            "exact_union",
+            "exact_inter",
+        )
+    )
+
+
+def kmv_set_ops_oracle() -> str:
+    h = hash60_sql("user_id::VARCHAR")
+    space = 2**60
+    return f"""
+WITH a AS (SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT {h} AS h FROM events WHERE event_type = 'purchase'),
+sa AS (SELECT h FROM a ORDER BY h LIMIT {K_MIN}),
+sb AS (SELECT h FROM b ORDER BY h LIMIT {K_MIN}),
+theta AS (
+  SELECT least(
+    (SELECT CASE WHEN count(*) < {K_MIN} THEN {space} ELSE max(h) END FROM sa),
+    (SELECT CASE WHEN count(*) < {K_MIN} THEN {space} ELSE max(h) END FROM sb)
+  ) AS theta),
+u AS (SELECT count(*) AS n_union
+      FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+      WHERE h < (SELECT theta FROM theta)),
+i AS (SELECT count(*) AS n_inter
+      FROM (SELECT h FROM sa INTERSECT SELECT h FROM sb)
+      WHERE h < (SELECT theta FROM theta)),
+exu AS (SELECT count(DISTINCT user_id) AS exact_union FROM events
+        WHERE event_type IN ('click', 'purchase')),
+exi AS (SELECT count(*) AS exact_inter
+        FROM (SELECT h FROM a INTERSECT SELECT h FROM b))
+SELECT theta, n_union, n_inter,
+       round(n_union * {HASH_SPACE!r} / theta, 6) AS est_union,
+       round(n_inter * {HASH_SPACE!r} / theta, 6) AS est_inter,
+       exact_union, exact_inter
+FROM theta, u, i, exu, exi
+""".strip()
+
+
 def kmv_distinct_oracle() -> str:
     h = hash60_sql("user_id::VARCHAR")
     est = (

@@ -454,6 +454,9 @@ def build() -> dict[str, Entry]:
     # the estimate itself (and its measured error) is under the hash gate
     from .operators import kmv
     reg["sketch_kmv_distinct"] = (kmv.kmv_distinct, kmv.kmv_distinct_oracle())
+    # theta-style set algebra on two KMV sketches (union/intersection
+    # estimates from the k-row sketches alone), fully hash-gated
+    reg["sketch_kmv_set_ops"] = (kmv.kmv_set_ops, kmv.kmv_set_ops_oracle())
 
     # --- text analysis over documents (training-data-pipeline surface) ---
     t = textops
