@@ -103,3 +103,25 @@ def test_kmv_set_ops_invariants(spark, sf_dir):
     if row["theta"] == 2**60:
         assert row["est_union"] == float(row["exact_union"])
         assert row["est_inter"] == float(row["exact_inter"])
+
+
+def test_count_min_guarantees(spark, sf_dir):
+    """CM invariants: every point estimate >= its exact count (min over
+    rows can only overestimate), and each grid row's counters sum to the
+    total event count (every event increments exactly one counter per
+    row)."""
+    from vector_db_from_scratch_spark.operators import countmin
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = countmin.cm_point_estimates(spark, sf_dir).collect()
+    assert rows, "empty probe set"
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert any(r["est"] == r["exact"] for r in rows) or all(
+        r["overcount"] >= 0 for r in rows
+    )
+    total = load_table(spark, sf_dir, "events").count()
+    grid = countmin.cm_counters(spark, sf_dir).collect()
+    per_row = {}
+    for g in grid:
+        per_row[g["row"]] = per_row.get(g["row"], 0) + g["counter"]
+    assert all(v == total for v in per_row.values()), per_row

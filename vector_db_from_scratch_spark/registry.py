@@ -457,6 +457,14 @@ def build() -> dict[str, Entry]:
     # theta-style set algebra on two KMV sketches (union/intersection
     # estimates from the k-row sketches alone), fully hash-gated
     reg["sketch_kmv_set_ops"] = (kmv.kmv_set_ops, kmv.kmv_set_ops_oracle())
+    # count-min frequency sketch: the grid AND its point estimates (with
+    # the never-underestimate guarantee as a gated column) hash-gated
+    from .operators import countmin
+    reg["sketch_cm_counters"] = (countmin.cm_counters, countmin.cm_counters_oracle())
+    reg["sketch_cm_point_estimates"] = (
+        countmin.cm_point_estimates,
+        countmin.cm_point_estimates_oracle(),
+    )
 
     # --- text analysis over documents (training-data-pipeline surface) ---
     t = textops
