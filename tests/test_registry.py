@@ -75,4 +75,42 @@ def test_driver_verified_ignores_failed_rows(tmp_path, monkeypatch):
     (root / "CORRECTNESS_r09.json").write_text(json.dumps(rows))
     monkeypatch.setattr(regmod, "__file__", str(fake_file))
     seen = regmod._driver_verified()
-    assert seen == {"green", "rows_only_green"}
+    assert seen == {"green": 9, "rows_only_green": 9}
+
+
+def test_driver_verified_keeps_newest_green_round(tmp_path, monkeypatch):
+    """Staleness ordering needs the NEWEST green round per name: a query
+    green in r1 and re-confirmed in r6 is fresher than one last seen r2."""
+    import json
+
+    import vector_db_from_scratch_spark.registry as regmod
+
+    root = tmp_path
+    (root / "pkg").mkdir()
+    fake_file = root / "pkg" / "registry.py"
+    fake_file.write_text("")
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    (root / "CORRECTNESS_r01.json").write_text(json.dumps({"a": green, "b": green}))
+    (root / "CORRECTNESS_r06.json").write_text(json.dumps({"a": green}))
+    monkeypatch.setattr(regmod, "__file__", str(fake_file))
+    assert regmod._driver_verified() == {"a": 6, "b": 1}
+
+
+def test_rotation_orders_verified_tail_by_staleness():
+    """With every gated query green at least once, the window tail is the
+    re-verification channel: the verified-gated run must be ordered
+    oldest-newest-green-round first (VERDICT r7 item 1), so r1/r2-verified
+    rows re-enter a driver window before last round's rows do."""
+    reg = registry.build()
+    seen = registry._driver_verified()
+    names = list(reg)
+    verified_gated = [
+        n for n in names
+        if n in seen and reg[n][1] is not None and n not in registry._SENTINELS
+    ]
+    rounds = [seen[n] for n in verified_gated]
+    # cohort boundaries must be non-decreasing (family interleave only
+    # reorders WITHIN a same-round cohort)
+    assert rounds == sorted(rounds), (
+        "verified gated tail must be ordered by oldest green round first"
+    )

@@ -82,6 +82,86 @@ ORDER BY row, bucket
 """.strip()
 
 
+N_SHARDS = 4
+
+
+def cm_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability under the gate: build an independent d x w grid per
+    disjoint shard (user_id % N_SHARDS), merge by CELL-WISE ADDITION (the
+    CM merge rule), and emit the merged grid full-outer-joined with the
+    whole-corpus grid cell by cell -- (row, bucket, merged_counter,
+    whole_counter, diff). Every diff must be 0; a missing cell on either
+    side coalesces to 0 and shows up as a nonzero diff. This gates the
+    rollup protocol itself (shared salts, bucket alignment, additive
+    merge), which is how per-shard frequency grids combine at 100 TB
+    without the raw keys ever co-shuffling."""
+    ev = _events_keyed(spark, sf_dir)
+    cells = ev.select(
+        (F.col("user_id") % N_SHARDS).alias("shard"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("shard", "c.row", "c.bucket")
+    shard_grids = cells.groupBy("shard", "row", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    merged = shard_grids.groupBy("row", "bucket").agg(
+        F.sum("counter").alias("merged_counter")
+    )
+    whole = cm_counters(spark, sf_dir).withColumnRenamed("counter", "whole_counter")
+    return (
+        merged.join(whole, ["row", "bucket"], "full_outer")
+        .select(
+            "row",
+            "bucket",
+            F.coalesce("merged_counter", F.lit(0)).alias("merged_counter"),
+            F.coalesce("whole_counter", F.lit(0)).alias("whole_counter"),
+            (
+                F.coalesce("merged_counter", F.lit(0))
+                - F.coalesce("whole_counter", F.lit(0))
+            ).alias("diff"),
+        )
+        .orderBy("row", "bucket")
+    )
+
+
+def cm_merge_shards_oracle() -> str:
+    cells = ", ".join(
+        f"struct_pack(r := {i}, b := {_bucket_sql('user_id::VARCHAR', i)})"
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+WITH cells AS (
+  SELECT user_id % {N_SHARDS} AS shard, c.r AS row, c.b AS bucket
+  FROM (SELECT user_id, unnest([{cells}]) AS c FROM events)),
+shard_grids AS (
+  SELECT shard, row, bucket, count(*) AS counter
+  FROM cells GROUP BY shard, row, bucket),
+merged AS (
+  SELECT row, bucket, sum(counter) AS merged_counter
+  FROM shard_grids GROUP BY row, bucket),
+whole AS (
+  SELECT c.r AS row, c.b AS bucket, count(*) AS whole_counter
+  FROM (SELECT unnest([{cells}]) AS c FROM events)
+  GROUP BY row, bucket)
+SELECT coalesce(m.row, w.row) AS row,
+       coalesce(m.bucket, w.bucket) AS bucket,
+       coalesce(merged_counter, 0)::BIGINT AS merged_counter,
+       coalesce(whole_counter, 0)::BIGINT AS whole_counter,
+       (coalesce(merged_counter, 0) - coalesce(whole_counter, 0))::BIGINT AS diff
+FROM merged m FULL OUTER JOIN whole w ON m.row = w.row AND m.bucket = w.bucket
+ORDER BY 1, 2
+""".strip()
+
+
 def cm_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-query the sketch for a deterministic probe set and gate the
     estimates against the exact per-user counts: (user_id, est, exact,

@@ -29,6 +29,12 @@ from ..sources.tables import load_table
 
 K_MIN = 256
 HASH_SPACE = float(2**60)
+# merge-gate sketch size: small enough that sf0.01 (150 distinct users)
+# actually exercises the k-limited merge path (per-shard sketches full,
+# global bottom-k a strict subset of the union), while sf0.001 (15
+# distinct) covers the exact-set small-cardinality mode of the same query
+K_MERGE = 32
+N_SHARDS = 4
 
 
 def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,6 +129,117 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
         )
     )
+
+
+def kmv_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability under the gate -- the 100 TB rollup claim itself:
+    build an independent KMV sketch per disjoint shard (user_id % N_SHARDS,
+    the per-source / per-partition rollup shape), merge them by keeping the
+    k smallest of the deduplicated union, and gate that the merged sketch
+    EQUALS the whole-corpus sketch -- same k, same kth_min, same estimate,
+    and element-wise set equality (sketch_equal counts symmetric-difference
+    rows; it must be 0). Every column is integer-deterministic on the
+    portable hash except the 6dp-rounded estimates.
+
+    Scale posture: this is the protocol a 1000-executor run uses -- each
+    shard ships at most K_MERGE longs; the merge never touches raw keys.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hashes = (
+        ev.select(
+            (F.col("user_id") % N_SHARDS).alias("shard"),
+            hash60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("shard").orderBy("h")
+    shard_sketches = (
+        hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K_MERGE)
+    ).select("shard", "h")
+    merged = (
+        shard_sketches.select("h").distinct().orderBy("h").limit(K_MERGE)
+    )
+    whole = (
+        ev.select(hash60(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(K_MERGE)
+    )
+
+    def agg(df: DataFrame, prefix: str) -> DataFrame:
+        est = F.when(
+            F.col(f"{prefix}_k") < K_MERGE, F.col(f"{prefix}_k").cast("double")
+        ).otherwise(
+            (F.col(f"{prefix}_k") - 1).cast("double")
+            * F.lit(HASH_SPACE)
+            / F.col(f"{prefix}_kth_min")
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias(f"{prefix}_k"),
+            F.max("h").alias(f"{prefix}_kth_min"),
+        ).select("*", F.round(est, 6).alias(f"{prefix}_est"))
+
+    sym_diff = (
+        merged.exceptAll(whole).union(whole.exceptAll(merged))
+        .agg(F.count(F.lit(1)).alias("sketch_diff_rows"))
+    )
+    shard_rows = shard_sketches.agg(F.count(F.lit(1)).alias("shard_sketch_rows"))
+    return (
+        agg(merged, "merged")
+        .crossJoin(agg(whole, "whole"))
+        .crossJoin(sym_diff)
+        .crossJoin(shard_rows)
+        .select(
+            F.lit(N_SHARDS).alias("n_shards"),
+            "shard_sketch_rows",
+            "merged_k",
+            "merged_kth_min",
+            "merged_est",
+            "whole_k",
+            "whole_kth_min",
+            "whole_est",
+            "sketch_diff_rows",
+            (F.col("sketch_diff_rows") == 0).alias("sketch_equal"),
+        )
+    )
+
+
+def kmv_merge_shards_oracle() -> str:
+    h = hash60_sql("user_id::VARCHAR")
+
+    def est(prefix: str) -> str:
+        return (
+            f"CASE WHEN {prefix}_k < {K_MERGE} THEN {prefix}_k::DOUBLE "
+            f"ELSE ({prefix}_k - 1) * {HASH_SPACE!r} / {prefix}_kth_min END"
+        )
+
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT user_id % {N_SHARDS} AS shard, {h} AS h FROM events),
+shard_sketches AS (
+  SELECT shard, h FROM (
+    SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+    FROM hashes)
+  WHERE rn <= {K_MERGE}),
+merged AS (
+  SELECT h FROM (SELECT DISTINCT h FROM shard_sketches) ORDER BY h LIMIT {K_MERGE}),
+whole AS (
+  SELECT h FROM (SELECT DISTINCT {h} AS h FROM events) ORDER BY h LIMIT {K_MERGE}),
+m AS (SELECT count(*) AS merged_k, max(h) AS merged_kth_min FROM merged),
+w AS (SELECT count(*) AS whole_k, max(h) AS whole_kth_min FROM whole),
+d AS (SELECT count(*) AS sketch_diff_rows FROM (
+        (SELECT h FROM merged EXCEPT ALL SELECT h FROM whole)
+        UNION ALL
+        (SELECT h FROM whole EXCEPT ALL SELECT h FROM merged))),
+s AS (SELECT count(*) AS shard_sketch_rows FROM shard_sketches)
+SELECT {N_SHARDS} AS n_shards, shard_sketch_rows,
+       merged_k, merged_kth_min, round({est("merged")}, 6) AS merged_est,
+       whole_k, whole_kth_min, round({est("whole")}, 6) AS whole_est,
+       sketch_diff_rows, sketch_diff_rows = 0 AS sketch_equal
+FROM m, w, d, s
+""".strip()
 
 
 def kmv_set_ops_oracle() -> str:

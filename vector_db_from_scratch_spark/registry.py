@@ -80,20 +80,28 @@ _SENTINELS = [
 ]
 
 
-def _driver_verified() -> set[str]:
-    """Names with a green row in any recorded CORRECTNESS_r*.json.
+def _driver_verified() -> dict[str, int]:
+    """Names with a green row in any recorded CORRECTNESS_r*.json, mapped
+    to the NEWEST round in which they were green.
 
     Green = err is null AND (hash_match, or rows_match for rows-only
     entries whose hash_match is recorded null). Failed/errored rows do NOT
     count, so they rotate back to the front of the next round's window.
+    The round number feeds staleness-ordered re-verification: with every
+    gated query green at least once, the verified tail of each driver
+    window is filled oldest-green-round first, so "was green once in r1"
+    decays into "re-confirmed green" instead of going unmonitored forever.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -102,13 +110,23 @@ def _driver_verified() -> set[str]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict) or row.get("err"):
+            if not isinstance(row, dict):
                 continue
-            ok = row.get("hash_match")
-            if ok is None:
-                ok = row.get("rows_match")
+            if row.get("err") == "no_oracle":
+                # rows-only entry: the driver can only record that the
+                # Spark query ran and produced rows. That IS its full
+                # check succeeding (r07 recorded the six IVF/PQ persisted
+                # paths this way) -- without counting it, these entries
+                # would re-occupy window slots every round forever.
+                ok = row.get("spark_rows") is not None
+            elif row.get("err"):
+                continue
+            else:
+                ok = row.get("hash_match")
+                if ok is None:
+                    ok = row.get("rows_match")
             if ok:
-                seen.add(name)
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 
@@ -147,15 +165,22 @@ def _reorder(reg: dict[str, Entry]) -> dict[str, Entry]:
     ]
     for n in _interleave_families(fresh_rows_only):
         out[n] = reg[n]
-    # Family-interleave the already-verified remainder too: when the fresh
-    # pool shrinks below the driver's ~50-entry window, the tail would
-    # otherwise fill with a registration-ordered run of one family
-    # (VERDICT r5: 14 consecutive knn_* broke the family cap).
+    # Staleness-ordered re-verification of the already-verified remainder
+    # (VERDICT r7 item 1): with all gated queries green at least once, the
+    # tail of each ~50-entry driver window is what keeps old greens honest.
+    # Fill it oldest-newest-green-round FIRST, family-interleaved within
+    # each round cohort (VERDICT r5: a registration-ordered run of 14
+    # consecutive knn_* broke family breadth), so the r1/r2-verified rows
+    # re-enter a window before anything re-confirmed last round does.
     verified_gated = [
         n for n, e in reg.items() if n not in out and e[1] is not None
     ]
-    for n in _interleave_families(verified_gated):
-        out[n] = reg[n]
+    by_round: dict[int, list[str]] = {}
+    for n in verified_gated:
+        by_round.setdefault(seen.get(n, 0), []).append(n)
+    for rnd in sorted(by_round):
+        for n in _interleave_families(by_round[rnd]):
+            out[n] = reg[n]
     for n, e in reg.items():
         if n not in out:
             out[n] = e
@@ -457,6 +482,13 @@ def build() -> dict[str, Entry]:
     # theta-style set algebra on two KMV sketches (union/intersection
     # estimates from the k-row sketches alone), fully hash-gated
     reg["sketch_kmv_set_ops"] = (kmv.kmv_set_ops, kmv.kmv_set_ops_oracle())
+    # mergeability under the gate (VERDICT r7 item 2): per-shard sketches
+    # merged == whole-corpus sketch, element-wise -- the 100 TB rollup
+    # protocol itself, not just the single-pass sketch
+    reg["sketch_kmv_merge_shards"] = (
+        kmv.kmv_merge_shards,
+        kmv.kmv_merge_shards_oracle(),
+    )
     # count-min frequency sketch: the grid AND its point estimates (with
     # the never-underestimate guarantee as a gated column) hash-gated
     from .operators import countmin
@@ -464,6 +496,11 @@ def build() -> dict[str, Entry]:
     reg["sketch_cm_point_estimates"] = (
         countmin.cm_point_estimates,
         countmin.cm_point_estimates_oracle(),
+    )
+    # cell-wise additive merge of per-shard grids == whole-corpus grid
+    reg["sketch_cm_merge_shards"] = (
+        countmin.cm_merge_shards,
+        countmin.cm_merge_shards_oracle(),
     )
 
     # --- text analysis over documents (training-data-pipeline surface) ---
