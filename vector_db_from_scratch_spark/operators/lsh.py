@@ -170,14 +170,29 @@ def lsh_knn(
     allowed = emb
     if label_filter is not None:
         allowed = allowed.filter(F.col("label") == label_filter)
-    cand = allowed.filter(F.col("bucket") == qbucket)
     # reference indexes.py:223-224: fewer than k candidates (after the
-    # metadata intersection) -> widen to every allowed vector
-    if cand.count() < k:
-        cand = allowed
+    # metadata intersection) -> widen to every allowed vector. Routed as
+    # a union plan on the broadcast 1-row bucket occupancy (the same
+    # occupancy routing lsh_knn_batch_fallback uses) instead of a
+    # driver-side cand.count() round trip: exactly one branch survives
+    # the occ predicate at runtime, and AQE's empty-relation propagation
+    # collapses the dead branch.
+    bucket_cand = allowed.filter(F.col("bucket") == qbucket)
+    occ = bucket_cand.agg(F.count(F.lit(1)).alias("occ"))
+    probe = (
+        bucket_cand.crossJoin(F.broadcast(occ))
+        .filter(F.col("occ") >= k)
+        .select("vec_id", "embedding")
+    )
+    widened = (
+        allowed.crossJoin(F.broadcast(occ))
+        .filter(F.col("occ") < k)
+        .select("vec_id", "embedding")
+    )
     q = F.array(*[F.lit(x) for x in qvec])
     return (
-        cand.select(
+        probe.unionAll(widened)
+        .select(
             "vec_id",
             distance_expr(metric, F.col("embedding"), q).alias("distance"),
         )
