@@ -513,6 +513,9 @@ def build() -> dict[str, Entry]:
     reg["text_token_counts_bpe"] = (t.token_counts_bpe, t.token_counts_bpe_oracle())
     # tokenizer TRAINING kernel, iteration 1 gated (kmeans-iter1 discipline)
     reg["text_bpe_top_merges"] = (t.bpe_top_merges, t.bpe_top_merges_oracle())
+    # iteration 2: the vocabulary-MUTATION step (apply the iter-1 winner,
+    # recount over the mutated symbol table) under the gate
+    reg["text_bpe_merge_iter2"] = (t.bpe_merge_iter2, t.bpe_merge_iter2_oracle())
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
     reg["text_repetition_metrics"] = (t.repetition_metrics, t.repetition_metrics_oracle())
     reg["text_unigram_lm_scores"] = (t.unigram_lm_scores, t.unigram_lm_scores_oracle())
@@ -676,6 +679,12 @@ def build() -> dict[str, Entry]:
     reg["ivf_kmeans_iter1_sizes"] = (
         ivf.kmeans_iter1_sizes,
         ivf.kmeans_iter1_sizes_oracle(),
+    )
+    # the centroid-UPDATE half of Lloyd: exact-decimal means over iter-1
+    # cells (micro-unit pattern), then iteration-2 assignment counts
+    reg["ivf_kmeans_iter2_sizes"] = (
+        ivf.kmeans_iter2_sizes,
+        ivf.kmeans_iter2_sizes_oracle(),
     )
     # S10/S11 persisted-artifact round trip: save partitionBy(bucket),
     # load, probe -- the probe is a partition-pruned parquet read

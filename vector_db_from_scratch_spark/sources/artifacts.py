@@ -80,7 +80,7 @@ def is_read_corruption(exc: Exception) -> bool:
 # the version is folded into every content-keyed artifact tag, so an
 # artifact trained by older code is never silently served to newer code
 # (the shared artifact dir outlives processes and code revisions).
-ALGO_VERSION = "v3"  # v3: Lloyd assignment argmins 6dp-rounded d^2
+ALGO_VERSION = "v4"  # v4: Lloyd d^2 rounding is explicit half-up (was np.round half-to-even)
 
 
 def source_ident(path: str) -> str:

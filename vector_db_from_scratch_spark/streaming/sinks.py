@@ -98,13 +98,23 @@ def _commit_version(state_root: str, version_dir: str, batch_id: int) -> None:
     """Atomically repoint CURRENT at ``version_dir`` (rename over an
     existing file is atomic on POSIX), then GC every version except the
     new one and its immediate predecessor -- the grace window for readers
-    that resolved the pointer just before the swap."""
+    that resolved the pointer just before the swap. The predecessor is
+    read from the pointer's prior contents, not derived as v{batch_id-1}:
+    batch ids need not be consecutive (empty batches may skip a commit)."""
     ptr = os.path.join(state_root, "CURRENT")
+    prev = None
+    try:
+        with open(ptr) as fh:
+            prev = fh.read().strip()
+    except OSError:
+        pass  # first commit: no predecessor to retain
     tmp_ptr = ptr + f".tmp-{batch_id}"
     with open(tmp_ptr, "w") as fh:
         fh.write(os.path.basename(version_dir))
     os.rename(tmp_ptr, ptr)
-    keep = {os.path.basename(version_dir), f"v{batch_id - 1}"}
+    keep = {os.path.basename(version_dir)}
+    if prev:
+        keep.add(prev)
     for name in os.listdir(state_root):
         if name.startswith("v") and name not in keep:
             shutil.rmtree(os.path.join(state_root, name), ignore_errors=True)
@@ -152,7 +162,13 @@ def upsert_sink_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
-    final = spark.read.parquet(current_state_path(state_root))
+    final_path = current_state_path(state_root)
+    if final_path is None:
+        raise RuntimeError(
+            f"upsert sink committed no state under {state_root}: the drain "
+            "produced no micro-batch (empty/missing replay dir?)"
+        )
+    final = spark.read.parquet(final_path)
     return final.select(
         "user_id",
         F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
