@@ -138,6 +138,15 @@ def test_cm_merge_equals_whole(spark, sf_dir):
     assert all(r["merged_counter"] == r["whole_counter"] > 0 for r in rows)
 
 
+def test_bloom_merge_equals_whole(spark, sf_dir):
+    """Per-shard bitmaps (same m) ORed word-wise must reproduce the
+    whole-corpus bitmap exactly -- the distributed filter-build protocol."""
+    rows = bloom.bloom_merge_shards(spark, sf_dir).collect()
+    assert rows, "empty merged bitmap"
+    assert all(r["xor_diff"] == 0 for r in rows)
+    assert all(r["merged_word"] == r["whole_word"] != 0 for r in rows)
+
+
 def test_count_min_guarantees(spark, sf_dir):
     """CM invariants: every point estimate >= its exact count (min over
     rows can only overestimate), and each grid row's counters sum to the

@@ -145,6 +145,77 @@ ORDER BY word_idx
 """.strip()
 
 
+N_SHARDS = 4
+
+
+def bloom_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability under the gate for the third sketch family member
+    (KMV merges by k-smallest-of-union, CM by cell-wise addition, Bloom
+    by bitwise OR): build an independent bitmap per disjoint key shard
+    (o_orderkey % N_SHARDS) -- each sized with the SAME m as the whole
+    filter, the precondition for merging -- OR them word-wise, and emit
+    the merged bitmap full-outer-joined with the whole-corpus bitmap:
+    (word_idx, merged_word, whole_word, xor_diff). Every xor_diff must be
+    0. This is the rollup protocol for a distributed filter build: each
+    executor ORs its partition's words locally, shards merge without ever
+    exchanging keys."""
+    m_bits, keys, _bits = _bloom_filter(spark, sf_dir)
+    cells = keys.select(
+        (F.col("o_orderkey") % N_SHARDS).alias("shard"),
+        F.explode(
+            F.array(*[_pos_expr(F.col("o_orderkey"), i, m_bits) for i in range(K_HASHES)])
+        ).alias("pos"),
+    )
+    words = cells.select(
+        "shard",
+        F.expr(f"pos div {BITS_PER_WORD}").alias("word_idx"),
+        F.expr(f"shiftleft(1L, cast(pos % {BITS_PER_WORD} as int))").alias("w"),
+    )
+    shard_bitmaps = words.groupBy("shard", "word_idx").agg(F.bit_or("w").alias("word"))
+    merged = shard_bitmaps.groupBy("word_idx").agg(F.bit_or("word").alias("merged_word"))
+    whole = bloom_bitmap(spark, sf_dir).withColumnRenamed("word", "whole_word")
+    return (
+        merged.join(whole, "word_idx", "full_outer")
+        .select(
+            "word_idx",
+            F.coalesce("merged_word", F.lit(0)).alias("merged_word"),
+            F.coalesce("whole_word", F.lit(0)).alias("whole_word"),
+            F.expr(
+                "coalesce(merged_word, 0L) ^ coalesce(whole_word, 0L)"
+            ).alias("xor_diff"),
+        )
+        .orderBy("word_idx")
+    )
+
+
+def bloom_merge_shards_oracle() -> str:
+    hashes = ", ".join(_pos_sql("o_orderkey::VARCHAR", i) for i in range(K_HASHES))
+    return f"""
+WITH {_ORACLE_PARAMS},
+cells AS (
+  SELECT o_orderkey % {N_SHARDS} AS shard, pos
+  FROM (SELECT o_orderkey, unnest([{hashes}]) AS pos FROM urgent)),
+shard_bitmaps AS (
+  SELECT shard, pos // {BITS_PER_WORD} AS word_idx,
+         bit_or(1::BIGINT << (pos % {BITS_PER_WORD})::INT) AS word
+  FROM cells GROUP BY shard, word_idx),
+merged AS (
+  SELECT word_idx, bit_or(word) AS merged_word
+  FROM shard_bitmaps GROUP BY word_idx),
+whole AS (
+  SELECT pos // {BITS_PER_WORD} AS word_idx,
+         bit_or(1::BIGINT << (pos % {BITS_PER_WORD})::INT) AS whole_word
+  FROM (SELECT unnest([{hashes}]) AS pos FROM urgent)
+  GROUP BY word_idx)
+SELECT coalesce(m.word_idx, w.word_idx) AS word_idx,
+       coalesce(merged_word, 0)::BIGINT AS merged_word,
+       coalesce(whole_word, 0)::BIGINT AS whole_word,
+       xor(coalesce(merged_word, 0), coalesce(whole_word, 0))::BIGINT AS xor_diff
+FROM merged m FULL OUTER JOIN whole w ON m.word_idx = w.word_idx
+ORDER BY 1
+""".strip()
+
+
 def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Bloom-pruned semi-join, gated with its false-positive
     accounting: lineitem rows pass the K membership probes (broadcast
