@@ -147,6 +147,30 @@ def test_bloom_merge_equals_whole(spark, sf_dir):
     assert all(r["merged_word"] == r["whole_word"] != 0 for r in rows)
 
 
+def test_hist_quantile_sketch_guarantees(spark, sf_dir):
+    """Histogram quantile sketch invariants: every estimate within one
+    bin width of the exact ranked value (the construction guarantee),
+    the sketch bounded by N_BINS rows, counts summing to the corpus, and
+    shard-merge reproducing the whole histogram exactly."""
+    from vector_db_from_scratch_spark.operators import quantiles
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = quantiles.hist_quantiles(spark, sf_dir).collect()
+    assert len(rows) == len(quantiles.QS)
+    assert all(r["within_bound"] for r in rows)
+    # estimates must be monotone in q (cumulative reads off one histogram)
+    ests = [r["est"] for r in sorted(rows, key=lambda r: r["q"])]
+    assert ests == sorted(ests)
+
+    hist = quantiles.hist_sketch(spark, sf_dir).collect()
+    assert 0 < len(hist) <= quantiles.N_BINS
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_bin"] for r in hist) == total
+
+    merged = quantiles.hist_merge_shards(spark, sf_dir).collect()
+    assert merged and all(r["diff"] == 0 for r in merged)
+
+
 def test_count_min_guarantees(spark, sf_dir):
     """CM invariants: every point estimate >= its exact count (min over
     rows can only overestimate), and each grid row's counters sum to the

@@ -1,0 +1,245 @@
+"""Fixed-grid histogram quantile sketch -- the fourth member of the
+deterministic sketch toolkit (Bloom = membership, KMV = distinct count,
+count-min = frequency, histogram = QUANTILES).
+
+Engine-internal quantile sketches (t-digest / KLL, Spark's
+approx_percentile) have per-engine internals, so -- like HLL -- they can
+only ever be verdict-gated. A fixed-grid equi-width histogram over the
+exact (min, max) has no such limitation: the bin index is
+floor((x - lo) / w) on IEEE doubles both engines compute identically, so
+the sketch STRUCTURE, the quantile estimates read from it, and the
+interpolation error bound (|est - exact| < one bin width, guaranteed by
+construction because the estimate and the true ranked value sit in the
+same bin) are all under the hash gate.
+
+Scale posture: the sketch is one (min, max, count) aggregate plus one
+B-row groupBy -- at most B counter rows leave each partition regardless
+of corpus size -- and histograms from disjoint shards built on the SAME
+grid merge by cell-wise addition (the count-min rollup rule applied to
+ranks). The exact ranked value exists here only to gate the error; it
+needs a global sort, which is precisely what the sketch REPLACES at
+100 TB. Bin width w = (max-min)/B is the a-priori error bound a
+deployment dials with B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+N_BINS = 128
+N_SHARDS = 4
+QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _orders_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"), "o_orderkey"
+    )
+
+
+def _grid_params(o: DataFrame) -> DataFrame:
+    return o.agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "lo", "hi", "n_rows", ((F.col("hi") - F.col("lo")) / N_BINS).alias("w")
+    )
+
+
+def _bin_expr():
+    """Bin index on the shared grid, clamped so x == max lands in the
+    last bin. Pure IEEE double ops on identical inputs -> identical bins
+    in both engines (no rounding needed)."""
+    return F.least(
+        F.floor((F.col("x") - F.col("lo")) / F.col("w")), F.lit(N_BINS - 1)
+    ).cast("int")
+
+
+_BIN_SQL = f"least(floor((x - lo) / w), {N_BINS - 1})::INT"
+
+_GRID_SQL = f"""
+o AS (SELECT o_totalprice AS x, o_orderkey FROM orders),
+params AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n_rows,
+                  (max(x) - min(x)) / {N_BINS} AS w
+           FROM o)
+""".strip()
+
+
+def hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram itself as a (bin, n_bin) table -- the bounded
+    artifact a rollup ships (<= N_BINS rows per shard)."""
+    o = _orders_x(spark, sf_dir)
+    params = _grid_params(o)
+    return (
+        o.crossJoin(F.broadcast(params))
+        .select(_bin_expr().alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+        .orderBy("bin")
+    )
+
+
+def hist_sketch_oracle() -> str:
+    return f"""
+WITH {_GRID_SQL},
+binned AS (SELECT {_BIN_SQL} AS bin FROM o, params)
+SELECT bin, count(*) AS n_bin
+FROM binned GROUP BY bin ORDER BY bin
+""".strip()
+
+
+def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates read from the histogram sketch, gated against
+    the exact ranked values: (q, bin, est, exact, abs_err, within_bound)
+    where within_bound asserts the construction guarantee |est - exact|
+    <= w. Exact rank idx = ceil(q * n); the estimate interpolates
+    linearly inside the first bin whose cumulative count reaches idx --
+    the same bin that holds the true ranked value."""
+    o = _orders_x(spark, sf_dir)
+    params = _grid_params(o)
+    hist = (
+        o.crossJoin(F.broadcast(params))
+        .select(_bin_expr().alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+    )
+    cum = hist.select(
+        "bin",
+        "n_bin",
+        (F.sum("n_bin").over(Window.orderBy("bin")) - F.col("n_bin")).alias(
+            "cum_before"
+        ),
+    )
+    qs = spark.createDataFrame([(float(q),) for q in QS], "q double")
+    sel = (
+        qs.crossJoin(F.broadcast(params))
+        .withColumn("idx", F.ceil(F.col("q") * F.col("n_rows")))
+        .join(
+            F.broadcast(cum),
+            F.col("cum_before") + F.col("n_bin") >= F.col("idx"),
+        )
+        .groupBy("q")
+        .agg(
+            F.min(F.struct("bin", "n_bin", "cum_before")).alias("_m"),
+            F.first("lo").alias("lo"),
+            F.first("w").alias("w"),
+            F.first("idx").alias("idx"),
+        )
+        .select(
+            "q",
+            F.col("_m.bin").alias("bin"),
+            "lo",
+            "w",
+            "idx",
+            (
+                F.col("lo")
+                + F.col("w")
+                * (
+                    F.col("_m.bin")
+                    + (F.col("idx") - F.col("_m.cum_before"))
+                    / F.col("_m.n_bin")
+                )
+            ).alias("est_raw"),
+        )
+    )
+    ranked = o.select(
+        "x", F.row_number().over(Window.orderBy("x")).cast("long").alias("rn")
+    )
+    out = sel.join(F.broadcast(ranked), F.col("rn") == F.col("idx"))
+    err = F.abs(F.col("est_raw") - F.col("x"))
+    return out.select(
+        "q",
+        "bin",
+        (F.round("est_raw", 6) + F.lit(0.0)).alias("est"),
+        (F.round("x", 6) + F.lit(0.0)).alias("exact"),
+        (F.round(err, 6) + F.lit(0.0)).alias("abs_err"),
+        (err <= F.col("w")).alias("within_bound"),
+    ).orderBy("q")
+
+
+def hist_quantiles_oracle() -> str:
+    qs = ", ".join(f"({q!r})" for q in QS)
+    return f"""
+WITH {_GRID_SQL},
+hist AS (
+  SELECT bin, count(*) AS n_bin
+  FROM (SELECT {_BIN_SQL} AS bin FROM o, params)
+  GROUP BY bin),
+cum AS (
+  SELECT bin, n_bin,
+         sum(n_bin) OVER (ORDER BY bin) - n_bin AS cum_before
+  FROM hist),
+qs(q) AS (VALUES {qs}),
+sel AS (
+  SELECT q, bin, lo, w, idx,
+         lo + w * (bin + (idx - cum_before) / n_bin) AS est_raw
+  FROM (
+    SELECT qs.q, c.bin, p.lo, p.w, ceil(qs.q * p.n_rows)::BIGINT AS idx,
+           c.n_bin, c.cum_before,
+           row_number() OVER (PARTITION BY qs.q ORDER BY c.bin) AS pick
+    FROM qs, params p, cum c
+    WHERE c.cum_before + c.n_bin >= ceil(qs.q * p.n_rows)::BIGINT)
+  WHERE pick = 1),
+ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM o)
+SELECT s.q, s.bin,
+       (round(s.est_raw, 6) + 0.0) AS est,
+       (round(r.x, 6) + 0.0) AS exact,
+       (round(abs(s.est_raw - r.x), 6) + 0.0) AS abs_err,
+       abs(s.est_raw - r.x) <= s.w AS within_bound
+FROM sel s JOIN ranked r ON r.rn = s.idx
+ORDER BY s.q
+""".strip()
+
+
+def hist_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability under the gate: per-shard histograms built on the
+    SAME (lo, hi, B) grid -- the global grid is the shared parameter,
+    like the Bloom filter's m -- merge by cell-wise addition; the merged
+    histogram must equal the whole-corpus histogram bin for bin."""
+    o = _orders_x(spark, sf_dir)
+    params = _grid_params(o)
+    binned = o.crossJoin(F.broadcast(params)).select(
+        (F.col("o_orderkey") % N_SHARDS).alias("shard"), _bin_expr().alias("bin")
+    )
+    shard_hists = binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_bin")
+    )
+    merged = shard_hists.groupBy("bin").agg(F.sum("n_bin").alias("merged_n"))
+    whole = hist_sketch(spark, sf_dir).withColumnRenamed("n_bin", "whole_n")
+    return (
+        merged.join(whole, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("merged_n", F.lit(0)).alias("merged_n"),
+            F.coalesce("whole_n", F.lit(0)).alias("whole_n"),
+            (
+                F.coalesce("merged_n", F.lit(0)) - F.coalesce("whole_n", F.lit(0))
+            ).alias("diff"),
+        )
+        .orderBy("bin")
+    )
+
+
+def hist_merge_shards_oracle() -> str:
+    return f"""
+WITH {_GRID_SQL},
+binned AS (
+  SELECT o_orderkey % {N_SHARDS} AS shard, {_BIN_SQL} AS bin FROM o, params),
+shard_hists AS (
+  SELECT shard, bin, count(*) AS n_bin FROM binned GROUP BY shard, bin),
+merged AS (SELECT bin, sum(n_bin) AS merged_n FROM shard_hists GROUP BY bin),
+whole AS (
+  SELECT bin, count(*) AS whole_n
+  FROM (SELECT {_BIN_SQL} AS bin FROM o, params)
+  GROUP BY bin)
+SELECT coalesce(m.bin, w.bin) AS bin,
+       coalesce(merged_n, 0)::BIGINT AS merged_n,
+       coalesce(whole_n, 0)::BIGINT AS whole_n,
+       (coalesce(merged_n, 0) - coalesce(whole_n, 0))::BIGINT AS diff
+FROM merged m FULL OUTER JOIN whole w ON m.bin = w.bin
+ORDER BY 1
+""".strip()

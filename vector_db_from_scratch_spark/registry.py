@@ -508,6 +508,22 @@ def build() -> dict[str, Entry]:
         countmin.cm_merge_shards,
         countmin.cm_merge_shards_oracle(),
     )
+    # fixed-grid histogram QUANTILE sketch (4th sketch member): the
+    # bounded histogram, the quantile estimates read from it (with the
+    # one-bin-width error bound as a gated boolean), and its cell-wise
+    # shard merge -- the hash-gatable alternative to t-digest/KLL, whose
+    # engine internals (approx_percentile) can never be more than
+    # verdict-gated
+    from .operators import quantiles
+    reg["sketch_hist_bins"] = (quantiles.hist_sketch, quantiles.hist_sketch_oracle())
+    reg["sketch_hist_quantiles"] = (
+        quantiles.hist_quantiles,
+        quantiles.hist_quantiles_oracle(),
+    )
+    reg["sketch_hist_merge_shards"] = (
+        quantiles.hist_merge_shards,
+        quantiles.hist_merge_shards_oracle(),
+    )
 
     # --- text analysis over documents (training-data-pipeline surface) ---
     t = textops
