@@ -35,6 +35,25 @@ def test_streaming_sessions_equal_batch(spark, sf_dir):
     assert _rows(stream_res, cols) == _rows(batch.select(*cols), cols)
 
 
+def test_streaming_sketches_equal_batch(spark, sf_dir):
+    """Streaming sketch maintenance == the batch sketch, cell for cell:
+    the count-min grid and the Bloom bitmap drained from continuous
+    aggregations must reproduce their batch builds exactly (the Dataflow
+    equivalence applied to sketch rollup)."""
+    from vector_db_from_scratch_spark.operators import bloom, countmin
+    from vector_db_from_scratch_spark.streaming import windows as w
+
+    cm_stream = w.cm_ingest_drained.__wrapped__(spark, sf_dir)
+    cm_batch = countmin.cm_counters(spark, sf_dir)
+    cols = ["row", "bucket", "counter"]
+    assert _rows(cm_stream, cols) == _rows(cm_batch.select(*cols), cols)
+
+    bl_stream = w.bloom_ingest_drained.__wrapped__(spark, sf_dir)
+    bl_batch = bloom.bloom_bitmap(spark, sf_dir)
+    cols = ["word_idx", "word"]
+    assert _rows(bl_stream, cols) == _rows(bl_batch.select(*cols), cols)
+
+
 def test_streaming_counter_matches_batch(spark, sf_dir):
     stream_res = run_stream_once(counter_stream(spark, sf_dir), "t_counter")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")

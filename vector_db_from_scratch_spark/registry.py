@@ -841,6 +841,15 @@ def build() -> dict[str, Entry]:
     # streaming INDEX ingestion: LSH bucket assignment as a streaming
     # stateful aggregation whose drained state == the batch occupancy
     reg["stream_lsh_ingest_drained"] = (w.lsh_ingest_drained, w.lsh_ingest_drained_oracle())
+    # streaming SKETCH maintenance: the count-min grid and the Bloom
+    # join-pruning bitmap kept current as continuous aggregations; the
+    # drained state shares the batch sketch's oracle verbatim
+    from .operators import countmin as _cm
+    reg["stream_cm_ingest_drained"] = (w.cm_ingest_drained, _cm.cm_counters_oracle())
+    reg["stream_bloom_ingest_drained"] = (
+        w.bloom_ingest_drained,
+        bloom.bloom_bitmap_oracle(),
+    )
     # multiplexed multi-topic source: union of landing dirs with a lineage
     # column, one streaming query, per-topic windows under the gate
     reg["stream_multiplex_drained"] = (

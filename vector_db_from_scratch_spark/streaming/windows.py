@@ -643,6 +643,88 @@ ORDER BY bucket
 
 
 # --------------------------------------------------------------------------
+# Streaming SKETCH maintenance: the deterministic sketch toolkit's
+# count-min grid and Bloom bitmap rebuilt as continuous streaming
+# aggregations -- the monitoring/runtime-filter artifacts a pipeline
+# keeps current as data arrives, not rebuilt in batch. Both are pure
+# aggregations (count, bit_or), so complete-mode drains them with no
+# watermark, and the drained state must equal the batch sketch EXACTLY
+# (same oracle): the Dataflow equivalence applied to sketch rollup.
+# --------------------------------------------------------------------------
+
+
+def cm_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.countmin import CM_DEPTH, _bucket_expr
+
+    ev = events_stream(spark, sf_dir)
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.bucket")
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("counter"))
+
+
+@memoize_drain
+def cm_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming count-min grid == the batch grid (same oracle as
+    sketch_cm_counters): continuous frequency monitoring at 100 TB is
+    this aggregation running forever, its state bounded by d x w cells."""
+    res = run_stream_once(cm_ingest_stream(spark, sf_dir), "t_gate_cm_ingest")
+    return res.orderBy("row", "bucket")
+
+
+def bloom_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import BITS_PER_WORD, K_HASHES, _bloom_filter, _pos_expr
+
+    # the filter's m is a sizing PARAMETER (derived from the dimension's
+    # key count, a deployment decision); the batch build supplies it and
+    # is memoized -- the stream maintains the bitmap under that sizing
+    m_bits, _keys, _bits = _bloom_filter(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "orders.parquet")
+        .load(sf_dir)
+    )
+    pos = raw.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.explode(
+            F.array(
+                *[_pos_expr(F.col("o_orderkey"), i, m_bits) for i in range(K_HASHES)]
+            )
+        ).alias("pos")
+    )
+    # bit_or is idempotent, so no distinct is needed before the word OR
+    # (the batch twin dedups positions only to shrink its join input)
+    return (
+        pos.select(
+            F.expr(f"pos div {BITS_PER_WORD}").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(pos % {BITS_PER_WORD} as int))").alias("w"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("word"))
+    )
+
+
+@memoize_drain
+def bloom_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming Bloom bitmap == the batch bitmap (same oracle as
+    sketch_bloom_bitmap): the join-pruning runtime filter maintained
+    continuously as the dimension ingests, instead of rebuilt per run."""
+    res = run_stream_once(bloom_ingest_stream(spark, sf_dir), "t_gate_bloom_ingest")
+    return res.orderBy("word_idx")
+
+
+# --------------------------------------------------------------------------
 # Multiplexed streaming source: N topic directories unioned into ONE
 # streaming query with a lineage column -- the multi-topic ingestion shape
 # a real pipeline needs (one job consuming clickstream + purchases + logs,
