@@ -66,7 +66,11 @@ def test_bloom_membership_probes_broadcast(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line
-    assert plan.count("LeftSemi") >= bloom.K_HASHES + 1
+    # K semi-probes; the exact re-check rides the same single pass as a
+    # broadcast LEFT join flag (round 8: the separate semi-join subtree
+    # scanned lineitem twice)
+    assert plan.count("LeftSemi") >= bloom.K_HASHES
+    assert "LeftOuter" in plan
 
 
 def test_kmv_exact_regime_and_estimator_math(spark, sf_dir):

@@ -14,8 +14,10 @@ explicit and puts BOTH the filter's bitmap and the end-to-end pruned join
 under the DuckDB-oracle gate (the false-positive count is part of the
 gated row, so the filter's quality is measured every round, not assumed).
 
-Portability: bit positions come from the repo's md5-derived 60-bit hash
-(functions/hashing.py -- bit-equal in both engines), the bitmap packs 63
+Portability: bit positions come from a seeded Carter-Wegman universal
+family on the integer key, ((a_i*k + b_i) mod M31) mod m -- pure long
+arithmetic, bit-equal and overflow-safe in both engines, ~free per fact
+row (see BLOOM_HASH_PARAMS for why not md5 here); the bitmap packs 63
 bits per BIGINT word (shifts stay in non-negative territory in Java and
 DuckDB alike), and the filter is sized at ~10 bits/key with pure integer
 arithmetic both engines reproduce exactly: m = 63 * ((10*n + 62) // 63).
@@ -34,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60, hash60_sql
+from ..functions.hashing import minhash_params
 from ..sources.tables import load_table
 from . import _memo
 from .relational import dsum, osum
@@ -56,15 +58,30 @@ def _urgent_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Seeded universal-hash family h_i(k) = ((a_i*k + b_i) mod M31) mod m for
+# INTEGER keys (Carter-Wegman): the md5-derived hash is the repo's device
+# for cross-engine determinism on STRINGS, but evaluating a digest + base
+# conversion per fact row per probe dominated the probe pass (~0.7s per
+# evaluation over 600k rows, round-8 profile: the 3 broadcast semi joins
+# themselves cost 0.2s). Pure long arithmetic is ~free, identical in both
+# engines, and overflow-safe: a < 2^31, so a*k + b stays under 2^63 for
+# keys up to ~4e9. Universality gives the standard Bloom fp bound.
+# Requires m < M31 (~2.1e9 bits); larger filters or string keys fall back
+# to the md5 base hashes, whose cost amortizes across cluster tasks.
+BLOOM_HASH_PARAMS = minhash_params(K_HASHES, seed=97)
+_M31 = 2_147_483_647
+
+
 def _pos_expr(key, i: int, m_bits: int):
-    """Bit position of hash i for a key column -- md5-derived, mod m."""
-    return hash60(F.concat(key.cast("string"), F.lit(f"#bloom{i}"))) % m_bits
+    """Bit position of hash i for an integer key column."""
+    a, b = BLOOM_HASH_PARAMS[i]
+    return (F.lit(a) * key.cast("long") + F.lit(b)) % _M31 % m_bits
 
 
 def _pos_sql(expr: str, i: int) -> str:
     """DuckDB twin of :func:`_pos_expr`; ``m`` comes from the params CTE."""
-    hashed = hash60_sql(expr + f" || '#bloom{i}'")
-    return f"({hashed} % (SELECT m FROM params))"
+    a, b = BLOOM_HASH_PARAMS[i]
+    return f"((({a} * ({expr}) + {b}) % {_M31}) % (SELECT m FROM params))"
 
 
 _ORACLE_PARAMS = f"""
@@ -133,7 +150,7 @@ def bloom_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bloom_bitmap_oracle() -> str:
-    hashes = ", ".join(_pos_sql("o_orderkey::VARCHAR", i) for i in range(K_HASHES))
+    hashes = ", ".join(_pos_sql("o_orderkey", i) for i in range(K_HASHES))
     return f"""
 WITH {_ORACLE_PARAMS},
 pos AS (SELECT pos FROM (SELECT unnest([{hashes}]) AS pos FROM urgent))
@@ -189,7 +206,7 @@ def bloom_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bloom_merge_shards_oracle() -> str:
-    hashes = ", ".join(_pos_sql("o_orderkey::VARCHAR", i) for i in range(K_HASHES))
+    hashes = ", ".join(_pos_sql("o_orderkey", i) for i in range(K_HASHES))
     return f"""
 WITH {_ORACLE_PARAMS},
 cells AS (
@@ -237,18 +254,27 @@ def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pos_expr(F.col("l_orderkey"), i, m_bits) == F.col("pos"),
             "left_semi",
         )
-    exact = pre.join(
-        F.broadcast(keys), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
-    )
+    # ONE pass over the prefiltered fact: the exact re-check rides as a
+    # broadcast LEFT join flag (o_orderkey is the orders PK, so no row
+    # duplication) and both counts + the exact revenue come out of a
+    # single aggregate -- the previous two-subtree form (pre.agg +
+    # exact.agg) scanned lineitem twice and paid the K md5 probes twice
+    # (round-8 bench: warm 1.49s, half of it the duplicate pass).
+    flagged = pre.join(
+        F.broadcast(keys), F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).withColumn("is_exact", F.col("o_orderkey").isNotNull())
     return (
         keys.agg(F.count(F.lit(1)).alias("n_keys"))
-        .crossJoin(pre.agg(F.count(F.lit(1)).alias("n_prefilter")))
         .crossJoin(
-            exact.agg(
-                F.count(F.lit(1)).alias("n_exact"),
-                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                    "revenue_exact"
-                ),
+            flagged.agg(
+                F.count(F.lit(1)).alias("n_prefilter"),
+                F.count(F.when(F.col("is_exact"), F.lit(1))).alias("n_exact"),
+                dsum(
+                    F.when(
+                        F.col("is_exact"),
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    )
+                ).alias("revenue_exact"),
             )
         )
         .select(
@@ -264,10 +290,10 @@ def bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bloom_prefiltered_join_oracle() -> str:
     bits_member = " AND ".join(
-        f"{_pos_sql('l_orderkey::VARCHAR', i)} IN (SELECT pos FROM bits)"
+        f"{_pos_sql('l_orderkey', i)} IN (SELECT pos FROM bits)"
         for i in range(K_HASHES)
     )
-    hashes = ", ".join(_pos_sql("o_orderkey::VARCHAR", i) for i in range(K_HASHES))
+    hashes = ", ".join(_pos_sql("o_orderkey", i) for i in range(K_HASHES))
     return f"""
 WITH {_ORACLE_PARAMS},
 bits AS (SELECT DISTINCT pos FROM (SELECT unnest([{hashes}]) AS pos FROM urgent)),
