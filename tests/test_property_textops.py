@@ -134,3 +134,51 @@ def test_bpe_top_merges_match_python_reference(spark, sf_dir):
                     counts[word[i : i + 2]] += 1
     expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r["pair"], r["n"]) for r in rows] == expect
+
+
+def test_bpe_train_matches_python_trainer(spark, sf_dir):
+    """The N-merge training loop equals a brute-force Python BPE trainer
+    (greedy left-to-right merge application, frequency-weighted pair
+    counts, ties by pair text) at every iteration -- winner AND count."""
+    import re
+
+    from vector_db_from_scratch_spark.operators.textops import (
+        BPE_TRAIN_MERGES,
+        bpe_train_merges,
+    )
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = bpe_train_merges(spark, sf_dir).collect()
+    texts = [r["text"] for r in load_table(spark, sf_dir, "documents").collect()]
+    wf = Counter()
+    for text in texts:
+        for word in re.split(r"\s+", text):
+            if len(word) >= 2 and "\x01" not in word:
+                wf[tuple(word)] += 1
+
+    def merge_word(syms, pair):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    expect = []
+    for _ in range(BPE_TRAIN_MERGES):
+        counts = Counter()
+        for syms, freq in wf.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq
+        pair, n = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        expect.append((f"{pair[0]} {pair[1]}", n))
+        merged = Counter()
+        for s, f in wf.items():
+            merged[merge_word(s, pair)] += f
+        wf = merged
+    assert [(r["merge"], r["n"]) for r in rows] == expect

@@ -389,6 +389,119 @@ LIMIT {top_n}
 """.strip()
 
 
+BPE_TRAIN_MERGES = 4
+# token-start marker for the multi-iteration trainer: with multi-char
+# symbols a bare space-joined encoding is unsound (searching "b c" would
+# also match inside "ab c"), so every symbol is prefixed with a control
+# char that cannot appear mid-symbol -- a pair match must then start at a
+# real symbol start. Words containing the marker are excluded (both
+# engines) so the encoding is injective.
+BPE_MARK = "\x01"
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_TRAIN_MERGES
+) -> DataFrame:
+    """The full BPE training LOOP under the gate: n_merges iterations of
+    (count adjacent symbol pairs -> pick the winner -> merge it into one
+    symbol everywhere), emitted as (iter, merge, n). Unlike the iter-1 /
+    iter-2 step gates, this runs the trainer end-to-end -- and the oracle
+    is the same loop unrolled as a DuckDB CTE chain, so every winner and
+    its frequency is hash-checked at every iteration.
+
+    Encoding: words are marker-prefixed space-joined symbols
+    ("\\x01h \\x01e ..."); applying a merge is one literal
+    non-overlapping left-to-right replace (identical in both engines --
+    greedy BPE order), sound for multi-char symbols because a match must
+    begin at a marker. The winner selection is a broadcast 1-row subplan
+    per iteration: the corpus crosses one exchange per recount and the
+    whole loop is a single composed lazy plan, no driver round trips."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).filter((F.length("word") >= 2) & (~F.col("word").contains(BPE_MARK)))
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    sym = wf.select(
+        F.rtrim(F.regexp_replace(F.col("word"), "(.)", BPE_MARK + "$1 ")).alias("s"),
+        "freq",
+    )
+
+    def pair_counts(symdf: DataFrame) -> DataFrame:
+        arr = symdf.select(F.split(F.col("s"), " ").alias("arr"), "freq")
+        pairs = arr.filter(F.size("arr") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(arr) - 1), "
+                    "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        return pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+
+    outs = []
+    for it in range(1, n_merges + 1):
+        top = pair_counts(sym).orderBy(F.desc("n"), "pair").limit(1)
+        outs.append(
+            top.select(
+                F.lit(it).alias("iter"),
+                F.replace(F.col("pair"), F.lit(BPE_MARK), F.lit("")).alias("merge"),
+                "n",
+            )
+        )
+        sym = sym.crossJoin(F.broadcast(top.select(F.col("pair").alias("_p")))).select(
+            F.replace(
+                F.col("s"),
+                F.col("_p"),
+                F.replace(F.col("_p"), F.lit(" " + BPE_MARK), F.lit("")),
+            ).alias("s"),
+            "freq",
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("iter")
+
+
+def bpe_train_merges_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    ctes = [
+        r"""words AS (
+  SELECT w AS word
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+  WHERE length(w) >= 2 AND NOT contains(w, chr(1)))""",
+        "wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word)",
+        r"""sym0 AS (
+  SELECT rtrim(regexp_replace(word, '(.)', chr(1) || '\1 ', 'g')) AS s, freq
+  FROM wf)""",
+    ]
+    for it in range(1, n_merges + 1):
+        prev = f"sym{it - 1}"
+        ctes.append(
+            f"""pairs{it} AS (
+  SELECT unnest(list_transform(range(1, len(arr)),
+                               i -> arr[i::INT] || ' ' || arr[(i + 1)::INT])) AS pair,
+         freq
+  FROM (SELECT string_split(s, ' ') AS arr, freq FROM {prev})
+  WHERE len(arr) >= 2)"""
+        )
+        ctes.append(
+            f"""top{it} AS (
+  SELECT pair, sum(freq)::BIGINT AS n FROM pairs{it}
+  GROUP BY pair ORDER BY n DESC, pair LIMIT 1)"""
+        )
+        if it < n_merges:
+            ctes.append(
+                f"""sym{it} AS (
+  SELECT replace(s, t.pair, replace(t.pair, ' ' || chr(1), '')) AS s, freq
+  FROM {prev}, top{it} t)"""
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {it} AS iter, replace(pair, chr(1), '') AS merge, n FROM top{it}"
+        for it in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY iter"
+
+
 def bpe_merge_iter2(spark: SparkSession, sf_dir: str, top_n: int = BPE_TOP_MERGES) -> DataFrame:
     """BPE iteration 2 -- the vocabulary-MUTATION step under the gate
     (VERDICT r7 item 4; iteration 1 only gated the pair-counting step):

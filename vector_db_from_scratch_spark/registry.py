@@ -538,6 +538,9 @@ def build() -> dict[str, Entry]:
     # iteration 2: the vocabulary-MUTATION step (apply the iter-1 winner,
     # recount over the mutated symbol table) under the gate
     reg["text_bpe_merge_iter2"] = (t.bpe_merge_iter2, t.bpe_merge_iter2_oracle())
+    # the full training LOOP: N merge iterations end-to-end, every
+    # winner + frequency gated (oracle = the loop unrolled as CTEs)
+    reg["text_bpe_train_merges"] = (t.bpe_train_merges, t.bpe_train_merges_oracle())
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
     reg["text_repetition_metrics"] = (t.repetition_metrics, t.repetition_metrics_oracle())
     reg["text_unigram_lm_scores"] = (t.unigram_lm_scores, t.unigram_lm_scores_oracle())
