@@ -146,6 +146,30 @@ def test_kmeans_inertia_decreases(spark, sf_dir):
     assert i3 <= i1 + 1e-9
 
 
+def test_kmeans_quantized_loop_consistent(spark, sf_dir):
+    """The gated quantized-Lloyd trajectory: iteration 1 equals the Arrow
+    kernel's gated iter-1 counts (same seeded init, same rounded-d^2
+    argmin), and every iteration partitions all vectors."""
+    import numpy as np
+
+    from vector_db_from_scratch_spark.operators.ivf import (
+        KMEANS_GATED_ITERS,
+        kmeans_iter1_sizes,
+        kmeans_train_quantized,
+    )
+
+    rows = kmeans_train_quantized(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    by_iter = {}
+    for r in rows:
+        by_iter.setdefault(r["iter"], {})[r["cell"]] = r["n_assigned"]
+    assert sorted(by_iter) == list(range(1, KMEANS_GATED_ITERS + 1))
+    assert all(sum(cells.values()) == total for cells in by_iter.values())
+
+    iter1 = {r["cell"]: r["n_assigned"] for r in kmeans_iter1_sizes(spark, sf_dir).collect()}
+    assert by_iter[1] == iter1
+
+
 def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
     """Hamming<=1 probing must examine a superset of the query's own bucket,
     so its recall vs the exact scan can only improve on the single-bucket

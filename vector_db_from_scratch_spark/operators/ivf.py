@@ -284,6 +284,121 @@ def kmeans_iter2_sizes(
     )
 
 
+KMEANS_GATED_ITERS = 3
+
+
+def kmeans_train_quantized(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = NUM_CELLS,
+    iterations: int = KMEANS_GATED_ITERS,
+) -> DataFrame:
+    """The full Lloyd training LOOP under the gate (the bpe_train_merges
+    discipline applied to k-means): N iterations of assign -> exact
+    micro-unit centroid update -> re-assign, emitting (iter, cell,
+    n_assigned) for every iteration. The micro-quantized update makes
+    every iteration's centroids bit-identical doubles in both engines,
+    so the whole training TRAJECTORY -- not just one step -- is
+    hash-checked against the loop unrolled as a DuckDB CTE chain.
+    train_centroids remains the production float trainer (recall-gated);
+    this is its verifiable quantized twin. Plan shape per iteration: one
+    broadcast join + map-side-collapsed argmin + one (cell, pos)
+    aggregate -- embeddings cross one exchange per iteration, and the
+    loop composes lazily (no driver round trips)."""
+    from .relational import MICRO
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").cast("array<double>").alias("cv")
+    )
+    cents = seed
+    outs = []
+    for it in range(1, iterations + 1):
+        exp = emb.crossJoin(F.broadcast(cents)).withColumn(
+            "cd", _d2_expr(F.col("embedding"), F.col("cv"))
+        )
+        a = argmin_cell(exp, "vec_id", ["embedding"])
+        outs.append(
+            a.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_assigned"))
+            .select(F.lit(it).alias("iter"), "cell", "n_assigned")
+        )
+        if it == iterations:
+            break
+        el = a.select(
+            "cell", F.posexplode(F.col("embedding")).alias("p0", "val")
+        ).select(
+            "cell",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            F.round(F.col("val").cast("double") * F.lit(float(MICRO)), 0)
+            .cast("long")
+            .alias("vm"),
+        )
+        upd = el.groupBy("cell", "pos").agg(
+            F.round(F.sum("vm").cast("double") / F.count(F.lit(1)).cast("double"), 0)
+            .cast("long")
+            .alias("cm")
+        )
+        c_upd = upd.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cm"))),
+                lambda s: s.getField("cm").cast("double") / F.lit(float(MICRO)),
+            ).alias("cv2")
+        )
+        cents = (
+            seed.withColumnRenamed("cv", "seed_cv")
+            .join(c_upd, "cell", "left")
+            .select("cell", F.coalesce("cv2", "seed_cv").alias("cv"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("iter", "cell")
+
+
+def kmeans_train_quantized_oracle(
+    n_cells: int = NUM_CELLS, iterations: int = KMEANS_GATED_ITERS
+) -> str:
+    from .relational import MICRO
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id < {n_cells})""",
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"c{it - 1}"
+        d2 = _D2_SQL.format(v="e.v", c=f"{prev}.cv")
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, {prev}.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2}, {prev}.cell) AS rn
+    FROM e, {prev})
+  WHERE rn = 1)"""
+        )
+        if it == iterations:
+            break
+        ctes.append(
+            f"""upd{it} AS (
+  SELECT cell, i AS pos, round(sum(round(e.v[i] * {MICRO}.0)::BIGINT)::DOUBLE
+                               / count(*)::DOUBLE)::BIGINT AS cm
+  FROM a{it} JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+  GROUP BY cell, pos)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT c0.cell, coalesce(u.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN (SELECT cell, list(cm::DOUBLE / {MICRO}.0 ORDER BY pos) AS cv
+                     FROM upd{it} GROUP BY cell) u USING (cell))"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {it} AS iter, cell, count(*) AS n_assigned FROM a{it} GROUP BY cell"
+        for it in range(1, iterations + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY iter, cell"
+
+
 def kmeans_iter2_sizes_oracle(n_cells: int = NUM_CELLS) -> str:
     from .relational import MICRO
 

@@ -711,6 +711,12 @@ def build() -> dict[str, Entry]:
         ivf.kmeans_iter2_sizes,
         ivf.kmeans_iter2_sizes_oracle(),
     )
+    # the full quantized-Lloyd LOOP: every iteration's assignment counts
+    # gated (oracle = the loop unrolled as CTEs; bpe_train discipline)
+    reg["ivf_kmeans_train_quantized"] = (
+        ivf.kmeans_train_quantized,
+        ivf.kmeans_train_quantized_oracle(),
+    )
     # S10/S11 persisted-artifact round trip: save partitionBy(bucket),
     # load, probe -- the probe is a partition-pruned parquet read
     reg["lsh_index_persisted_knn"] = (
