@@ -149,7 +149,10 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = o.select(
         "x", F.row_number().over(Window.orderBy("x")).cast("long").alias("rn")
     )
-    out = sel.join(F.broadcast(ranked), F.col("rn") == F.col("idx"))
+    # broadcast the 5-row quantile side INTO the ranked stream (not the
+    # other way around): the exact-rank table is corpus-sized and exists
+    # only to gate the estimate -- it must never be the broadcast side
+    out = ranked.join(F.broadcast(sel), F.col("rn") == F.col("idx"))
     err = F.abs(F.col("est_raw") - F.col("x"))
     return out.select(
         "q",
