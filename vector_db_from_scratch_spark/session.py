@@ -35,7 +35,15 @@ def get_spark(app_name: str = "vector-db-spark", cpus: int | None = None) -> Spa
         # identity on rendered values (keeps stream twins equal to the
         # NTZ-based batch/oracle forms on any host)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
+        # overridable for robustness sweeps: every gated query must be
+        # CORRECT with AQE off too (AQE is a performance lever -- runtime
+        # coalescing, empty-relation propagation, skew splits -- never a
+        # semantics dependency); tools/check.py runs the full gate with
+        # SPARK_GRAFT_AQE=false to pin that
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
