@@ -170,6 +170,22 @@ def test_kmeans_quantized_loop_consistent(spark, sf_dir):
     assert by_iter[1] == iter1
 
 
+def test_quantized_trained_probe_reasonable(spark, sf_dir):
+    """The fully-gated trained probe behaves like an ANN search: returns
+    k rows, the query vector is its own nearest neighbor (distance 0),
+    and recall@k vs the exact flat scan clears the same floor the
+    float-trained probe is held to."""
+    from vector_db_from_scratch_spark.operators.ivf import ivf_knn_trained_quantized
+    from vector_db_from_scratch_spark.operators.knn import flat_knn
+
+    approx = ivf_knn_trained_quantized(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    assert len(approx) == 10
+    assert approx[0]["vec_id"] == 0 and approx[0]["distance"] == 0.0
+    exact = {r["vec_id"] for r in flat_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()}
+    got = {r["vec_id"] for r in approx}
+    assert len(got & exact) >= 5
+
+
 def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
     """Hamming<=1 probing must examine a superset of the query's own bucket,
     so its recall vs the exact scan can only improve on the single-bucket

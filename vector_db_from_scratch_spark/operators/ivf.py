@@ -287,24 +287,14 @@ def kmeans_iter2_sizes(
 KMEANS_GATED_ITERS = 3
 
 
-def kmeans_train_quantized(
-    spark: SparkSession,
-    sf_dir: str,
-    n_cells: int = NUM_CELLS,
-    iterations: int = KMEANS_GATED_ITERS,
-) -> DataFrame:
-    """The full Lloyd training LOOP under the gate (the bpe_train_merges
-    discipline applied to k-means): N iterations of assign -> exact
-    micro-unit centroid update -> re-assign, emitting (iter, cell,
-    n_assigned) for every iteration. The micro-quantized update makes
-    every iteration's centroids bit-identical doubles in both engines,
-    so the whole training TRAJECTORY -- not just one step -- is
-    hash-checked against the loop unrolled as a DuckDB CTE chain.
-    train_centroids remains the production float trainer (recall-gated);
-    this is its verifiable quantized twin. Plan shape per iteration: one
-    broadcast join + map-side-collapsed argmin + one (cell, pos)
-    aggregate -- embeddings cross one exchange per iteration, and the
-    loop composes lazily (no driver round trips)."""
+def _quantized_chain(
+    spark: SparkSession, sf_dir: str, n_cells: int, iterations: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """The quantized-Lloyd loop as composed lazy DataFrames: returns the
+    per-iteration assignment tables (vec_id, embedding, cell) and the
+    FINAL centroid table (the one the last assignment argmins against).
+    Shared by the training-trajectory gate and the fully-gated trained
+    ANN probe."""
     from .relational import MICRO
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -312,20 +302,15 @@ def kmeans_train_quantized(
         F.col("vec_id").alias("cell"), F.col("embedding").cast("array<double>").alias("cv")
     )
     cents = seed
-    outs = []
+    assigns: list[DataFrame] = []
     for it in range(1, iterations + 1):
         exp = emb.crossJoin(F.broadcast(cents)).withColumn(
             "cd", _d2_expr(F.col("embedding"), F.col("cv"))
         )
-        a = argmin_cell(exp, "vec_id", ["embedding"])
-        outs.append(
-            a.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n_assigned"))
-            .select(F.lit(it).alias("iter"), "cell", "n_assigned")
-        )
+        assigns.append(argmin_cell(exp, "vec_id", ["embedding"]))
         if it == iterations:
             break
-        el = a.select(
+        el = assigns[-1].select(
             "cell", F.posexplode(F.col("embedding")).alias("p0", "val")
         ).select(
             "cell",
@@ -350,15 +335,117 @@ def kmeans_train_quantized(
             .join(c_upd, "cell", "left")
             .select("cell", F.coalesce("cv2", "seed_cv").alias("cv"))
         )
+    return assigns, cents
+
+
+def kmeans_train_quantized(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = NUM_CELLS,
+    iterations: int = KMEANS_GATED_ITERS,
+) -> DataFrame:
+    """The full Lloyd training LOOP under the gate (the bpe_train_merges
+    discipline applied to k-means): N iterations of assign -> exact
+    micro-unit centroid update -> re-assign, emitting (iter, cell,
+    n_assigned) for every iteration. The micro-quantized update makes
+    every iteration's centroids bit-identical doubles in both engines,
+    so the whole training TRAJECTORY -- not just one step -- is
+    hash-checked against the loop unrolled as a DuckDB CTE chain.
+    train_centroids remains the production float trainer (recall-gated);
+    this is its verifiable quantized twin. Plan shape per iteration: one
+    broadcast join + map-side-collapsed argmin + one (cell, pos)
+    aggregate -- embeddings cross one exchange per iteration, and the
+    loop composes lazily (no driver round trips)."""
+    assigns, _cents = _quantized_chain(spark, sf_dir, n_cells, iterations)
+    outs = [
+        a.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .select(F.lit(it).alias("iter"), "cell", "n_assigned")
+        for it, a in enumerate(assigns, start=1)
+    ]
     out = outs[0]
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("iter", "cell")
 
 
-def kmeans_train_quantized_oracle(
-    n_cells: int = NUM_CELLS, iterations: int = KMEANS_GATED_ITERS
+def ivf_knn_trained_quantized(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_cells: int = NUM_CELLS,
+    iterations: int = KMEANS_GATED_ITERS,
+) -> DataFrame:
+    """Trained-quantizer ANN probe whose ENTIRE pipeline is hash-gated:
+    quantized-Lloyd training -> final assignment -> NPROBE nearest-cell
+    probe -> exact distances within the probed cells. The float-trained
+    twins (ivf_knn_trained / ivf_trained_persisted_knn) stay rows-only
+    with recall/equality verdicts because float centroid means are not
+    portably SQL-reproducible; the micro-quantized trainer removes that
+    limitation, so this is the first trained ANN search where training,
+    index build, AND probe all sit under the value-hash gate."""
+    assigns, cents = _quantized_chain(spark, sf_dir, n_cells, iterations)
+    a = assigns[-1]
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell", _d2_expr(F.col("cv"), F.col("qv")).alias("qd"))
+        .orderBy("qd", "cell")
+        .limit(NPROBE)
+        .select("cell")
+    )
+    pool = a.join(F.broadcast(probe), "cell")
+    return (
+        pool.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            distance_expr(metric, F.col("embedding"), F.col("qv")).alias("distance"),
+        )
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_knn_trained_quantized_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    n_cells: int = NUM_CELLS,
+    iterations: int = KMEANS_GATED_ITERS,
 ) -> str:
+    ctes = _quantized_chain_sql(n_cells, iterations)
+    last_a = f"a{iterations}"
+    last_c = f"c{iterations - 1}"
+    qd = _D2_SQL.format(v=f"{last_c}.cv", c="q.qv")
+    d = oracle_distance_sql(metric, "e.v", "q.qv")
+    ctes.append(
+        f"q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings"
+        f" WHERE vec_id = {query_vec_id})"
+    )
+    ctes.append(
+        f"""probe AS (
+  SELECT cell FROM {last_c}, q ORDER BY {qd}, cell LIMIT {NPROBE})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT e.vec_id AS vec_id, {d} AS distance
+FROM {last_a} a JOIN e ON a.vec_id = e.vec_id, q
+WHERE a.cell IN (SELECT cell FROM probe)
+ORDER BY distance, vec_id
+LIMIT {k}"""
+    )
+
+
+def _quantized_chain_sql(n_cells: int, iterations: int) -> list[str]:
+    """DuckDB CTE chain mirroring :func:`_quantized_chain`: e, c0..c{N-1},
+    a1..aN (+upd CTEs). Returned as a list so callers append their own
+    final CTEs/selects."""
     from .relational import MICRO
 
     ctes = [
@@ -392,6 +479,13 @@ def kmeans_train_quantized_oracle(
   FROM c0 LEFT JOIN (SELECT cell, list(cm::DOUBLE / {MICRO}.0 ORDER BY pos) AS cv
                      FROM upd{it} GROUP BY cell) u USING (cell))"""
         )
+    return ctes
+
+
+def kmeans_train_quantized_oracle(
+    n_cells: int = NUM_CELLS, iterations: int = KMEANS_GATED_ITERS
+) -> str:
+    ctes = _quantized_chain_sql(n_cells, iterations)
     selects = " UNION ALL ".join(
         f"SELECT {it} AS iter, cell, count(*) AS n_assigned FROM a{it} GROUP BY cell"
         for it in range(1, iterations + 1)

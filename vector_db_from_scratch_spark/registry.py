@@ -717,6 +717,15 @@ def build() -> dict[str, Entry]:
         ivf.kmeans_train_quantized,
         ivf.kmeans_train_quantized_oracle(),
     )
+    # trained ANN probe with the ENTIRE pipeline under the hash gate
+    # (training -> assignment -> probe -> distances); the float-trained
+    # twins remain rows-only with recall/equality verdicts
+    reg["ivf_knn_trained_quantized"] = (
+        lambda spark, sf: ivf.ivf_knn_trained_quantized(
+            spark, sf, "cosine", k=10, query_vec_id=0
+        ),
+        ivf.ivf_knn_trained_quantized_oracle("cosine", k=10, query_vec_id=0),
+    )
     # S10/S11 persisted-artifact round trip: save partitionBy(bucket),
     # load, probe -- the probe is a partition-pruned parquet read
     reg["lsh_index_persisted_knn"] = (
