@@ -182,3 +182,31 @@ def test_bpe_train_matches_python_trainer(spark, sf_dir):
             merged[merge_word(s, pair)] += f
         wf = merged
     assert [(r["merge"], r["n"]) for r in rows] == expect
+
+
+def test_bpe_train_end_boundary_adversarial(spark, tmp_path):
+    """Regression for the merge-apply END boundary: applying winner (e,l)
+    to 'h e ll o' must NOT consume the first l of the 'll' symbol. With
+    the corpus llll*8 / xel*12 / hello*9 the buggy replace (pair matched
+    without a trailing boundary) corrupts hello to 'h ell o' and flips the
+    iteration-4 winner from ('e ll', 9) to ('ell o', 9); the fixed
+    space-terminated encoding yields the textbook greedy-BPE trajectory.
+    Oracle cross-check included (same parquet through DuckDB)."""
+    import duckdb
+
+    from vector_db_from_scratch_spark.operators.textops import (
+        bpe_train_merges,
+        bpe_train_merges_oracle,
+    )
+
+    texts = ["llll"] * 8 + ["xel"] * 12 + ["hello"] * 9
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame([(t,) for t in texts], "text string").coalesce(
+        1
+    ).write.parquet(path)
+    rows = bpe_train_merges(spark, str(tmp_path)).collect()
+    got = [(r["merge"], r["n"]) for r in rows]
+    assert got == [("l l", 33), ("e l", 12), ("x el", 12), ("e ll", 9)]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    assert [(m, n) for _, m, n in con.execute(bpe_train_merges_oracle()).fetchall()] == got

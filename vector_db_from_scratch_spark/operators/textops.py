@@ -394,8 +394,12 @@ BPE_TRAIN_MERGES = 4
 # symbols a bare space-joined encoding is unsound (searching "b c" would
 # also match inside "ab c"), so every symbol is prefixed with a control
 # char that cannot appear mid-symbol -- a pair match must then start at a
-# real symbol start. Words containing the marker are excluded (both
-# engines) so the encoding is injective.
+# real symbol start. The match END is guarded symmetrically: every
+# encoded word carries a TRAILING space (symbols are space-TERMINATED,
+# not space-separated), and a merge replaces pair+' ' with merged+' ' so
+# the second symbol must also end at a boundary ("\x01e \x01l " cannot
+# match inside "\x01e \x01ll "). Words containing the marker are excluded
+# (both engines) so the encoding is injective.
 BPE_MARK = "\x01"
 
 
@@ -409,11 +413,12 @@ def bpe_train_merges(
     is the same loop unrolled as a DuckDB CTE chain, so every winner and
     its frequency is hash-checked at every iteration.
 
-    Encoding: words are marker-prefixed space-joined symbols
-    ("\\x01h \\x01e ..."); applying a merge is one literal
-    non-overlapping left-to-right replace (identical in both engines --
-    greedy BPE order), sound for multi-char symbols because a match must
-    begin at a marker. The winner selection is a broadcast 1-row subplan
+    Encoding: words are marker-prefixed space-TERMINATED symbols
+    ("\\x01h \\x01e ... \\x01o "); applying a merge is one literal
+    non-overlapping left-to-right replace of pair+' ' with merged+' '
+    (identical in both engines -- greedy BPE order), sound for multi-char
+    symbols because a match must begin at a marker AND end at a symbol
+    boundary. The winner selection is a broadcast 1-row subplan
     per iteration: the corpus crosses one exchange per recount and the
     whole loop is a single composed lazy plan, no driver round trips."""
     docs = load_table(spark, sf_dir, "documents")
@@ -422,12 +427,12 @@ def bpe_train_merges(
     ).filter((F.length("word") >= 2) & (~F.col("word").contains(BPE_MARK)))
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     sym = wf.select(
-        F.rtrim(F.regexp_replace(F.col("word"), "(.)", BPE_MARK + "$1 ")).alias("s"),
+        F.regexp_replace(F.col("word"), "(.)", BPE_MARK + "$1 ").alias("s"),
         "freq",
     )
 
     def pair_counts(symdf: DataFrame) -> DataFrame:
-        arr = symdf.select(F.split(F.col("s"), " ").alias("arr"), "freq")
+        arr = symdf.select(F.split(F.rtrim(F.col("s")), " ").alias("arr"), "freq")
         pairs = arr.filter(F.size("arr") >= 2).select(
             F.explode(
                 F.expr(
@@ -452,8 +457,11 @@ def bpe_train_merges(
         sym = sym.crossJoin(F.broadcast(top.select(F.col("pair").alias("_p")))).select(
             F.replace(
                 F.col("s"),
-                F.col("_p"),
-                F.replace(F.col("_p"), F.lit(" " + BPE_MARK), F.lit("")),
+                F.concat(F.col("_p"), F.lit(" ")),
+                F.concat(
+                    F.replace(F.col("_p"), F.lit(" " + BPE_MARK), F.lit("")),
+                    F.lit(" "),
+                ),
             ).alias("s"),
             "freq",
         )
@@ -471,7 +479,7 @@ def bpe_train_merges_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
   WHERE length(w) >= 2 AND NOT contains(w, chr(1)))""",
         "wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word)",
         r"""sym0 AS (
-  SELECT rtrim(regexp_replace(word, '(.)', chr(1) || '\1 ', 'g')) AS s, freq
+  SELECT regexp_replace(word, '(.)', chr(1) || '\1 ', 'g') AS s, freq
   FROM wf)""",
     ]
     for it in range(1, n_merges + 1):
@@ -481,7 +489,7 @@ def bpe_train_merges_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
   SELECT unnest(list_transform(range(1, len(arr)),
                                i -> arr[i::INT] || ' ' || arr[(i + 1)::INT])) AS pair,
          freq
-  FROM (SELECT string_split(s, ' ') AS arr, freq FROM {prev})
+  FROM (SELECT string_split(rtrim(s), ' ') AS arr, freq FROM {prev})
   WHERE len(arr) >= 2)"""
         )
         ctes.append(
@@ -492,7 +500,8 @@ def bpe_train_merges_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
         if it < n_merges:
             ctes.append(
                 f"""sym{it} AS (
-  SELECT replace(s, t.pair, replace(t.pair, ' ' || chr(1), '')) AS s, freq
+  SELECT replace(s, t.pair || ' ', replace(t.pair, ' ' || chr(1), '') || ' ') AS s,
+         freq
   FROM {prev}, top{it} t)"""
             )
     selects = " UNION ALL ".join(
