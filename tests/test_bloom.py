@@ -196,3 +196,16 @@ def test_count_min_guarantees(spark, sf_dir):
     for g in grid:
         per_row[g["row"]] = per_row.get(g["row"], 0) + g["counter"]
     assert all(v == total for v in per_row.values()), per_row
+
+
+def test_bloom_sizing_guard_rejects_oversized_filters():
+    """_m_bits must fail loudly once the filter would exceed the
+    Carter-Wegman modulus (positions are taken mod M31 first, so larger
+    filters would silently leave all high bits unset)."""
+    import pytest
+
+    from vector_db_from_scratch_spark.operators import bloom
+
+    assert bloom._m_bits(1000) < bloom._M31
+    with pytest.raises(ValueError, match="Carter-Wegman"):
+        bloom._m_bits(250_000_000)

@@ -47,7 +47,18 @@ BITS_PER_KEY = 10  # ~1.7% false-positive rate at K=3
 
 
 def _m_bits(n_keys: int) -> int:
-    return BITS_PER_WORD * ((BITS_PER_KEY * n_keys + BITS_PER_WORD - 1) // BITS_PER_WORD)
+    m = BITS_PER_WORD * ((BITS_PER_KEY * n_keys + BITS_PER_WORD - 1) // BITS_PER_WORD)
+    # the Carter-Wegman positions are taken mod M31 FIRST, so any filter
+    # sized past M31 would silently never set bits above it (degrading the
+    # fp rate with the oracle mirroring the bug); fail loudly instead --
+    # crossing this (~214M build keys) means switching to the md5 base
+    # hashes, which is a code change, not a runtime fallback
+    if m >= _M31:
+        raise ValueError(
+            f"bloom filter of {m} bits exceeds the Carter-Wegman modulus "
+            f"{_M31}; use the md5 string-hash path for filters this large"
+        )
+    return m
 
 
 def _urgent_keys(spark: SparkSession, sf_dir: str) -> DataFrame:

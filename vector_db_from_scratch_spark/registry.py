@@ -91,6 +91,10 @@ def _driver_verified() -> dict[str, int]:
     gated query green at least once, the verified tail of each driver
     window is filled oldest-green-round first, so "was green once in r1"
     decays into "re-confirmed green" instead of going unmonitored forever.
+
+    Note: recorded rows may reference queries no longer registered (e.g.
+    `agg_approx_stats`, demoted to test-only in r2, commit 47a8986) --
+    harmless, `_reorder` only looks names up in the live registry.
     """
     import glob
     import json
@@ -117,8 +121,11 @@ def _driver_verified() -> dict[str, int]:
                 # Spark query ran and produced rows. That IS its full
                 # check succeeding (r07 recorded the six IVF/PQ persisted
                 # paths this way) -- without counting it, these entries
-                # would re-occupy window slots every round forever.
-                ok = row.get("spark_rows") is not None
+                # would re-occupy window slots every round forever. An
+                # EMPTY result is not a pass though (ADVICE r8): every
+                # rows-only entry is a non-empty probe by construction, so
+                # 0 rows means the query regressed -- rotate it forward.
+                ok = bool(row.get("spark_rows"))
             elif row.get("err"):
                 continue
             else:
@@ -181,9 +188,15 @@ def _reorder(reg: dict[str, Entry]) -> dict[str, Entry]:
     for rnd in sorted(by_round):
         for n in _interleave_families(by_round[rnd]):
             out[n] = reg[n]
-    for n, e in reg.items():
-        if n not in out:
-            out[n] = e
+    # recorded rows-only entries last, also oldest-recorded-round first --
+    # a rows-only green is the weakest check, so it too should decay back
+    # into a window instead of staying "recorded once in r7" forever
+    # (ADVICE r8 item 4's staleness half).
+    rows_only = sorted(
+        (n for n in reg if n not in out), key=lambda n: (seen.get(n, 0), n)
+    )
+    for n in rows_only:
+        out[n] = reg[n]
     assert len(out) == len(reg)
     return out
 
