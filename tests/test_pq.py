@@ -132,3 +132,57 @@ def test_invalid_persisted_codebook_is_repaired(spark, sf_dir, tmp_path, monkeyp
         assert again is not None and (again == books).all()
     finally:
         _memo.clear()
+
+
+def test_pq_quantized_trainer_invariants(spark, sf_dir):
+    """Quantized-chain PQ trainer: per (iter, mi) the assignment counts
+    sum to the sample size, codes stay in [0, KS), and iteration 1 equals
+    a numpy recount against the seeded init (same 6dp-rounded d^2 argmin
+    with ties to the lowest code)."""
+    import numpy as np
+
+    from vector_db_from_scratch_spark.operators import pq
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = pq.pq_train_quantized(spark, sf_dir).collect()
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < pq.TRAIN_SAMPLE)
+        .orderBy("vec_id")
+        .collect()
+    )
+    n = len(emb)
+    x = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    dsub = pq.DIM // pq.M_SUBSPACES
+    per = {}
+    for r in rows:
+        assert 0 <= r["code"] < pq.KS_CODES
+        per[(r["iter"], r["mi"])] = per.get((r["iter"], r["mi"]), 0) + r["n_assigned"]
+    assert all(v == n for v in per.values()), per
+    # iteration-1 numpy twin
+    got1 = {
+        (r["mi"], r["code"]): r["n_assigned"] for r in rows if r["iter"] == 1
+    }
+    for mi in range(pq.M_SUBSPACES):
+        sub = x[:, mi * dsub : (mi + 1) * dsub]
+        cents = sub[: pq.KS_CODES]
+        d2 = np.floor(((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2) * 1e6 + 0.5) / 1e6
+        assign = d2.argmin(axis=1)
+        for c in range(pq.KS_CODES):
+            cnt = int((assign == c).sum())
+            assert got1.get((mi, c), 0) == cnt, (mi, c)
+
+
+def test_pq_quantized_probe_recall_vs_flat(spark, sf_dir):
+    """The hash-gated trained-PQ probe keeps useful recall vs exact flat
+    k-NN and always finds the query itself at distance 0."""
+    from vector_db_from_scratch_spark.operators import pq
+    from vector_db_from_scratch_spark.operators.knn import flat_knn
+
+    k = 10
+    exact = {r["vec_id"] for r in flat_knn(spark, sf_dir, "cosine", k=k, query_vec_id=0).collect()}
+    rows = pq.pq_knn_rerank_quantized(spark, sf_dir, "cosine", k=k, query_vec_id=0).collect()
+    got = [r["vec_id"] for r in rows]
+    assert len(got) == k
+    assert got[0] == 0 and rows[0]["distance"] == 0.0
+    assert len(exact & set(got)) / k >= 0.5

@@ -600,3 +600,319 @@ SELECT {k} AS k, count(*) AS n_exact, {RECALL_FLOOR} AS recall_floor,
        true AS recall_ok
 FROM flat
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Quantized-chain PQ training -- the round-8 IVF discipline
+# (ivf._quantized_chain) applied to per-subspace Lloyd, so the LAST ANN
+# family's training pipeline moves from rows-only records to the value-hash
+# gate (VERDICT r8 item 1). The float trainer above stays the production
+# path (recall-gated); this is its bit-identical verifiable twin: every
+# iteration's codebooks are quantized to integer micro-units, making the
+# whole training TRAJECTORY and the trained-probe results reproducible as a
+# DuckDB CTE chain. Reference analog: the index save/load surface S10/S11
+# (vector_db/indexes.py:262-321) -- trained state that must round-trip
+# exactly.
+# --------------------------------------------------------------------------
+
+PQ_GATED_ITERS = 3
+DIM = 64  # embeddings table dimension (TESTDATA.md), like ivf's range(1, 65)
+
+
+def _pq_quantized_chain(
+    src: DataFrame, m: int, ks: int, iterations: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Per-subspace quantized Lloyd over ``src`` (vec_id, v: array<double>)
+    as composed lazy DataFrames: returns the per-iteration assignment
+    tables (vec_id, mi, code, sv) and the codebook table (mi, code, cv)
+    the LAST assignment argmins against. Init = the first ks subvectors
+    (vec_id < ks); d^2 rounds 6dp before the argmin (ties -> lowest code);
+    the update is the exact micro-unit mean; a code that goes empty keeps
+    its previous centroid. Plan shape per iteration: one broadcast join +
+    one map-side-collapsed min(struct) argmin + one (mi, code, pos)
+    aggregate -- subvectors cross one exchange per iteration and the whole
+    loop is a single lazy plan."""
+    from .ivf import _d2_expr
+    from .relational import MICRO
+
+    dsub = DIM // m
+    spark = src.sparkSession
+    mi_df = spark.range(m).select(F.col("id").cast("int").alias("mi"))
+    sub = src.crossJoin(F.broadcast(mi_df)).select(
+        "vec_id",
+        "mi",
+        F.slice(F.col("v"), F.col("mi") * dsub + F.lit(1), dsub).alias("sv"),
+    )
+    cents = sub.filter(F.col("vec_id") < ks).select(
+        "mi", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+    )
+    assigns: list[DataFrame] = []
+    for it in range(1, iterations + 1):
+        exp = sub.join(F.broadcast(cents), "mi").withColumn(
+            "cd", _d2_expr(F.col("sv"), F.col("cv"))
+        )
+        a = (
+            exp.groupBy("vec_id", "mi")
+            .agg(F.min(F.struct("cd", "code", "sv")).alias("_m"))
+            .select(
+                "vec_id",
+                "mi",
+                F.col("_m.code").alias("code"),
+                F.col("_m.sv").alias("sv"),
+            )
+        )
+        assigns.append(a)
+        if it == iterations:
+            break
+        el = a.select(
+            "mi", "code", F.posexplode(F.col("sv")).alias("p0", "val")
+        ).select(
+            "mi",
+            "code",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            F.round(F.col("val") * F.lit(float(MICRO)), 0).cast("long").alias("vm"),
+        )
+        upd = el.groupBy("mi", "code", "pos").agg(
+            F.round(
+                F.sum("vm").cast("double") / F.count(F.lit(1)).cast("double"), 0
+            )
+            .cast("long")
+            .alias("cm")
+        )
+        c_upd = upd.groupBy("mi", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cm"))),
+                lambda s: s.getField("cm").cast("double") / F.lit(float(MICRO)),
+            ).alias("cv2")
+        )
+        cents = cents.join(c_upd, ["mi", "code"], "left").select(
+            "mi", "code", F.coalesce("cv2", "cv").alias("cv")
+        )
+    return assigns, cents
+
+
+def _sample_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < TRAIN_SAMPLE)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+
+def pq_train_quantized(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = M_SUBSPACES,
+    ks: int = KS_CODES,
+    iterations: int = PQ_GATED_ITERS,
+) -> DataFrame:
+    """The full per-subspace Lloyd training LOOP under the gate: N
+    iterations of assign -> micro-unit codebook update -> re-assign over
+    the bounded training sample, emitting (iter, mi, code, n_assigned)
+    for every iteration of every subspace -- the complete PQ training
+    trajectory hash-checked against the loop unrolled as a DuckDB CTE
+    chain (kmeans_train_quantized's discipline per subspace)."""
+    assigns, _ = _pq_quantized_chain(_sample_src(spark, sf_dir), m, ks, iterations)
+    outs = [
+        a.groupBy("mi", "code")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .select(F.lit(it).alias("iter"), "mi", "code", "n_assigned")
+        for it, a in enumerate(assigns, start=1)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("iter", "mi", "code")
+
+
+def _pq_quantized_chain_sql(m: int, ks: int, iterations: int, src_sql: str) -> list[str]:
+    """DuckDB CTE chain mirroring :func:`_pq_quantized_chain`: src, sub,
+    c0..c{N-1}, a1..aN (+upd CTEs). ``src_sql`` must yield
+    (vec_id, v DOUBLE[])."""
+    from .ivf import _D2_SQL
+    from .relational import MICRO
+
+    dsub = DIM // m
+    ctes = [
+        f"src AS ({src_sql})",
+        f"""sub AS (
+  SELECT vec_id, t.mi::INT AS mi,
+         v[t.mi * {dsub} + 1 : t.mi * {dsub} + {dsub}] AS sv
+  FROM src CROSS JOIN range(0, {m}) t(mi))""",
+        f"c0 AS (SELECT mi, vec_id::INT AS code, sv AS cv FROM sub WHERE vec_id < {ks})",
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"c{it - 1}"
+        d2 = _D2_SQL.format(v="s.sv", c="c.cv")
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, mi, code, sv FROM (
+    SELECT s.vec_id, s.mi, c.code, s.sv,
+           row_number() OVER (PARTITION BY s.vec_id, s.mi
+                              ORDER BY {d2}, c.code) AS rn
+    FROM sub s JOIN {prev} c USING (mi))
+  WHERE rn = 1)"""
+        )
+        if it == iterations:
+            break
+        ctes.append(
+            f"""upd{it} AS (
+  SELECT mi, code, i AS pos,
+         round(sum(round(sv[i] * {MICRO}.0)::BIGINT)::DOUBLE
+               / count(*)::DOUBLE)::BIGINT AS cm
+  FROM a{it} CROSS JOIN range(1, {dsub + 1}) t(i)
+  GROUP BY mi, code, pos)"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+  SELECT c.mi, c.code, coalesce(u.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN (SELECT mi, code,
+                                  list(cm::DOUBLE / {MICRO}.0 ORDER BY pos) AS cv
+                           FROM upd{it} GROUP BY mi, code) u USING (mi, code))"""
+        )
+    return ctes
+
+
+def _sample_src_sql() -> str:
+    return (
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        f" WHERE vec_id < {TRAIN_SAMPLE}"
+    )
+
+
+def pq_train_quantized_oracle(
+    m: int = M_SUBSPACES, ks: int = KS_CODES, iterations: int = PQ_GATED_ITERS
+) -> str:
+    ctes = _pq_quantized_chain_sql(m, ks, iterations, _sample_src_sql())
+    selects = " UNION ALL ".join(
+        f"SELECT {it} AS iter, mi, code, count(*) AS n_assigned"
+        f" FROM a{it} GROUP BY mi, code"
+        for it in range(1, iterations + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY iter, mi, code"
+
+
+def pq_knn_rerank_quantized(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    oversample: int = 5,
+    m: int = M_SUBSPACES,
+    ks: int = KS_CODES,
+    iterations: int = PQ_GATED_ITERS,
+) -> DataFrame:
+    """Trained-PQ ADC probe whose ENTIRE pipeline is hash-gated: quantized
+    per-subspace Lloyd -> encode the whole corpus against the trained
+    codebooks -> ADC shortlist in integer micro-units -> exact re-rank.
+    The ADC sum is over micro-quantized LUT entries (BIGINTs), so its
+    value is summation-order independent -- the property that lets both
+    engines agree on the shortlist bit-for-bit. The float ADC twin
+    (pq_knn) stays the production path."""
+    from .ivf import _d2_expr
+    from .relational import MICRO
+
+    dsub = DIM // m
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    _, cents = _pq_quantized_chain(
+        emb.filter(F.col("vec_id") < TRAIN_SAMPLE), m, ks, iterations
+    )
+    mi_df = spark.range(m).select(F.col("id").cast("int").alias("mi"))
+    sub_all = emb.crossJoin(F.broadcast(mi_df)).select(
+        "vec_id",
+        "mi",
+        F.slice(F.col("v"), F.col("mi") * dsub + F.lit(1), dsub).alias("sv"),
+    )
+    codes = (
+        sub_all.join(F.broadcast(cents), "mi")
+        .withColumn("cd", _d2_expr(F.col("sv"), F.col("cv")))
+        .groupBy("vec_id", "mi")
+        .agg(F.min(F.struct("cd", "code")).alias("_m"))
+        .select("vec_id", "mi", F.col("_m.code").alias("code"))
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    qsub = mi_df.crossJoin(F.broadcast(q)).select(
+        "mi",
+        F.slice(F.col("qv"), F.col("mi") * dsub + F.lit(1), dsub).alias("qsv"),
+    )
+    lut = cents.join(F.broadcast(qsub), "mi").select(
+        "mi",
+        "code",
+        F.round(_d2_expr(F.col("qsv"), F.col("cv")) * F.lit(float(MICRO)), 0)
+        .cast("long")
+        .alias("lut_m"),
+    )
+    shortlist = (
+        codes.join(F.broadcast(lut), ["mi", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("lut_m").alias("adc_m"))
+        .orderBy("adc_m", "vec_id")
+        .limit(k * oversample)
+        .select("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            distance_expr(metric, F.col("v"), F.col("qv")).alias("distance"),
+        )
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+def pq_knn_rerank_quantized_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    oversample: int = 5,
+    m: int = M_SUBSPACES,
+    ks: int = KS_CODES,
+    iterations: int = PQ_GATED_ITERS,
+) -> str:
+    from .ivf import _D2_SQL
+    from ..functions.vector import oracle_distance_sql
+    from .relational import MICRO
+
+    dsub = DIM // m
+    ctes = _pq_quantized_chain_sql(m, ks, iterations, _sample_src_sql())
+    last_c = f"c{iterations - 1}"
+    d2all = _D2_SQL.format(v="s.sv", c="c.cv")
+    d2q = _D2_SQL.format(v="qs.qsv", c="c.cv")
+    dist = oracle_distance_sql(metric, "e.v", "q.qv")
+    ctes += [
+        "eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""suball AS (
+  SELECT vec_id, t.mi::INT AS mi,
+         v[t.mi * {dsub} + 1 : t.mi * {dsub} + {dsub}] AS sv
+  FROM eall CROSS JOIN range(0, {m}) t(mi))""",
+        f"""codes AS (
+  SELECT vec_id, mi, code FROM (
+    SELECT s.vec_id, s.mi, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.mi
+                              ORDER BY {d2all}, c.code) AS rn
+    FROM suball s JOIN {last_c} c USING (mi))
+  WHERE rn = 1)""",
+        f"q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id})",
+        f"""qsub AS (
+  SELECT t.mi::INT AS mi, qv[t.mi * {dsub} + 1 : t.mi * {dsub} + {dsub}] AS qsv
+  FROM q CROSS JOIN range(0, {m}) t(mi))""",
+        f"""lut AS (
+  SELECT c.mi, c.code, round({d2q} * {MICRO}.0)::BIGINT AS lut_m
+  FROM {last_c} c JOIN qsub qs USING (mi))""",
+        """adc AS (
+  SELECT vec_id, sum(lut_m)::BIGINT AS adc_m
+  FROM codes JOIN lut USING (mi, code) GROUP BY vec_id)""",
+        f"short AS (SELECT vec_id FROM adc ORDER BY adc_m, vec_id LIMIT {k * oversample})",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT e.vec_id AS vec_id, {dist} AS distance
+FROM eall e JOIN short USING (vec_id), q
+ORDER BY distance, vec_id
+LIMIT {k}"""
+    )

@@ -739,6 +739,21 @@ def build() -> dict[str, Entry]:
         ),
         ivf.ivf_knn_trained_quantized_oracle("cosine", k=10, query_vec_id=0),
     )
+    # the SAME discipline on PQ -- the last ANN family whose training was
+    # only verdict-gated (VERDICT r8 item 1): quantized per-subspace Lloyd
+    # trajectory (every iteration of every subspace) ...
+    reg["pq_train_quantized"] = (
+        pq.pq_train_quantized,
+        pq.pq_train_quantized_oracle(),
+    )
+    # ... and a trained-PQ ADC probe with training, encode, micro-unit ADC
+    # shortlist, and exact re-rank ALL under the hash gate
+    reg["pq_knn_rerank_quantized"] = (
+        lambda spark, sf: pq.pq_knn_rerank_quantized(
+            spark, sf, "cosine", k=10, query_vec_id=0
+        ),
+        pq.pq_knn_rerank_quantized_oracle("cosine", k=10, query_vec_id=0),
+    )
     # S10/S11 persisted-artifact round trip: save partitionBy(bucket),
     # load, probe -- the probe is a partition-pruned parquet read
     reg["lsh_index_persisted_knn"] = (
