@@ -186,3 +186,18 @@ def test_pq_quantized_probe_recall_vs_flat(spark, sf_dir):
     assert len(got) == k
     assert got[0] == 0 and rows[0]["distance"] == 0.0
     assert len(exact & set(got)) / k >= 0.5
+
+
+def test_ivfpq_quantized_recall_and_selfhit(spark, sf_dir):
+    """The fully hash-gated IVFADC composition keeps useful recall vs
+    exact flat k-NN and finds the query itself at distance 0."""
+    from vector_db_from_scratch_spark.operators import pq
+    from vector_db_from_scratch_spark.operators.knn import flat_knn
+
+    k = 10
+    exact = {r["vec_id"] for r in flat_knn(spark, sf_dir, "cosine", k=k, query_vec_id=0).collect()}
+    rows = pq.ivfpq_knn_quantized(spark, sf_dir, "cosine", k=k, query_vec_id=0).collect()
+    got = [r["vec_id"] for r in rows]
+    assert len(got) == k
+    assert got[0] == 0 and rows[0]["distance"] == 0.0
+    assert len(exact & set(got)) / k >= 0.4

@@ -725,50 +725,54 @@ def pq_train_quantized(
     return out.orderBy("iter", "mi", "code")
 
 
-def _pq_quantized_chain_sql(m: int, ks: int, iterations: int, src_sql: str) -> list[str]:
+def _pq_quantized_chain_sql(
+    m: int, ks: int, iterations: int, src_sql: str, prefix: str = ""
+) -> list[str]:
     """DuckDB CTE chain mirroring :func:`_pq_quantized_chain`: src, sub,
     c0..c{N-1}, a1..aN (+upd CTEs). ``src_sql`` must yield
-    (vec_id, v DOUBLE[])."""
+    (vec_id, v DOUBLE[]). ``prefix`` namespaces every CTE so the chain can
+    compose with the IVF coarse-quantizer chain (whose names overlap)."""
     from .ivf import _D2_SQL
     from .relational import MICRO
 
     dsub = DIM // m
+    p = prefix
     ctes = [
-        f"src AS ({src_sql})",
-        f"""sub AS (
+        f"{p}src AS ({src_sql})",
+        f"""{p}sub AS (
   SELECT vec_id, t.mi::INT AS mi,
          v[t.mi * {dsub} + 1 : t.mi * {dsub} + {dsub}] AS sv
-  FROM src CROSS JOIN range(0, {m}) t(mi))""",
-        f"c0 AS (SELECT mi, vec_id::INT AS code, sv AS cv FROM sub WHERE vec_id < {ks})",
+  FROM {p}src CROSS JOIN range(0, {m}) t(mi))""",
+        f"{p}c0 AS (SELECT mi, vec_id::INT AS code, sv AS cv FROM {p}sub WHERE vec_id < {ks})",
     ]
     for it in range(1, iterations + 1):
-        prev = f"c{it - 1}"
+        prev = f"{p}c{it - 1}"
         d2 = _D2_SQL.format(v="s.sv", c="c.cv")
         ctes.append(
-            f"""a{it} AS (
+            f"""{p}a{it} AS (
   SELECT vec_id, mi, code, sv FROM (
     SELECT s.vec_id, s.mi, c.code, s.sv,
            row_number() OVER (PARTITION BY s.vec_id, s.mi
                               ORDER BY {d2}, c.code) AS rn
-    FROM sub s JOIN {prev} c USING (mi))
+    FROM {p}sub s JOIN {prev} c USING (mi))
   WHERE rn = 1)"""
         )
         if it == iterations:
             break
         ctes.append(
-            f"""upd{it} AS (
+            f"""{p}upd{it} AS (
   SELECT mi, code, i AS pos,
          round(sum(round(sv[i] * {MICRO}.0)::BIGINT)::DOUBLE
                / count(*)::DOUBLE)::BIGINT AS cm
-  FROM a{it} CROSS JOIN range(1, {dsub + 1}) t(i)
+  FROM {p}a{it} CROSS JOIN range(1, {dsub + 1}) t(i)
   GROUP BY mi, code, pos)"""
         )
         ctes.append(
-            f"""c{it} AS (
+            f"""{p}c{it} AS (
   SELECT c.mi, c.code, coalesce(u.cv, c.cv) AS cv
   FROM {prev} c LEFT JOIN (SELECT mi, code,
                                   list(cm::DOUBLE / {MICRO}.0 ORDER BY pos) AS cv
-                           FROM upd{it} GROUP BY mi, code) u USING (mi, code))"""
+                           FROM {p}upd{it} GROUP BY mi, code) u USING (mi, code))"""
         )
     return ctes
 
@@ -913,6 +917,202 @@ def pq_knn_rerank_quantized_oracle(
         "WITH " + ",\n".join(ctes) + f"""
 SELECT e.vec_id AS vec_id, {dist} AS distance
 FROM eall e JOIN short USING (vec_id), q
+ORDER BY distance, vec_id
+LIMIT {k}"""
+    )
+
+
+def ivfpq_knn_quantized(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    oversample: int = 5,
+    m: int = M_SUBSPACES,
+    ks: int = KS_CODES,
+    iterations: int = PQ_GATED_ITERS,
+) -> DataFrame:
+    """The IVFADC COMPOSITION with every stage under the hash gate:
+    quantized-Lloyd coarse cells (ivf._quantized_chain) -> residuals vs
+    the trained cell centroid -> quantized per-subspace Lloyd residual
+    codebooks -> NPROBE nearest-cell probe -> per-cell micro-unit ADC over
+    residual codes -> exact re-rank. The float twin (ivfpq_knn) stays the
+    production path; this closes the last composition that was only
+    recall-gated (VERDICT r8 item 1)."""
+    from .ivf import (
+        KMEANS_GATED_ITERS,
+        NPROBE,
+        NUM_CELLS,
+        _d2_expr,
+        _quantized_chain,
+    )
+    from .relational import MICRO
+
+    dsub = DIM // m
+    assigns, cents = _quantized_chain(spark, sf_dir, NUM_CELLS, KMEANS_GATED_ITERS)
+    resid = (
+        assigns[-1]
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("cv"),
+                lambda x, y: x - y,
+            ).alias("v"),
+        )
+    )
+    _, pcents = _pq_quantized_chain(
+        resid.filter(F.col("vec_id") < TRAIN_SAMPLE).select("vec_id", "v"),
+        m,
+        ks,
+        iterations,
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cell", _d2_expr(F.col("cv"), F.col("qv")).alias("qd"))
+        .orderBy("qd", "cell")
+        .limit(NPROBE)
+        .select("cell")
+    )
+    mi_df = spark.range(m).select(F.col("id").cast("int").alias("mi"))
+    qres = (
+        cents.join(F.broadcast(probe), "cell")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x - y).alias("rv"),
+        )
+    )
+    qsub = qres.crossJoin(F.broadcast(mi_df)).select(
+        "cell",
+        "mi",
+        F.slice(F.col("rv"), F.col("mi") * dsub + F.lit(1), dsub).alias("qsv"),
+    )
+    lut = pcents.join(F.broadcast(qsub), "mi").select(
+        "cell",
+        "mi",
+        "code",
+        F.round(_d2_expr(F.col("qsv"), F.col("cv")) * F.lit(float(MICRO)), 0)
+        .cast("long")
+        .alias("lut_m"),
+    )
+    pool = resid.join(F.broadcast(probe), "cell")
+    poolsub = pool.crossJoin(F.broadcast(mi_df)).select(
+        "vec_id",
+        "cell",
+        "mi",
+        F.slice(F.col("v"), F.col("mi") * dsub + F.lit(1), dsub).alias("sv"),
+    )
+    codes = (
+        poolsub.join(F.broadcast(pcents), "mi")
+        .withColumn("cd", _d2_expr(F.col("sv"), F.col("cv")))
+        .groupBy("vec_id", "cell", "mi")
+        .agg(F.min(F.struct("cd", "code")).alias("_m"))
+        .select("vec_id", "cell", "mi", F.col("_m.code").alias("code"))
+    )
+    shortlist = (
+        codes.join(F.broadcast(lut), ["cell", "mi", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("lut_m").alias("adc_m"))
+        .orderBy("adc_m", "vec_id")
+        .limit(k * oversample)
+        .select("vec_id")
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            distance_expr(metric, F.col("v"), F.col("qv")).alias("distance"),
+        )
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+def ivfpq_knn_quantized_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    oversample: int = 5,
+    m: int = M_SUBSPACES,
+    ks: int = KS_CODES,
+    iterations: int = PQ_GATED_ITERS,
+) -> str:
+    from ..functions.vector import oracle_distance_sql
+    from .ivf import (
+        KMEANS_GATED_ITERS,
+        NPROBE,
+        NUM_CELLS,
+        _D2_SQL,
+        _quantized_chain_sql,
+    )
+    from .relational import MICRO
+
+    dsub = DIM // m
+    ctes = _quantized_chain_sql(NUM_CELLS, KMEANS_GATED_ITERS)
+    last_a = f"a{KMEANS_GATED_ITERS}"
+    last_c = f"c{KMEANS_GATED_ITERS - 1}"
+    ctes.append(
+        f"""resid AS (
+  SELECT e.vec_id, a.cell,
+         list_transform(list_zip(e.v, c.cv), z -> z[1] - z[2]) AS v
+  FROM e JOIN {last_a} a USING (vec_id) JOIN {last_c} c USING (cell))"""
+    )
+    ctes += _pq_quantized_chain_sql(
+        m,
+        ks,
+        iterations,
+        f"SELECT vec_id, v FROM resid WHERE vec_id < {TRAIN_SAMPLE}",
+        prefix="p",
+    )
+    plast = f"pc{iterations - 1}"
+    qd = _D2_SQL.format(v=f"{last_c}.cv", c="q.qv")
+    d2q = _D2_SQL.format(v="qs.qsv", c="c.cv")
+    d2c = _D2_SQL.format(v="s.sv", c="c.cv")
+    dist = oracle_distance_sql(metric, "e.v", "q.qv")
+    ctes += [
+        f"q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id})",
+        f"""probe AS (
+  SELECT cell FROM {last_c}, q ORDER BY {qd}, cell LIMIT {NPROBE})""",
+        f"""qres AS (
+  SELECT c.cell, list_transform(list_zip(q.qv, c.cv), z -> z[1] - z[2]) AS rv
+  FROM {last_c} c JOIN probe USING (cell), q)""",
+        f"""qsub AS (
+  SELECT cell, t.mi::INT AS mi,
+         rv[t.mi * {dsub} + 1 : t.mi * {dsub} + {dsub}] AS qsv
+  FROM qres CROSS JOIN range(0, {m}) t(mi))""",
+        f"""lut AS (
+  SELECT qs.cell, c.mi, c.code, round({d2q} * {MICRO}.0)::BIGINT AS lut_m
+  FROM {plast} c JOIN qsub qs USING (mi))""",
+        "pool AS (SELECT r.vec_id, r.cell, r.v FROM resid r JOIN probe USING (cell))",
+        f"""poolsub AS (
+  SELECT vec_id, cell, t.mi::INT AS mi,
+         v[t.mi * {dsub} + 1 : t.mi * {dsub} + {dsub}] AS sv
+  FROM pool CROSS JOIN range(0, {m}) t(mi))""",
+        f"""codes AS (
+  SELECT vec_id, cell, mi, code FROM (
+    SELECT s.vec_id, s.cell, s.mi, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.mi
+                              ORDER BY {d2c}, c.code) AS rn
+    FROM poolsub s JOIN {plast} c USING (mi))
+  WHERE rn = 1)""",
+        """adc AS (
+  SELECT vec_id, sum(lut_m)::BIGINT AS adc_m
+  FROM codes JOIN lut USING (cell, mi, code) GROUP BY vec_id)""",
+        f"short AS (SELECT vec_id FROM adc ORDER BY adc_m, vec_id LIMIT {k * oversample})",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT e.vec_id AS vec_id, {dist} AS distance
+FROM e JOIN short USING (vec_id), q
 ORDER BY distance, vec_id
 LIMIT {k}"""
     )

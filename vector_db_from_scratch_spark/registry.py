@@ -754,6 +754,14 @@ def build() -> dict[str, Entry]:
         ),
         pq.pq_knn_rerank_quantized_oracle("cosine", k=10, query_vec_id=0),
     )
+    # the IVFADC composition end-to-end: quantized coarse cells + quantized
+    # residual codebooks + per-cell micro-unit ADC + exact re-rank
+    reg["ivfpq_knn_quantized"] = (
+        lambda spark, sf: pq.ivfpq_knn_quantized(
+            spark, sf, "cosine", k=10, query_vec_id=0
+        ),
+        pq.ivfpq_knn_quantized_oracle("cosine", k=10, query_vec_id=0),
+    )
     # S10/S11 persisted-artifact round trip: save partitionBy(bucket),
     # load, probe -- the probe is a partition-pruned parquet read
     reg["lsh_index_persisted_knn"] = (
