@@ -209,3 +209,23 @@ def test_bloom_sizing_guard_rejects_oversized_filters():
     assert bloom._m_bits(1000) < bloom._M31
     with pytest.raises(ValueError, match="Carter-Wegman"):
         bloom._m_bits(250_000_000)
+
+
+def test_per_group_sketches_guarantees(spark, sf_dir):
+    """Per-group sketch invariants: each group's KMV k is capped and its
+    estimate exact in the small-cardinality mode; the per-group shard
+    merge equals the per-group whole sketch; every per-group quantile
+    estimate is within one bin width of the exact per-group value."""
+    from vector_db_from_scratch_spark.operators import kmv, quantiles
+
+    for r in kmv.kmv_by_group(spark, sf_dir).collect():
+        assert r["k"] <= kmv.K_MERGE
+        if r["k"] < kmv.K_MERGE:
+            assert r["est_distinct"] == r["exact_distinct"] == r["k"]
+    merge = kmv.kmv_by_group_merge(spark, sf_dir).collect()
+    assert merge and all(r["sketch_equal"] for r in merge)
+    assert all(r["diff_rows"] == 0 for r in merge)
+    hq = quantiles.hist_quantiles_by_group(spark, sf_dir).collect()
+    assert len(hq) == 5 * len(quantiles.QS)
+    assert all(r["within_bound"] for r in hq)
+    assert all(r["abs_err"] >= 0 for r in hq)

@@ -290,3 +290,180 @@ SELECT k, kth_min,
        round(abs(({est}) - exact_distinct) / exact_distinct, 6) AS rel_err
 FROM agg, ex
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Per-group sketches (VERDICT r8 item 3): a 100 TB data-quality rollup is
+# per-source/per-domain, not global -- the GROUP BY form of the same
+# mergeable sketch. The bottom-k-per-group filter (row_number <= k over a
+# group window) hits Spark's WindowGroupLimit optimization, which keeps at
+# most k rows per group on each mapper BEFORE the shuffle -- the same
+# partial-rollup shape the global TakeOrdered has, now keyed.
+# --------------------------------------------------------------------------
+
+
+def kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type KMV distinct-user sketch, gated against the exact
+    per-group distinct counts: (grp, k, kth_min, est_distinct,
+    exact_distinct, rel_err). K_MERGE-sized so sf0.01 exercises the
+    k-limited estimator and sf0.001 the exact-set small-cardinality mode
+    of the SAME query."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hashes = ev.select(
+        F.col("event_type").alias("grp"),
+        hash60(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= K_MERGE
+    )
+    agg = topk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min")
+    )
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(F.col("k") < K_MERGE, F.col("k").cast("double")).otherwise(
+        (F.col("k") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min")
+    )
+    return (
+        agg.join(exact, "grp")
+        .select(
+            "grp",
+            "k",
+            "kth_min",
+            F.round(est, 6).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("grp")
+    )
+
+
+def kmv_by_group_oracle() -> str:
+    h = hash60_sql("user_id::VARCHAR")
+    est = (
+        f"CASE WHEN k < {K_MERGE} THEN k::DOUBLE "
+        f"ELSE (k - 1) * {HASH_SPACE!r} / kth_min END"
+    )
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type AS grp, {h} AS h FROM events),
+topk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM hashes)
+  WHERE rn <= {K_MERGE}),
+agg AS (SELECT grp, count(*) AS k, max(h) AS kth_min FROM topk GROUP BY grp),
+ex AS (SELECT event_type AS grp, count(DISTINCT user_id) AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT grp, k, kth_min,
+       round({est}, 6) AS est_distinct,
+       exact_distinct,
+       round(abs(({est}) - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM agg JOIN ex USING (grp)
+ORDER BY grp
+""".strip()
+
+
+def kmv_by_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-group ROLLUP protocol under the gate: an independent
+    bottom-k sketch per (group, shard) merges -- k smallest of the union,
+    per group -- into exactly the whole-corpus per-group sketch. One row
+    per group with a per-group symmetric-difference count that must be 0;
+    mergeability per group is what makes the sketch a real aggregation
+    state (kmv_merge_shards is the grand-total special case)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hashes = ev.select(
+        F.col("event_type").alias("grp"),
+        (F.col("user_id") % N_SHARDS).alias("shard"),
+        hash60(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    ws = Window.partitionBy("grp", "shard").orderBy("h")
+    shard_sk = hashes.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= K_MERGE
+    ).select("grp", "h")
+    wg = Window.partitionBy("grp").orderBy("h")
+    merged = (
+        shard_sk.distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= K_MERGE)
+        .select("grp", "h")
+    )
+    whole = (
+        hashes.select("grp", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= K_MERGE)
+        .select("grp", "h")
+    )
+    diff = (
+        merged.exceptAll(whole)
+        .union(whole.exceptAll(merged))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("diff_rows"))
+    )
+    m = merged.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("merged_k"), F.max("h").alias("merged_kth_min")
+    )
+    w = whole.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("whole_k"), F.max("h").alias("whole_kth_min")
+    )
+    return (
+        m.join(w, "grp")
+        .join(diff, "grp", "left")
+        .select(
+            "grp",
+            "merged_k",
+            "merged_kth_min",
+            "whole_k",
+            "whole_kth_min",
+            F.coalesce("diff_rows", F.lit(0)).alias("diff_rows"),
+            (F.coalesce("diff_rows", F.lit(0)) == 0).alias("sketch_equal"),
+        )
+        .orderBy("grp")
+    )
+
+
+def kmv_by_group_merge_oracle() -> str:
+    h = hash60_sql("user_id::VARCHAR")
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type AS grp, user_id % {N_SHARDS} AS shard, {h} AS h
+  FROM events),
+shard_sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h,
+           row_number() OVER (PARTITION BY grp, shard ORDER BY h) AS rn
+    FROM hashes)
+  WHERE rn <= {K_MERGE}),
+merged AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM (SELECT DISTINCT grp, h FROM shard_sk))
+  WHERE rn <= {K_MERGE}),
+whole AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM (SELECT DISTINCT grp, h FROM hashes))
+  WHERE rn <= {K_MERGE}),
+d AS (
+  SELECT grp, count(*) AS diff_rows FROM (
+    (SELECT grp, h FROM merged EXCEPT ALL SELECT grp, h FROM whole)
+    UNION ALL
+    (SELECT grp, h FROM whole EXCEPT ALL SELECT grp, h FROM merged))
+  GROUP BY grp),
+m AS (SELECT grp, count(*) AS merged_k, max(h) AS merged_kth_min FROM merged GROUP BY grp),
+w AS (SELECT grp, count(*) AS whole_k, max(h) AS whole_kth_min FROM whole GROUP BY grp)
+SELECT grp, merged_k, merged_kth_min, whole_k, whole_kth_min,
+       coalesce(diff_rows, 0) AS diff_rows,
+       coalesce(diff_rows, 0) = 0 AS sketch_equal
+FROM m JOIN w USING (grp) LEFT JOIN d USING (grp)
+ORDER BY grp
+""".strip()

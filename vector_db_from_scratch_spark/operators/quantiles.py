@@ -271,3 +271,146 @@ SELECT coalesce(m.bin, w.bin) AS bin,
 FROM merged m FULL OUTER JOIN whole w ON m.bin = w.bin
 ORDER BY 1
 """.strip()
+
+
+def hist_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles from per-group histogram sketches (VERDICT r8
+    item 3 -- a 100 TB data-quality rollup is per-source): each
+    o_orderpriority group gets its own (lo, hi, w) grid and B-bounded
+    histogram, estimates interpolate per group, and the exact gate ranks
+    ONLY inside the sketch-selected bin partitioned by (grp, q) -- the
+    same scale-safe exact-rank trick as :func:`hist_quantiles`, keyed.
+    Output: (grp, q, bin, est, exact, abs_err, within_bound)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("x")
+    )
+    params = o.groupBy("grp").agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select("grp", "lo", "hi", "n_rows", ((F.col("hi") - F.col("lo")) / N_BINS).alias("w"))
+    hist = (
+        o.join(F.broadcast(params), "grp")
+        .select("grp", _bin_expr().alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+    )
+    # per-group cumulative counts: the window IS partitioned (by grp), and
+    # each partition holds <= B rows -- bounded by the sketch parameter
+    cum = hist.select(
+        "grp",
+        "bin",
+        "n_bin",
+        (
+            F.sum("n_bin").over(Window.partitionBy("grp").orderBy("bin"))
+            - F.col("n_bin")
+        ).alias("cum_before"),
+    )
+    qs = spark.createDataFrame([(float(q),) for q in QS], "q double")
+    sel = (
+        qs.crossJoin(F.broadcast(params))
+        .withColumn("idx", F.ceil(F.col("q") * F.col("n_rows")))
+        .join(
+            F.broadcast(
+                cum.select(
+                    F.col("grp").alias("cgrp"), "bin", "n_bin", "cum_before"
+                )
+            ),
+            (F.col("cgrp") == F.col("grp"))
+            & (F.col("cum_before") + F.col("n_bin") >= F.col("idx")),
+        )
+        .groupBy("grp", "q")
+        .agg(
+            F.min(F.struct("bin", "n_bin", "cum_before")).alias("_m"),
+            F.first("lo").alias("lo"),
+            F.first("w").alias("w"),
+            F.first("idx").alias("idx"),
+        )
+        .select(
+            F.col("grp").alias("sgrp"),
+            "q",
+            F.col("_m.bin").alias("bin"),
+            F.col("_m.cum_before").alias("cum_before"),
+            "lo",
+            "w",
+            "idx",
+            (
+                F.col("lo")
+                + F.col("w")
+                * (
+                    F.col("_m.bin")
+                    + (F.col("idx") - F.col("_m.cum_before"))
+                    / F.col("_m.n_bin")
+                )
+            ).alias("est_raw"),
+        )
+    )
+    cand = o.join(
+        F.broadcast(sel),
+        (F.col("sgrp") == F.col("grp"))
+        & (
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / F.col("w")), F.lit(N_BINS - 1)
+            ).cast("int")
+            == F.col("bin")
+        ),
+    )
+    out = cand.withColumn(
+        "rloc",
+        F.row_number()
+        .over(Window.partitionBy("grp", "q").orderBy("x"))
+        .cast("long"),
+    ).filter(F.col("rloc") == F.col("idx") - F.col("cum_before"))
+    err = F.abs(F.col("est_raw") - F.col("x"))
+    return out.select(
+        "grp",
+        "q",
+        "bin",
+        (F.round("est_raw", 6) + F.lit(0.0)).alias("est"),
+        (F.round("x", 6) + F.lit(0.0)).alias("exact"),
+        (F.round(err, 6) + F.lit(0.0)).alias("abs_err"),
+        (err <= F.col("w")).alias("within_bound"),
+    ).orderBy("grp", "q")
+
+
+def hist_quantiles_by_group_oracle() -> str:
+    qs = ", ".join(f"({q!r})" for q in QS)
+    return f"""
+WITH o AS (SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders),
+params AS (
+  SELECT grp, min(x) AS lo, max(x) AS hi, count(*) AS n_rows,
+         (max(x) - min(x)) / {N_BINS} AS w
+  FROM o GROUP BY grp),
+binned AS (
+  SELECT o.grp, {_BIN_SQL} AS bin FROM o JOIN params USING (grp)),
+hist AS (SELECT grp, bin, count(*) AS n_bin FROM binned GROUP BY grp, bin),
+cum AS (
+  SELECT grp, bin, n_bin,
+         sum(n_bin) OVER (PARTITION BY grp ORDER BY bin) - n_bin AS cum_before
+  FROM hist),
+qs(q) AS (VALUES {qs}),
+sel AS (
+  SELECT grp, q, bin, cum_before, lo, w, idx,
+         lo + w * (bin + (idx - cum_before) / n_bin) AS est_raw
+  FROM (
+    SELECT p.grp, qs.q, c.bin, p.lo, p.w, ceil(qs.q * p.n_rows)::BIGINT AS idx,
+           c.n_bin, c.cum_before,
+           row_number() OVER (PARTITION BY p.grp, qs.q ORDER BY c.bin) AS pick
+    FROM qs, params p JOIN cum c USING (grp)
+    WHERE c.cum_before + c.n_bin >= ceil(qs.q * p.n_rows)::BIGINT)
+  WHERE pick = 1),
+cand AS (
+  SELECT s.grp, s.q, s.bin, s.w, s.est_raw, o.x,
+         row_number() OVER (PARTITION BY s.grp, s.q ORDER BY o.x) AS rloc,
+         s.idx - s.cum_before AS target
+  FROM o JOIN sel s
+    ON o.grp = s.grp
+   AND least(floor((o.x - s.lo) / s.w), {N_BINS - 1})::INT = s.bin)
+SELECT grp, q, bin,
+       (round(est_raw, 6) + 0.0) AS est,
+       (round(x, 6) + 0.0) AS exact,
+       (round(abs(est_raw - x), 6) + 0.0) AS abs_err,
+       abs(est_raw - x) <= w AS within_bound
+FROM cand WHERE rloc = target
+ORDER BY grp, q
+""".strip()

@@ -537,6 +537,20 @@ def build() -> dict[str, Entry]:
         quantiles.hist_merge_shards,
         quantiles.hist_merge_shards_oracle(),
     )
+    # per-GROUP sketches (VERDICT r8 item 3): the GROUP BY form of the
+    # merge-gated toolkit -- a 100 TB data-quality rollup is per-source.
+    # Per-event_type KMV distinct counts, the per-group shard-merge
+    # protocol (merged == whole per group, diff gated 0), and per-priority
+    # histogram quantiles with the scale-safe in-bin exact rank
+    reg["sketch_kmv_by_group"] = (kmv.kmv_by_group, kmv.kmv_by_group_oracle())
+    reg["sketch_kmv_by_group_merge"] = (
+        kmv.kmv_by_group_merge,
+        kmv.kmv_by_group_merge_oracle(),
+    )
+    reg["sketch_hist_by_group"] = (
+        quantiles.hist_quantiles_by_group,
+        quantiles.hist_quantiles_by_group_oracle(),
+    )
 
     # --- text analysis over documents (training-data-pipeline surface) ---
     t = textops
