@@ -210,3 +210,20 @@ def test_bpe_train_end_boundary_adversarial(spark, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
     assert [(m, n) for _, m, n in con.execute(bpe_train_merges_oracle()).fetchall()] == got
+
+
+def test_tokenize_trained_bpe_composition(spark, tmp_path):
+    """Train -> apply composition on the adversarial corpus: after the 4
+    trained merges (l l), (e l), (x el), (e ll) the tokenization is
+    llll -> [ll, ll], xel -> [xel], hello -> [h, ell, o]."""
+    from vector_db_from_scratch_spark.operators.textops import tokenize_trained_bpe
+
+    texts = ["llll"] * 8 + ["xel"] * 12 + ["hello"] * 9
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(path)
+    rows = tokenize_trained_bpe(spark, str(tmp_path)).collect()
+    expect = {i: {"llll": 2, "xel": 1, "hello": 3}[t] for i, t in enumerate(texts)}
+    assert {r["doc_id"]: r["n_tokens"] for r in rows} == expect
+    assert all(r["n_words"] == 1 for r in rows)

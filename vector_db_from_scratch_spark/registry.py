@@ -568,6 +568,12 @@ def build() -> dict[str, Entry]:
     # the full training LOOP: N merge iterations end-to-end, every
     # winner + frequency gated (oracle = the loop unrolled as CTEs)
     reg["text_bpe_train_merges"] = (t.bpe_train_merges, t.bpe_train_merges_oracle())
+    # train -> APPLY composition (VERDICT r8 item 6): tokenize the corpus
+    # with merges trained inside the same lazy plan, per-document counts
+    reg["text_tokenize_trained_bpe"] = (
+        t.tokenize_trained_bpe,
+        t.tokenize_trained_bpe_oracle(),
+    )
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
     reg["text_repetition_metrics"] = (t.repetition_metrics, t.repetition_metrics_oracle())
     reg["text_unigram_lm_scores"] = (t.unigram_lm_scores, t.unigram_lm_scores_oracle())
