@@ -517,3 +517,32 @@ def test_upsert_sink_versioned_pointer_swap(tmp_path, spark):
         versions = sorted(n for n in os.listdir(root) if n.startswith("v"))
         expect = [f"v{i}" for i in (batch_id - 1, batch_id) if i >= 0]
         assert versions == expect, versions
+
+
+def test_upsert_restart_recovers_exactly_once(spark, sf_dir):
+    """The two-phase checkpoint-recovery drain: final state equals the
+    batch latest-per-key argmax, and the per-epoch ingest accounting sums
+    to exactly the corpus row count -- a re-processed file after restart
+    would overcount, a lost file would drop keys or undercount."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.sources.tables import load_table
+    from vector_db_from_scratch_spark.streaming.sinks import upsert_restart_drained
+
+    rows = upsert_restart_drained.__wrapped__(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    assert rows and all(r["total_ingested"] == n_events for r in rows)
+    exact = {
+        r["user_id"]: (r["last_event_id"], r["last_event_type"])
+        for r in ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_event_type"),
+        )
+        .collect()
+    }
+    got = {r["user_id"]: (r["last_event_id"], r["last_event_type"]) for r in rows}
+    assert got == exact

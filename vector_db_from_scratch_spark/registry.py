@@ -937,6 +937,13 @@ def build() -> dict[str, Entry]:
         stream_sinks.upsert_sink_drained,
         stream_sinks.upsert_sink_drained_oracle(),
     )
+    # checkpoint-RECOVERY equivalence (VERDICT r8 item 4): stop mid-input,
+    # restart from the same checkpoint, gate final state AND the
+    # per-epoch ingest total (exactly-once across the restart)
+    reg["stream_upsert_restart_drained"] = (
+        stream_sinks.upsert_restart_drained,
+        stream_sinks.upsert_restart_drained_oracle(),
+    )
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins

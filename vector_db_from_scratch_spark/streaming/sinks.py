@@ -190,3 +190,109 @@ FROM (SELECT user_id, ts, event_id, event_type,
 WHERE rn = 1
 ORDER BY user_id
 """.strip()
+
+
+@memoize_drain
+def upsert_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-RECOVERY equivalence under the gate (VERDICT r8 item 4
+    -- the exactly-once restart claim a cluster deployment rests on):
+    drain HALF the replayed events through the versioned upsert sink,
+    STOP the query, then restart a fresh query from the SAME checkpoint
+    over the full directory (now holding the remaining files) and drain
+    to completion. The recovered query must process each source file
+    exactly once: the final state must equal the batch latest-per-key
+    argmax AND the cumulative ingested-row count (appended per committed
+    micro-batch, keyed by epoch id -- epoch ids continue across restarts)
+    must equal the corpus row count. Re-processing a phase-1 file after
+    restart overcounts; losing one undercounts or drops keys -- either
+    flips the hash."""
+    import glob
+
+    from ..sources.artifacts import scratch_dir
+    from .windows import drain_conf, events_stream_from, replay_events_dir
+
+    replay = scratch_dir("upsert-restart-replay-")
+    replay_events_dir(spark, sf_dir, replay, n_files=2)
+    files = sorted(glob.glob(os.path.join(replay, "part-*.parquet")))
+    assert len(files) >= 2, files
+    stream_dir = scratch_dir("upsert-restart-stream-")
+    ckpt = scratch_dir("upsert-restart-ckpt-")
+    state_root = scratch_dir("upsert-restart-state-")
+    ingest_log = scratch_dir("upsert-restart-ingest-")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        real = batch_df.filter(F.col("user_id") >= 0)
+        n_rows = real.count()
+        batch_latest = _latest_per_key(real)
+        cur_path = current_state_path(state_root)
+        if cur_path is not None:
+            cur = batch_df.sparkSession.read.parquet(cur_path)
+            merged = _latest_per_key(
+                cur.unionByName(batch_latest).select(
+                    "user_id", F.col("m.ts").alias("ts"),
+                    F.col("m.event_id").alias("event_id"),
+                    F.col("m.event_type").alias("event_type"),
+                )
+            )
+        else:
+            merged = batch_latest
+        version_dir = os.path.join(state_root, f"v{batch_id}")
+        merged.coalesce(4).write.mode("overwrite").parquet(version_dir)
+        _commit_version(state_root, version_dir, batch_id)
+        # per-epoch ingest accounting: epoch ids are monotonic across
+        # restarts, so a re-processed file would land a NEW count file
+        # and inflate the gated total
+        with open(os.path.join(ingest_log, f"ingest-{batch_id}.txt"), "w") as fh:
+            fh.write(str(n_rows))
+
+    def drain_phase(new_files: list[str]) -> None:
+        for f in new_files:
+            shutil.copy(f, os.path.join(stream_dir, os.path.basename(f)))
+        ev = events_stream_from(spark, stream_dir, files_per_trigger=1)
+        with drain_conf(spark):
+            q = (
+                ev.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+    half = len(files) // 2
+    drain_phase(files[:half])   # phase 1: first half, then a clean stop
+    drain_phase(files[half:])   # phase 2: SAME checkpoint, remaining files
+    final_path = current_state_path(state_root)
+    if final_path is None:
+        raise RuntimeError(
+            f"restart drain committed no state under {state_root}: the "
+            "replay produced no micro-batch (empty/missing replay dir?)"
+        )
+    total = sum(
+        int(open(p).read())
+        for p in glob.glob(os.path.join(ingest_log, "ingest-*.txt"))
+    )
+    final = spark.read.parquet(final_path)
+    return final.select(
+        "user_id",
+        F.date_format("m.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.event_type").alias("last_event_type"),
+        F.lit(total).cast("long").alias("total_ingested"),
+    ).orderBy("user_id")
+
+
+def upsert_restart_drained_oracle() -> str:
+    return """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       (SELECT count(*) FROM events) AS total_ingested
+FROM (SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+ORDER BY user_id
+""".strip()
