@@ -699,6 +699,32 @@ def _sample_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQCHAIN_MEMO: dict[
+    tuple[str, str, str, int, int, int], tuple[list[DataFrame], DataFrame]
+] = _memo.register({})
+
+
+def _pq_quantized_chain_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    src: DataFrame,
+    m: int,
+    ks: int,
+    iterations: int,
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared-prefix cache for the per-subspace chains (VERDICT r8 item
+    7): the trainer gate, the trained probe, and the IVFPQ composition
+    rebuild the same iteration chain -- pin it per (application, sf_dir,
+    source tag, params). Bounded: sample-sized assignment tables + m*ks
+    codebook rows."""
+    key = (spark.sparkContext.applicationId, sf_dir, tag, m, ks, iterations)
+    if key not in _PQCHAIN_MEMO:
+        assigns, cents = _pq_quantized_chain(src, m, ks, iterations)
+        _PQCHAIN_MEMO[key] = ([a.cache() for a in assigns], cents.cache())
+    return _PQCHAIN_MEMO[key]
+
+
 def pq_train_quantized(
     spark: SparkSession,
     sf_dir: str,
@@ -712,7 +738,9 @@ def pq_train_quantized(
     for every iteration of every subspace -- the complete PQ training
     trajectory hash-checked against the loop unrolled as a DuckDB CTE
     chain (kmeans_train_quantized's discipline per subspace)."""
-    assigns, _ = _pq_quantized_chain(_sample_src(spark, sf_dir), m, ks, iterations)
+    assigns, _ = _pq_quantized_chain_cached(
+        spark, sf_dir, "sample", _sample_src(spark, sf_dir), m, ks, iterations
+    )
     outs = [
         a.groupBy("mi", "code")
         .agg(F.count(F.lit(1)).alias("n_assigned"))
@@ -821,8 +849,8 @@ def pq_knn_rerank_quantized(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    _, cents = _pq_quantized_chain(
-        emb.filter(F.col("vec_id") < TRAIN_SAMPLE), m, ks, iterations
+    _, cents = _pq_quantized_chain_cached(
+        spark, sf_dir, "sample", _sample_src(spark, sf_dir), m, ks, iterations
     )
     mi_df = spark.range(m).select(F.col("id").cast("int").alias("mi"))
     sub_all = emb.crossJoin(F.broadcast(mi_df)).select(
@@ -964,7 +992,10 @@ def ivfpq_knn_quantized(
             ).alias("v"),
         )
     )
-    _, pcents = _pq_quantized_chain(
+    _, pcents = _pq_quantized_chain_cached(
+        spark,
+        sf_dir,
+        "ivfpq-resid",
         resid.filter(F.col("vec_id") < TRAIN_SAMPLE).select("vec_id", "v"),
         m,
         ks,
