@@ -309,7 +309,14 @@ def _quantized_chain(
     if key in _QCHAIN_MEMO:
         return _QCHAIN_MEMO[key]
     assigns, cents = _quantized_chain_build(spark, sf_dir, n_cells, iterations)
-    _QCHAIN_MEMO[key] = ([a.cache() for a in assigns], cents.cache())
+    # localCheckpoint (eager), not cache: the N-iteration lineage makes
+    # every downstream probe re-OPTIMIZE a huge logical plan even when the
+    # cached data is hot -- truncating it is the in-process analog of
+    # persisting the trained artifact (which the float path does on disk)
+    _QCHAIN_MEMO[key] = (
+        [a.localCheckpoint() for a in assigns],
+        cents.localCheckpoint(),
+    )
     return _QCHAIN_MEMO[key]
 
 

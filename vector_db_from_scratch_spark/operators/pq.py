@@ -721,7 +721,12 @@ def _pq_quantized_chain_cached(
     key = (spark.sparkContext.applicationId, sf_dir, tag, m, ks, iterations)
     if key not in _PQCHAIN_MEMO:
         assigns, cents = _pq_quantized_chain(src, m, ks, iterations)
-        _PQCHAIN_MEMO[key] = ([a.cache() for a in assigns], cents.cache())
+        # eager localCheckpoint truncates the iteration lineage so probes
+        # stop re-optimizing the whole training plan (see ivf._quantized_chain)
+        _PQCHAIN_MEMO[key] = (
+            [a.localCheckpoint() for a in assigns],
+            cents.localCheckpoint(),
+        )
     return _PQCHAIN_MEMO[key]
 
 
@@ -824,6 +829,46 @@ def pq_train_quantized_oracle(
     return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY iter, mi, code"
 
 
+_QCODES_MEMO: dict[tuple[str, str, int, int, int], DataFrame] = _memo.register({})
+
+
+def _pq_quantized_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: DataFrame,
+    m: int,
+    ks: int,
+    iterations: int,
+) -> DataFrame:
+    """Corpus-wide (vec_id, mi, code) table against the quantized-trained
+    codebooks, built once per application (encode is query-independent --
+    this IS the persisted PQ index at scale) and lineage-truncated like
+    the chains so probes stay small plans."""
+    from .ivf import _d2_expr
+
+    key = (spark.sparkContext.applicationId, sf_dir, m, ks, iterations)
+    if key not in _QCODES_MEMO:
+        dsub = DIM // m
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        mi_df = spark.range(m).select(F.col("id").cast("int").alias("mi"))
+        sub_all = emb.crossJoin(F.broadcast(mi_df)).select(
+            "vec_id",
+            "mi",
+            F.slice(F.col("v"), F.col("mi") * dsub + F.lit(1), dsub).alias("sv"),
+        )
+        _QCODES_MEMO[key] = (
+            sub_all.join(F.broadcast(cents), "mi")
+            .withColumn("cd", _d2_expr(F.col("sv"), F.col("cv")))
+            .groupBy("vec_id", "mi")
+            .agg(F.min(F.struct("cd", "code")).alias("_m"))
+            .select("vec_id", "mi", F.col("_m.code").alias("code"))
+            .localCheckpoint()
+        )
+    return _QCODES_MEMO[key]
+
+
 def pq_knn_rerank_quantized(
     spark: SparkSession,
     sf_dir: str,
@@ -853,18 +898,7 @@ def pq_knn_rerank_quantized(
         spark, sf_dir, "sample", _sample_src(spark, sf_dir), m, ks, iterations
     )
     mi_df = spark.range(m).select(F.col("id").cast("int").alias("mi"))
-    sub_all = emb.crossJoin(F.broadcast(mi_df)).select(
-        "vec_id",
-        "mi",
-        F.slice(F.col("v"), F.col("mi") * dsub + F.lit(1), dsub).alias("sv"),
-    )
-    codes = (
-        sub_all.join(F.broadcast(cents), "mi")
-        .withColumn("cd", _d2_expr(F.col("sv"), F.col("cv")))
-        .groupBy("vec_id", "mi")
-        .agg(F.min(F.struct("cd", "code")).alias("_m"))
-        .select("vec_id", "mi", F.col("_m.code").alias("code"))
-    )
+    codes = _pq_quantized_codes(spark, sf_dir, cents, m, ks, iterations)
     q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
     qsub = mi_df.crossJoin(F.broadcast(q)).select(
         "mi",
@@ -950,6 +984,68 @@ LIMIT {k}"""
     )
 
 
+_IVFPQ_Q_MEMO: dict[tuple[str, str, int, int, int], tuple] = _memo.register({})
+
+
+def _ivfpq_quantized_index(
+    spark: SparkSession, sf_dir: str, m: int, ks: int, iterations: int
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(cell centroids, residual codebooks, residual table, corpus codes
+    table) for the quantized IVFADC composition, cached per application.
+    Encoding is probe-independent (a vector's code depends only on its
+    residual and the codebooks), so the whole corpus encodes ONCE --
+    (vec_id, cell, mi, code) is the index artifact a cluster persists
+    partitionBy(cell); per-query work is then a probed-cell filter plus
+    the tiny LUT and re-rank joins."""
+    from .ivf import KMEANS_GATED_ITERS, NUM_CELLS, _d2_expr, _quantized_chain
+
+    key = (spark.sparkContext.applicationId, sf_dir, m, ks, iterations)
+    if key in _IVFPQ_Q_MEMO:
+        return _IVFPQ_Q_MEMO[key]
+    dsub = DIM // m
+    assigns, cents = _quantized_chain(spark, sf_dir, NUM_CELLS, KMEANS_GATED_ITERS)
+    resid = (
+        assigns[-1]
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("cv"),
+                lambda x, y: x - y,
+            ).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    _, pcents = _pq_quantized_chain_cached(
+        spark,
+        sf_dir,
+        "ivfpq-resid",
+        resid.filter(F.col("vec_id") < TRAIN_SAMPLE).select("vec_id", "v"),
+        m,
+        ks,
+        iterations,
+    )
+    mi_df = spark.range(m).select(F.col("id").cast("int").alias("mi"))
+    sub = resid.crossJoin(F.broadcast(mi_df)).select(
+        "vec_id",
+        "cell",
+        "mi",
+        F.slice(F.col("v"), F.col("mi") * dsub + F.lit(1), dsub).alias("sv"),
+    )
+    codes_all = (
+        sub.join(F.broadcast(pcents), "mi")
+        .withColumn("cd", _d2_expr(F.col("sv"), F.col("cv")))
+        .groupBy("vec_id", "cell", "mi")
+        .agg(F.min(F.struct("cd", "code")).alias("_m"))
+        .select("vec_id", "cell", "mi", F.col("_m.code").alias("code"))
+        .localCheckpoint()
+    )
+    _IVFPQ_Q_MEMO[key] = (cents, pcents, resid, codes_all)
+    return _IVFPQ_Q_MEMO[key]
+
+
 def ivfpq_knn_quantized(
     spark: SparkSession,
     sf_dir: str,
@@ -967,39 +1063,17 @@ def ivfpq_knn_quantized(
     codebooks -> NPROBE nearest-cell probe -> per-cell micro-unit ADC over
     residual codes -> exact re-rank. The float twin (ivfpq_knn) stays the
     production path; this closes the last composition that was only
-    recall-gated (VERDICT r8 item 1)."""
-    from .ivf import (
-        KMEANS_GATED_ITERS,
-        NPROBE,
-        NUM_CELLS,
-        _d2_expr,
-        _quantized_chain,
-    )
+    recall-gated (VERDICT r8 item 1). The build phase -- residuals and
+    the corpus-wide residual codes table (vec_id, cell, mi, code) -- is
+    cached per application like the float _ivfpq_index: the codes table
+    IS the persisted IVFADC index at 100 TB, built once; a query touches
+    only the probed cells' code rows plus the tiny LUT/rerank joins."""
+    from .ivf import NPROBE, _d2_expr
     from .relational import MICRO
 
     dsub = DIM // m
-    assigns, cents = _quantized_chain(spark, sf_dir, NUM_CELLS, KMEANS_GATED_ITERS)
-    resid = (
-        assigns[-1]
-        .join(F.broadcast(cents), "cell")
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with(
-                F.col("embedding").cast("array<double>"),
-                F.col("cv"),
-                lambda x, y: x - y,
-            ).alias("v"),
-        )
-    )
-    _, pcents = _pq_quantized_chain_cached(
-        spark,
-        sf_dir,
-        "ivfpq-resid",
-        resid.filter(F.col("vec_id") < TRAIN_SAMPLE).select("vec_id", "v"),
-        m,
-        ks,
-        iterations,
+    cents, pcents, resid, codes_all = _ivfpq_quantized_index(
+        spark, sf_dir, m, ks, iterations
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1034,20 +1108,7 @@ def ivfpq_knn_quantized(
         .cast("long")
         .alias("lut_m"),
     )
-    pool = resid.join(F.broadcast(probe), "cell")
-    poolsub = pool.crossJoin(F.broadcast(mi_df)).select(
-        "vec_id",
-        "cell",
-        "mi",
-        F.slice(F.col("v"), F.col("mi") * dsub + F.lit(1), dsub).alias("sv"),
-    )
-    codes = (
-        poolsub.join(F.broadcast(pcents), "mi")
-        .withColumn("cd", _d2_expr(F.col("sv"), F.col("cv")))
-        .groupBy("vec_id", "cell", "mi")
-        .agg(F.min(F.struct("cd", "code")).alias("_m"))
-        .select("vec_id", "cell", "mi", F.col("_m.code").alias("code"))
-    )
+    codes = codes_all.join(F.broadcast(probe), "cell")
     shortlist = (
         codes.join(F.broadcast(lut), ["cell", "mi", "code"])
         .groupBy("vec_id")
