@@ -546,3 +546,38 @@ def test_upsert_restart_recovers_exactly_once(spark, sf_dir):
     }
     got = {r["user_id"]: (r["last_event_id"], r["last_event_type"]) for r in rows}
     assert got == exact
+
+
+def test_tumbling_restart_recovers_state_store(spark, sf_dir):
+    """State-store recovery: the restarted complete-mode query's final
+    emission equals the batch tumbling aggregation, and the two replay
+    phases genuinely split at least one hourly window (so the gate
+    fails unless aggregation state survived the restart)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.sources.tables import load_table
+    from vector_db_from_scratch_spark.streaming.sinks import tumbling_restart_drained
+
+    rows = tumbling_restart_drained.__wrapped__(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.window("ts", "1 hour").getField("start"),
+                          "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r["window_start"], r["event_type"]): r["n"] for r in rows}
+    assert got == batch
+    # sharpness: the replay's first half owns at least one window absent
+    # from the second half's input -- such a window can appear in phase
+    # 2's complete-mode emission ONLY via the recovered state store, so a
+    # lost checkpoint would drop it and flip the gate
+    n = ev.count()
+    ordered = ev.orderBy("ts", "event_id").select("ts").collect()
+    hours = [t["ts"].replace(minute=0, second=0, microsecond=0) for t in ordered]
+    phase1, phase2 = set(hours[: n // 2]), set(hours[n // 2 :])
+    assert phase1 - phase2, "no phase-1-only window; recovery gate degenerates"

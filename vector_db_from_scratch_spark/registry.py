@@ -944,6 +944,13 @@ def build() -> dict[str, Entry]:
         stream_sinks.upsert_restart_drained,
         stream_sinks.upsert_restart_drained_oracle(),
     )
+    # ... and the STATE-STORE half: a complete-mode windowed agg resumed
+    # from checkpoint mid-window (the boundary window is only correct if
+    # aggregation state survived the restart)
+    reg["stream_tumbling_restart_drained"] = (
+        stream_sinks.tumbling_restart_drained,
+        stream_sinks.tumbling_restart_drained_oracle(),
+    )
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins

@@ -296,3 +296,62 @@ FROM (SELECT user_id, ts, event_id, event_type,
 WHERE rn = 1
 ORDER BY user_id
 """.strip()
+
+
+@memoize_drain
+def tumbling_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE checkpoint recovery under the gate (the companion to
+    :func:`upsert_restart_drained`, which covers source-offset recovery
+    of a stateless foreachBatch sink): a complete-mode windowed
+    aggregation drains the FIRST time slice, stops, and a new query
+    restarts from the same checkpoint over the remainder. The replay
+    slices split mid-hour, so the boundary window's count combines events
+    from BOTH phases -- it is correct in the final complete-mode emission
+    only if the aggregation state genuinely survived the restart. Output
+    hash-gates against the batch tumbling oracle."""
+    import glob
+
+    from ..sources.artifacts import scratch_dir
+    from .windows import drain_conf, events_stream_from, replay_events_dir
+
+    replay = scratch_dir("tumble-restart-replay-")
+    replay_events_dir(spark, sf_dir, replay, n_files=2)
+    files = sorted(glob.glob(os.path.join(replay, "part-*.parquet")))
+    assert len(files) >= 2, files
+    stream_dir = scratch_dir("tumble-restart-stream-")
+    ckpt = scratch_dir("tumble-restart-ckpt-")
+
+    def run_phase(new_files: list[str], qname: str) -> DataFrame:
+        for f in new_files:
+            shutil.copy(f, os.path.join(stream_dir, os.path.basename(f)))
+        ev = events_stream_from(spark, stream_dir, files_per_trigger=1)
+        agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        with drain_conf(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        return spark.table(qname)
+
+    half = len(files) // 2
+    run_phase(files[:half], "t_gate_tumble_restart_p1")
+    res = run_phase(files[half:], "t_gate_tumble_restart_p2")
+    return res.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    ).orderBy("window_start", "event_type")
+
+
+def tumbling_restart_drained_oracle() -> str:
+    from .windows import tumbling_counts_drained_oracle
+
+    return tumbling_counts_drained_oracle()
