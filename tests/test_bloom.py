@@ -229,3 +229,52 @@ def test_per_group_sketches_guarantees(spark, sf_dir):
     assert len(hq) == 5 * len(quantiles.QS)
     assert all(r["within_bound"] for r in hq)
     assert all(r["abs_err"] >= 0 for r in hq)
+
+
+def test_cm_heavy_hitters_guarantees(spark, sf_dir):
+    """Sketch-composed heavy hitters: CM never underestimates, so the
+    emitted set contains EVERY true heavy hitter (no false negatives) --
+    verified against the exact per-key counts -- and every per-row
+    guarantee column must hold."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.operators import countmin
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = countmin.cm_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "threshold selected nothing"
+    assert all(r["guarantee_ok"] for r in rows)
+    assert all(r["overcount"] >= 0 for r in rows)
+    thresh = rows[0]["hh_thresh"]
+    emitted = {r["user_id"] for r in rows}
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    true_hh = {r["user_id"] for r in exact if r["c"] >= thresh}
+    assert true_hh <= emitted, true_hh - emitted
+    # the per-row verdicts agree with the recomputed truth
+    assert {r["user_id"] for r in rows if r["is_true_hh"]} == true_hh
+
+
+def test_range_bounds_sketch_guarantees(spark, sf_dir):
+    """Sketch-driven range partitioner: exactly N_RANGES ranges covering
+    every row, boundaries monotone, and each range's deviation from its
+    ideal share within the gated bound (the two boundary bins' mass)."""
+    from vector_db_from_scratch_spark.operators import quantiles
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = quantiles.range_bounds_sketch(spark, sf_dir).collect()
+    assert [r["range_id"] for r in rows] == list(range(quantiles.N_RANGES))
+    assert all(r["within_bound"] for r in rows)
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_range"] for r in rows) == total
+    assert sum(r["ideal"] for r in rows) == total
+    bounds = [r["lo_bound"] for r in rows if r["lo_bound"] is not None]
+    assert bounds == sorted(bounds)
+    assert rows[0]["lo_bound"] is None and rows[-1]["hi_bound"] is None
+    # interior ranges share boundaries: hi of r == lo of r+1
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_bound"] == b["lo_bound"]

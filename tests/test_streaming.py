@@ -54,6 +54,40 @@ def test_streaming_sketches_equal_batch(spark, sf_dir):
     assert _rows(bl_stream, cols) == _rows(bl_batch.select(*cols), cols)
 
 
+def test_streaming_hist_and_kmv_equal_batch(spark, sf_dir):
+    """The remaining two sketch members stream: the histogram grid as a
+    pure aggregation (== the batch sketch bin for bin) and KMV as bounded
+    per-shard bottom-k state whose merged drain equals the batch sketch
+    at the same k."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.functions.hashing import hash60
+    from vector_db_from_scratch_spark.operators import kmv, quantiles
+    from vector_db_from_scratch_spark.sources.tables import load_table
+    from vector_db_from_scratch_spark.streaming import stateful
+    from vector_db_from_scratch_spark.streaming import windows as w
+
+    h_stream = w.hist_ingest_drained.__wrapped__(spark, sf_dir)
+    h_batch = quantiles.hist_sketch(spark, sf_dir)
+    cols = ["bin", "n_bin"]
+    assert _rows(h_stream, cols) == _rows(h_batch.select(*cols), cols)
+
+    row = stateful.kmv_ingest_drained.__wrapped__(spark, sf_dir).collect()[0]
+    # batch twin at the same k: bottom-K_MERGE over the same portable hash
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select(hash60(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(kmv.K_MERGE)
+        .agg(F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min"))
+        .collect()[0]
+    )
+    assert (row["k"], row["kth_min"]) == (batch["k"], batch["kth_min"])
+    if row["k"] < kmv.K_MERGE:
+        assert row["est_distinct"] == row["exact_distinct"] == row["k"]
+
+
 def test_streaming_counter_matches_batch(spark, sf_dir):
     stream_res = run_stream_once(counter_stream(spark, sf_dir), "t_counter")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")

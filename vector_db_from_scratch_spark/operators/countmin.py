@@ -162,6 +162,146 @@ ORDER BY 1, 2
 """.strip()
 
 
+HH_RATIO = 1.2  # heavy = estimated frequency >= HH_RATIO x the mean
+
+
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection composed ENTIRELY from sketches -- the
+    production frequency-monitoring read path: the count-min grid supplies
+    per-key frequency estimates and the KMV sketch supplies the distinct
+    count, so the threshold (HH_RATIO x n / est_distinct, i.e. keys
+    estimated at >= 1.2x the mean frequency) needs no exact per-key
+    groupBy anywhere on the sketch side. Emits every key whose CM estimate
+    clears the threshold with its exact count (gate side only) and two
+    gated guarantees: ``guarantee_ok`` (est >= exact -- CM never
+    underestimates) and ``is_true_hh``. Because est >= exact always, every
+    TRUE heavy hitter is in the output -- the no-false-negative guarantee
+    heavy-hitter monitoring rests on (Cormode & Muthukrishnan 2005 §4.2).
+
+    The threshold is mean-relative, not a fixed phi*n, so the query stays
+    non-trivial at every scale factor. Candidates here are the distinct
+    keys (bounded at gate scale); at 100 TB the candidate set comes from
+    per-partition pre-aggregation -- any key with global count >= t has
+    local count >= t/P in some partition (pigeonhole), so mappers emit
+    only locally-frequent keys and the grid prunes the rest.
+
+    Precision degrades gracefully as key cardinality approaches CM_WIDTH
+    (collision inflation admits more false positives -- visible at sf0.1,
+    where 1500 keys over a 512-wide grid push most keys past the
+    threshold); a deployment sizes w ~ e/eps for the tolerated
+    overestimate eps*n (the standard CM sizing rule). The guarantee gated
+    here (no false NEGATIVES) holds at any width."""
+    ev = _events_keyed(spark, sf_dir)
+    counters = cm_counters(spark, sf_dir)
+    from ..functions.hashing import hash60 as _h60
+    from .kmv import HASH_SPACE, K_MIN
+
+    hashes = ev.select(_h60(F.col("user_id").cast("string")).alias("h")).distinct()
+    est_d = F.when(F.col("k") < K_MIN, F.col("k").cast("double")).otherwise(
+        (F.col("k") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min")
+    )
+    thresh = (
+        hashes.orderBy("h")
+        .limit(K_MIN)
+        .agg(F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min"))
+        .crossJoin(ev.agg(F.count(F.lit(1)).alias("n_total")))
+        .select("n_total", est_d.alias("est_distinct"))
+        .select(
+            "n_total",
+            "est_distinct",
+            (F.lit(HH_RATIO) * F.col("n_total") / F.col("est_distinct")).alias(
+                "thresh"
+            ),
+        )
+    )
+    probes = ev.select("user_id").distinct()
+    probe_cells = probes.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "c.row", "c.bucket")
+    est = (
+        probe_cells.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("counter").alias("est"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    return (
+        est.crossJoin(F.broadcast(thresh))
+        .filter(F.col("est") >= F.col("thresh"))
+        .join(exact, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+            "n_total",
+            F.round("est_distinct", 6).alias("est_distinct"),
+            F.round("thresh", 6).alias("hh_thresh"),
+            (F.col("exact") >= F.col("thresh")).alias("is_true_hh"),
+            (F.col("est") >= F.col("exact")).alias("guarantee_ok"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def cm_heavy_hitters_oracle() -> str:
+    from ..functions.hashing import hash60_sql
+    from .kmv import HASH_SPACE, K_MIN
+
+    h = hash60_sql("user_id::VARCHAR")
+    cells = ", ".join(
+        f"struct_pack(r := {i}, b := {_bucket_sql('user_id::VARCHAR', i)})"
+        for i in range(CM_DEPTH)
+    )
+    est_d = (
+        f"CASE WHEN k < {K_MIN} THEN k::DOUBLE "
+        f"ELSE (k - 1) * {HASH_SPACE!r} / kth_min END"
+    )
+    return f"""
+WITH hs AS (SELECT DISTINCT {h} AS h FROM events),
+topk AS (SELECT h FROM hs ORDER BY h LIMIT {K_MIN}),
+kk AS (SELECT count(*) AS k, max(h) AS kth_min FROM topk),
+tot AS (SELECT count(*) AS n_total FROM events),
+kv AS (SELECT n_total, {est_d} AS est_distinct FROM kk, tot),
+th AS (SELECT n_total, est_distinct,
+              {HH_RATIO!r} * n_total / est_distinct AS thresh
+       FROM kv),
+grid AS (
+  SELECT c.r AS row, c.b AS bucket, count(*) AS counter
+  FROM (SELECT unnest([{cells}]) AS c FROM events)
+  GROUP BY row, bucket),
+probes AS (SELECT DISTINCT user_id FROM events),
+probe_cells AS (
+  SELECT user_id, c.r AS row, c.b AS bucket
+  FROM (SELECT user_id, unnest([{cells}]) AS c FROM probes)),
+est AS (
+  SELECT pc.user_id, min(g.counter) AS est
+  FROM probe_cells pc JOIN grid g ON pc.row = g.row AND pc.bucket = g.bucket
+  GROUP BY pc.user_id),
+exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY user_id)
+SELECT e.user_id, e.est, x.exact, e.est - x.exact AS overcount,
+       th.n_total, round(th.est_distinct, 6) AS est_distinct,
+       round(th.thresh, 6) AS hh_thresh,
+       x.exact >= th.thresh AS is_true_hh,
+       e.est >= x.exact AS guarantee_ok
+FROM est e
+JOIN exact x ON e.user_id = x.user_id
+CROSS JOIN th
+WHERE e.est >= th.thresh
+ORDER BY e.user_id
+""".strip()
+
+
 def cm_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-query the sketch for a deterministic probe set and gate the
     estimates against the exact per-user counts: (user_id, est, exact,

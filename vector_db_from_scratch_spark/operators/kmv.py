@@ -273,15 +273,15 @@ FROM theta, u, i, exu, exi
 """.strip()
 
 
-def kmv_distinct_oracle() -> str:
+def kmv_distinct_oracle(k: int = K_MIN) -> str:
     h = hash60_sql("user_id::VARCHAR")
     est = (
-        f"CASE WHEN k < {K_MIN} THEN k::DOUBLE "
+        f"CASE WHEN k < {k} THEN k::DOUBLE "
         f"ELSE (k - 1) * {HASH_SPACE!r} / kth_min END"
     )
     return f"""
 WITH h AS (SELECT DISTINCT {h} AS h FROM events),
-topk AS (SELECT h FROM h ORDER BY h LIMIT {K_MIN}),
+topk AS (SELECT h FROM h ORDER BY h LIMIT {k}),
 agg AS (SELECT count(*) AS k, max(h) AS kth_min FROM topk),
 ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
 SELECT k, kth_min,

@@ -273,6 +273,168 @@ ORDER BY 1
 """.strip()
 
 
+N_RANGES = 8
+
+
+def range_bounds_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundaries read from the histogram sketch -- the
+    100 TB scale path of ``maintenance_range_bounds`` (whose exact ntile
+    report needs a global total order). ``repartitionByRange`` picks its
+    boundaries by SAMPLING, which is non-deterministic; the sketch gives a
+    deterministic, mergeable alternative: interpolate the N_RANGES-1
+    boundary values from the cumulative histogram, assign every row by
+    comparing against the broadcast boundary array, and audit the balance.
+
+    Gated guarantee: assigning by a boundary interpolated inside bin b can
+    misplace only rows of bin b itself, so each range's row count deviates
+    from its ideal share by at most the mass of its two boundary bins --
+    emitted as ``within_bound`` (abs_dev <= dev_bound) per range. Every
+    column is deterministic IEEE arithmetic on the shared grid, so the
+    whole report (bounds, counts, deviations) hash-gates.
+
+    Output: (range_id, lo_bound, hi_bound, n_range, ideal, abs_dev,
+    dev_bound, within_bound), one row per range, lo/hi NULL at the ends."""
+    o = _orders_x(spark, sf_dir)
+    params = _grid_params(o)
+    hist = (
+        o.crossJoin(F.broadcast(params))
+        .select(_bin_expr().alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+    )
+    # cumulative counts over the <= B-row histogram via broadcast self-join
+    # (same no-exchange-to-one discipline as hist_quantiles)
+    prev = hist.select(F.col("bin").alias("pbin"), F.col("n_bin").alias("pn"))
+    cum = (
+        hist.join(F.broadcast(prev), F.col("pbin") < F.col("bin"), "left")
+        .groupBy("bin", "n_bin")
+        .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("cum_before"))
+    )
+    bs = spark.createDataFrame([(i,) for i in range(1, N_RANGES)], "i int")
+    sel = (
+        bs.crossJoin(F.broadcast(params))
+        .withColumn("idx", F.ceil(F.col("i") * F.col("n_rows") / F.lit(N_RANGES)))
+        .join(
+            F.broadcast(cum),
+            F.col("cum_before") + F.col("n_bin") >= F.col("idx"),
+        )
+        .groupBy("i")
+        .agg(
+            F.min(F.struct("bin", "n_bin", "cum_before")).alias("_m"),
+            F.first("lo").alias("lo"),
+            F.first("w").alias("w"),
+            F.first("idx").alias("idx"),
+        )
+        .select(
+            "i",
+            F.col("_m.n_bin").alias("mass"),
+            "idx",
+            (
+                F.col("lo")
+                + F.col("w")
+                * (
+                    F.col("_m.bin")
+                    + (F.col("idx") - F.col("_m.cum_before")) / F.col("_m.n_bin")
+                )
+            ).alias("bound"),
+        )
+    )
+    barr = sel.groupBy().agg(F.sort_array(F.collect_list("bound")).alias("bounds"))
+    counts = (
+        o.crossJoin(F.broadcast(barr))
+        .select(
+            F.size(F.filter("bounds", lambda b: b <= F.col("x")))
+            .cast("long")
+            .alias("range_id")
+        )
+        .groupBy("range_id")
+        .agg(F.count(F.lit(1)).alias("n_range"))
+    )
+    spine = spark.range(N_RANGES).withColumnRenamed("id", "range_id")
+    left = sel.select(
+        F.col("i").cast("long").alias("range_id"),
+        F.col("bound").alias("lo_bound_raw"),
+        F.col("mass").alias("lmass"),
+        F.col("idx").alias("lidx"),
+    )
+    right = sel.select(
+        (F.col("i") - 1).cast("long").alias("range_id"),
+        F.col("bound").alias("hi_bound_raw"),
+        F.col("mass").alias("rmass"),
+        F.col("idx").alias("ridx"),
+    )
+    ideal = F.coalesce("ridx", F.col("n_rows")) - F.coalesce("lidx", F.lit(0))
+    n_range = F.coalesce("n_range", F.lit(0))
+    dev_bound = F.coalesce("lmass", F.lit(0)) + F.coalesce("rmass", F.lit(0))
+    return (
+        spine.crossJoin(F.broadcast(params.select("n_rows")))
+        .join(F.broadcast(left), "range_id", "left")
+        .join(F.broadcast(right), "range_id", "left")
+        .join(F.broadcast(counts), "range_id", "left")
+        .select(
+            "range_id",
+            F.round("lo_bound_raw", 6).alias("lo_bound"),
+            F.round("hi_bound_raw", 6).alias("hi_bound"),
+            n_range.alias("n_range"),
+            ideal.alias("ideal"),
+            F.abs(n_range - ideal).alias("abs_dev"),
+            dev_bound.alias("dev_bound"),
+            (F.abs(n_range - ideal) <= dev_bound).alias("within_bound"),
+        )
+        .orderBy("range_id")
+    )
+
+
+def range_bounds_sketch_oracle() -> str:
+    bs = ", ".join(f"({i})" for i in range(1, N_RANGES))
+    return f"""
+WITH {_GRID_SQL},
+hist AS (
+  SELECT bin, count(*) AS n_bin
+  FROM (SELECT {_BIN_SQL} AS bin FROM o, params)
+  GROUP BY bin),
+cum AS (
+  SELECT bin, n_bin,
+         sum(n_bin) OVER (ORDER BY bin) - n_bin AS cum_before
+  FROM hist),
+bs(i) AS (VALUES {bs}),
+sel AS (
+  SELECT i, mass, idx,
+         lo + w * (bin + (idx - cum_before) / n_bin) AS bound
+  FROM (
+    SELECT bs.i, c.bin, c.n_bin AS mass, c.n_bin, c.cum_before, p.lo, p.w,
+           ceil(bs.i * p.n_rows / {N_RANGES})::BIGINT AS idx,
+           row_number() OVER (PARTITION BY bs.i ORDER BY c.bin) AS pick
+    FROM bs, params p, cum c
+    WHERE c.cum_before + c.n_bin >= ceil(bs.i * p.n_rows / {N_RANGES})::BIGINT)
+  WHERE pick = 1),
+barr AS (SELECT list(bound ORDER BY bound) AS bounds FROM sel),
+counts AS (
+  SELECT range_id, count(*) AS n_range
+  FROM (SELECT len(list_filter(bounds, b -> b <= x))::BIGINT AS range_id
+        FROM o, barr)
+  GROUP BY range_id),
+spine AS (SELECT unnest(range({N_RANGES}))::BIGINT AS range_id)
+SELECT s.range_id,
+       round(l.bound, 6) AS lo_bound,
+       round(r.bound, 6) AS hi_bound,
+       coalesce(c.n_range, 0) AS n_range,
+       coalesce(r.idx, p.n_rows) - coalesce(l.idx, 0) AS ideal,
+       abs(coalesce(c.n_range, 0)
+           - (coalesce(r.idx, p.n_rows) - coalesce(l.idx, 0))) AS abs_dev,
+       coalesce(l.mass, 0) + coalesce(r.mass, 0) AS dev_bound,
+       abs(coalesce(c.n_range, 0)
+           - (coalesce(r.idx, p.n_rows) - coalesce(l.idx, 0)))
+         <= coalesce(l.mass, 0) + coalesce(r.mass, 0) AS within_bound
+FROM spine s
+CROSS JOIN params p
+LEFT JOIN sel l ON l.i = s.range_id
+LEFT JOIN sel r ON r.i = s.range_id + 1
+LEFT JOIN counts c ON c.range_id = s.range_id
+ORDER BY s.range_id
+""".strip()
+
+
 def hist_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quantiles from per-group histogram sketches (VERDICT r8
     item 3 -- a 100 TB data-quality rollup is per-source): each

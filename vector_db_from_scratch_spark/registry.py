@@ -521,6 +521,13 @@ def build() -> dict[str, Entry]:
         countmin.cm_merge_shards,
         countmin.cm_merge_shards_oracle(),
     )
+    # heavy hitters composed ENTIRELY from sketches (CM estimates over a
+    # KMV-estimated mean threshold) with the no-false-negative guarantee
+    # (est >= exact always) as a gated column
+    reg["sketch_cm_heavy_hitters"] = (
+        countmin.cm_heavy_hitters,
+        countmin.cm_heavy_hitters_oracle(),
+    )
     # fixed-grid histogram QUANTILE sketch (4th sketch member): the
     # bounded histogram, the quantile estimates read from it (with the
     # one-bin-width error bound as a gated boolean), and its cell-wise
@@ -550,6 +557,16 @@ def build() -> dict[str, Entry]:
     reg["sketch_hist_by_group"] = (
         quantiles.hist_quantiles_by_group,
         quantiles.hist_quantiles_by_group_oracle(),
+    )
+    # the sketch driving the engine's own layout planning: range-partition
+    # boundaries interpolated from the cumulative histogram (the
+    # deterministic twin of repartitionByRange's sampling), balance audited
+    # with the per-range deviation bound (<= the two boundary bins' mass)
+    # as a gated boolean -- the 100 TB scale path of
+    # maintenance_range_bounds' exact ntile report
+    reg["sketch_range_bounds"] = (
+        quantiles.range_bounds_sketch,
+        quantiles.range_bounds_sketch_oracle(),
     )
 
     # --- text analysis over documents (training-data-pipeline surface) ---
@@ -923,6 +940,23 @@ def build() -> dict[str, Entry]:
     reg["stream_bloom_ingest_drained"] = (
         w.bloom_ingest_drained,
         bloom.bloom_bitmap_oracle(),
+    )
+    # the quantile sketch's grid maintained as a streaming aggregation
+    # under the batch sketch's oracle (state bounded by B cells) -- with
+    # this every PURE-AGGREGATION sketch member streams: CM, Bloom, hist
+    reg["stream_hist_ingest_drained"] = (
+        w.hist_ingest_drained,
+        quantiles.hist_sketch_oracle(),
+    )
+    # KMV is NOT a pure aggregation (bottom-k has no built-in streaming
+    # agg): applyInPandasWithState holds each shard's k smallest hashes
+    # (bounded state), and the read path merges shards by
+    # k-smallest-of-union -- the gated rollup protocol fed by a state
+    # store; oracle shared with the batch sketch at k = K_MERGE
+    from .streaming import stateful as _stateful
+    reg["stream_kmv_ingest_drained"] = (
+        _stateful.kmv_ingest_drained,
+        kmv.kmv_distinct_oracle(k=kmv.K_MERGE),
     )
     # multiplexed multi-topic source: union of landing dirs with a lineage
     # column, one streaming query, per-topic windows under the gate

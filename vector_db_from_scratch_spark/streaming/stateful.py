@@ -115,3 +115,108 @@ FROM events
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Streaming KMV maintenance: the distinct-count sketch kept current as data
+# arrives, with state BOUNDED at k hashes per shard -- the sketch family
+# member that is NOT a pure groupBy aggregation (bottom-k has no built-in
+# streaming agg), so it runs as the custom-stateful shape. Each shard's
+# state is its k smallest distinct hashes (bottom-k absorbs inserts:
+# bottom_k(bottom_k(S1) ∪ S2) = bottom_k(S1 ∪ S2)); the read path merges
+# shard states by k-smallest-of-union -- exactly the gated rollup protocol
+# of sketch_kmv_merge_shards, now fed by a continuously-maintained state
+# store instead of a batch scan. Update-mode emissions across micro-batches
+# union safely: every emitted hash is a real corpus hash and each shard's
+# final emission contains its k smallest, so the global bottom-k of all
+# emissions equals the true global bottom-k.
+# --------------------------------------------------------------------------
+
+KMV_STREAM_SHARDS = 8
+
+KMV_OUTPUT_SCHEMA = "shard long, hs array<long>"
+KMV_STATE_SCHEMA = "hs array<long>"
+
+
+def _bottom_k(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from ..operators.kmv import K_MERGE
+
+    cur = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        if len(pdf):
+            cur.update(int(v) for v in pdf["h"].values)
+    top = sorted(cur)[: K_MERGE]
+    state.update((top,))
+    yield pd.DataFrame({"shard": [key[0]], "hs": [top]})
+
+
+def kmv_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import hash60
+
+    ev = events_stream(spark, sf_dir)
+    hashed = ev.select(hash60(F.col("user_id").cast("string")).alias("h"))
+    return (
+        hashed.withColumn("shard", F.col("h") % KMV_STREAM_SHARDS)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _bottom_k,
+            KMV_OUTPUT_SCHEMA,
+            KMV_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@memoize_drain
+def kmv_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming KMV == the batch sketch at the same k: merge the
+    per-shard bottom-k states (k-smallest of the exploded, deduplicated
+    union) and emit the same (k, kth_min, est_distinct, exact_distinct,
+    rel_err) row as the batch sketch -- oracle shared with kmv_distinct at
+    k = K_MERGE. The exact count exists only to gate the error."""
+    from pyspark.sql import functions as F
+
+    from ..operators.kmv import HASH_SPACE, K_MERGE
+    from ..sources.tables import load_table
+    from .windows import drain_conf
+
+    with drain_conf(spark, partitions=KMV_STREAM_SHARDS):
+        q = (
+            kmv_ingest_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName("t_gate_kmv_ingest")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    emitted = spark.sql("SELECT * FROM t_gate_kmv_ingest")
+    merged = (
+        emitted.select(F.explode("hs").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(K_MERGE)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    est = F.when(F.col("k") < K_MERGE, F.col("k").cast("double")).otherwise(
+        (F.col("k") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min")
+    )
+    return (
+        merged.agg(F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min"))
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_distinct")))
+        .select(
+            "k",
+            "kth_min",
+            F.round(est, 6).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+    )

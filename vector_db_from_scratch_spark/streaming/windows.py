@@ -724,6 +724,42 @@ def bloom_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("word_idx")
 
 
+def hist_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import N_BINS, _grid_params, _orders_x
+
+    # the (lo, hi, B) grid is a sizing PARAMETER shared by every shard and
+    # by the stream (like the Bloom filter's m): the batch build supplies
+    # it once; the stream maintains bin counts under that fixed grid
+    p = _grid_params(_orders_x(spark, sf_dir)).first()
+    schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "orders.parquet")
+        .load(sf_dir)
+    )
+    bin_col = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(p["lo"])) / F.lit(p["w"])),
+        F.lit(N_BINS - 1),
+    ).cast("int")
+    return (
+        raw.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+    )
+
+
+@memoize_drain
+def hist_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming histogram == the batch quantile sketch's grid
+    (same oracle as sketch_hist_bins): the bin index is the same IEEE
+    arithmetic on the same literal (lo, w), so the continuously-maintained
+    distribution monitor must reproduce the batch histogram bin for bin.
+    State is bounded by B cells regardless of how long the stream runs."""
+    res = run_stream_once(hist_ingest_stream(spark, sf_dir), "t_gate_hist_ingest")
+    return res.orderBy("bin")
+
+
 # --------------------------------------------------------------------------
 # Multiplexed streaming source: N topic directories unioned into ONE
 # streaming query with a lineage column -- the multi-topic ingestion shape
