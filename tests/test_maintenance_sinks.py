@@ -82,6 +82,25 @@ def test_partition_pruned_stats_plan_prunes(spark, sf_dir):
     assert len(PRUNE_LANGS) == 2
 
 
+def test_range_pruned_scan_plan_prunes(spark, sf_dir):
+    """sink_range_pruned: the range_id filter over the sketch-partitioned
+    layout must resolve to directory pruning, the scanned ranges must
+    cover exactly the rows the boundary assignment puts there, and every
+    range's extrema must respect its boundaries."""
+    from vector_db_from_scratch_spark.operators import quantiles
+    from vector_db_from_scratch_spark.plans import plan_string
+
+    res = quantiles.range_pruned_scan(spark, sf_dir)
+    plan = plan_string(res)
+    assert "PartitionFilters" in plan and "range_id" in plan
+    rows = {r["range_id"]: r for r in res.collect()}
+    assert set(rows) <= set(quantiles.RANGE_PRUNE_IDS)
+    # ranges are value-contiguous: max of range r <= min of range r+1
+    ordered = [rows[i] for i in sorted(rows)]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max_price"] <= b["min_price"]
+
+
 def test_schema_evolution_merged_read(spark, sf_dir):
     """mergeSchema read over the two shard generations: the unified schema
     is the union (late v2 columns surface as NULL for v1 rows), the

@@ -110,22 +110,7 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the global order statistic idx."""
     o = _orders_x(spark, sf_dir)
     params = _grid_params(o)
-    hist = (
-        o.crossJoin(F.broadcast(params))
-        .select(_bin_expr().alias("bin"))
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("n_bin"))
-    )
-    # cumulative counts via a broadcast self-join over the <= B-row
-    # histogram (a global-order window -- even over B rows -- would trip
-    # the no-partition WindowExec path; a B x B broadcast join is free and
-    # keeps the whole exact-gate plan exchange-to-one-free)
-    prev = hist.select(F.col("bin").alias("pbin"), F.col("n_bin").alias("pn"))
-    cum = (
-        hist.join(F.broadcast(prev), F.col("pbin") < F.col("bin"), "left")
-        .groupBy("bin", "n_bin")
-        .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("cum_before"))
-    )
+    cum = _hist_cum(o, params)
     qs = spark.createDataFrame([(float(q),) for q in QS], "q double")
     sel = (
         qs.crossJoin(F.broadcast(params))
@@ -276,42 +261,32 @@ ORDER BY 1
 N_RANGES = 8
 
 
-def range_bounds_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-partition boundaries read from the histogram sketch -- the
-    100 TB scale path of ``maintenance_range_bounds`` (whose exact ntile
-    report needs a global total order). ``repartitionByRange`` picks its
-    boundaries by SAMPLING, which is non-deterministic; the sketch gives a
-    deterministic, mergeable alternative: interpolate the N_RANGES-1
-    boundary values from the cumulative histogram, assign every row by
-    comparing against the broadcast boundary array, and audit the balance.
-
-    Gated guarantee: assigning by a boundary interpolated inside bin b can
-    misplace only rows of bin b itself, so each range's row count deviates
-    from its ideal share by at most the mass of its two boundary bins --
-    emitted as ``within_bound`` (abs_dev <= dev_bound) per range. Every
-    column is deterministic IEEE arithmetic on the shared grid, so the
-    whole report (bounds, counts, deviations) hash-gates.
-
-    Output: (range_id, lo_bound, hi_bound, n_range, ideal, abs_dev,
-    dev_bound, within_bound), one row per range, lo/hi NULL at the ends."""
-    o = _orders_x(spark, sf_dir)
-    params = _grid_params(o)
+def _hist_cum(o: DataFrame, params: DataFrame) -> DataFrame:
+    """Histogram + cumulative counts (bin, n_bin, cum_before). The
+    cumulative side is a broadcast self-join over the <= B-row histogram:
+    a global-order window -- even over B rows -- would trip the
+    no-partition WindowExec path, while the B x B broadcast join is free
+    and keeps every consumer's plan exchange-to-one-free."""
     hist = (
         o.crossJoin(F.broadcast(params))
         .select(_bin_expr().alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_bin"))
     )
-    # cumulative counts over the <= B-row histogram via broadcast self-join
-    # (same no-exchange-to-one discipline as hist_quantiles)
     prev = hist.select(F.col("bin").alias("pbin"), F.col("n_bin").alias("pn"))
-    cum = (
+    return (
         hist.join(F.broadcast(prev), F.col("pbin") < F.col("bin"), "left")
         .groupBy("bin", "n_bin")
         .agg(F.coalesce(F.sum("pn"), F.lit(0)).alias("cum_before"))
     )
+
+
+def _boundary_sel(spark: SparkSession, params: DataFrame, cum: DataFrame) -> DataFrame:
+    """The N_RANGES-1 boundary rows (i, mass, idx, bound) interpolated
+    from the cumulative histogram -- shared by the gated balance report
+    and the range-layout writer."""
     bs = spark.createDataFrame([(i,) for i in range(1, N_RANGES)], "i int")
-    sel = (
+    return (
         bs.crossJoin(F.broadcast(params))
         .withColumn("idx", F.ceil(F.col("i") * F.col("n_rows") / F.lit(N_RANGES)))
         .join(
@@ -339,6 +314,30 @@ def range_bounds_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bound"),
         )
     )
+
+
+def range_bounds_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundaries read from the histogram sketch -- the
+    100 TB scale path of ``maintenance_range_bounds`` (whose exact ntile
+    report needs a global total order). ``repartitionByRange`` picks its
+    boundaries by SAMPLING, which is non-deterministic; the sketch gives a
+    deterministic, mergeable alternative: interpolate the N_RANGES-1
+    boundary values from the cumulative histogram, assign every row by
+    comparing against the broadcast boundary array, and audit the balance.
+
+    Gated guarantee: assigning by a boundary interpolated inside bin b can
+    misplace only rows of bin b itself, so each range's row count deviates
+    from its ideal share by at most the mass of its two boundary bins --
+    emitted as ``within_bound`` (abs_dev <= dev_bound) per range. Every
+    column is deterministic IEEE arithmetic on the shared grid, so the
+    whole report (bounds, counts, deviations) hash-gates.
+
+    Output: (range_id, lo_bound, hi_bound, n_range, ideal, abs_dev,
+    dev_bound, within_bound), one row per range, lo/hi NULL at the ends."""
+    o = _orders_x(spark, sf_dir)
+    params = _grid_params(o)
+    cum = _hist_cum(o, params)
+    sel = _boundary_sel(spark, params, cum)
     barr = sel.groupBy().agg(F.sort_array(F.collect_list("bound")).alias("bounds"))
     counts = (
         o.crossJoin(F.broadcast(barr))
@@ -385,7 +384,11 @@ def range_bounds_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def range_bounds_sketch_oracle() -> str:
+def _bounds_cte_sql() -> str:
+    """Oracle CTE chain computing the boundary rows + sorted bound array
+    -- shared by the balance-report and pruned-layout oracles (the oracle
+    must RECOMPUTE the bounds: oracle strings are built without Spark, so
+    they can never embed the engine's computed values)."""
     bs = ", ".join(f"({i})" for i in range(1, N_RANGES))
     return f"""
 WITH {_GRID_SQL},
@@ -408,7 +411,12 @@ sel AS (
     FROM bs, params p, cum c
     WHERE c.cum_before + c.n_bin >= ceil(bs.i * p.n_rows / {N_RANGES})::BIGINT)
   WHERE pick = 1),
-barr AS (SELECT list(bound ORDER BY bound) AS bounds FROM sel),
+barr AS (SELECT list(bound ORDER BY bound) AS bounds FROM sel)""".strip()
+
+
+def range_bounds_sketch_oracle() -> str:
+    return f"""
+{_bounds_cte_sql()},
 counts AS (
   SELECT range_id, count(*) AS n_range
   FROM (SELECT len(list_filter(bounds, b -> b <= x))::BIGINT AS range_id
@@ -432,6 +440,94 @@ LEFT JOIN sel l ON l.i = s.range_id
 LEFT JOIN sel r ON r.i = s.range_id + 1
 LEFT JOIN counts c ON c.range_id = s.range_id
 ORDER BY s.range_id
+""".strip()
+
+
+from ._memo import register as _register_memo
+
+_RANGE_LAYOUT_MEMO: dict[tuple[str, str], str] = _register_memo({})
+
+RANGE_PRUNE_IDS = (2, 5)
+
+
+def orders_range_layout_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders partitioned by the sketch-assigned range_id, once per
+    (application, sf_dir) -- the layout `sketch_range_bounds` plans,
+    actually built. The N_RANGES-1 boundary values are fetched to the
+    driver as literals (bounded parameter state, like the Bloom filter's
+    m or the exact report's per-partition counts) and stamped into the
+    write as a broadcast comparison -- exactly how a deterministic range
+    writer works at scale, with the sketch replacing repartitionByRange's
+    nondeterministic sampling."""
+    from ..sources.artifacts import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _RANGE_LAYOUT_MEMO:
+        return _RANGE_LAYOUT_MEMO[key]
+    o = _orders_x(spark, sf_dir)
+    params = _grid_params(o)
+    cum = _hist_cum(o, params)
+    bounds = sorted(
+        r["bound"] for r in _boundary_sel(spark, params, cum).collect()
+    )
+    range_id = sum(
+        (F.col("o_totalprice") >= F.lit(b)).cast("int") for b in bounds
+    ).alias("range_id")
+    out = scratch_dir("orders-ranged-")
+    from ..sources.tables import load_table
+
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", range_id)
+        .write.mode("overwrite")
+        .partitionBy("range_id")
+        .parquet(out)
+    )
+    _RANGE_LAYOUT_MEMO[key] = out
+    return out
+
+
+def range_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan two ranges of the sketch-partitioned layout: the range_id
+    filter resolves to directory pruning at planning time (asserted via
+    PartitionFilters in tests), so only 2 of N_RANGES partitions are ever
+    opened -- the sketch plans the layout, the layout prunes the scan.
+    The oracle RECOMPUTES the boundary assignment from the flat table
+    through the same CTE chain, so a wrong bound, a wrong assignment
+    comparison, or a row landing in the wrong directory all flip the
+    gate. Aggregate per range: count + value/key extrema."""
+    df = spark.read.parquet(orders_range_layout_dir(spark, sf_dir))
+    return (
+        df.filter(F.col("range_id").isin(*RANGE_PRUNE_IDS))
+        .groupBy("range_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.min("o_totalprice"), 6) + F.lit(0.0)).alias("min_price"),
+            (F.round(F.max("o_totalprice"), 6) + F.lit(0.0)).alias("max_price"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+        .orderBy("range_id")
+    )
+
+
+def range_pruned_scan_oracle() -> str:
+    ids = ", ".join(str(i) for i in RANGE_PRUNE_IDS)
+    return f"""
+{_bounds_cte_sql()},
+assigned AS (
+  SELECT o.o_orderkey, o.x,
+         len(list_filter(bounds, b -> o.x >= b))::INT AS range_id
+  FROM (SELECT o_orderkey, o_totalprice AS x FROM orders) o, barr)
+SELECT range_id, count(*) AS n_rows,
+       (round(min(x), 6) + 0.0) AS min_price,
+       (round(max(x), 6) + 0.0) AS max_price,
+       min(o_orderkey) AS first_key,
+       max(o_orderkey) AS last_key
+FROM assigned
+WHERE range_id IN ({ids})
+GROUP BY range_id
+ORDER BY range_id
 """.strip()
 
 

@@ -896,6 +896,14 @@ def build() -> dict[str, Entry]:
         orcio.multi_format_union_stats_oracle(),
     )
     reg["sink_partition_pruned"] = (csvio.partition_pruned_stats, csvio.partition_pruned_stats_oracle())
+    # the sketch plans the layout, the layout prunes the scan: orders
+    # written partitioned by the histogram-derived range_id, scanned with
+    # a range filter that resolves to directory pruning; the oracle
+    # recomputes the boundary assignment from the flat table
+    reg["sink_range_pruned"] = (
+        quantiles.range_pruned_scan,
+        quantiles.range_pruned_scan_oracle(),
+    )
     # additive schema evolution: mergeSchema read over two shard generations
     from .sources import evolution
     reg["source_schema_evolution"] = (
