@@ -639,6 +639,9 @@ def minhash_lsh_pairs_bucketcap_auto(
     hist = bs.groupBy("bn").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql import Window
 
+    # unpartitioned running frame over the OCCUPANCY HISTOGRAM (one row
+    # per distinct bucket size, a few dozen rows at any corpus size) --
+    # bounded input, not a corpus-sized global window
     w = Window.orderBy("bn").rowsBetween(Window.unboundedPreceding, 0)
     mass = (F.col("cnt") * F.col("bn") * (F.col("bn") - 1) / F.lit(2)).cast("long")
     cum = hist.withColumn("cum_pairs", F.sum(mass).over(w))
@@ -1218,6 +1221,8 @@ def ngram_jaccard_pairs_dfcap_auto(
     )
     df_counts = _shingle_df_counts(spark, sf_dir)
     hist = df_counts.groupBy("df").agg(F.count(F.lit(1)).alias("cnt"))
+    # unpartitioned running frame over the DF HISTOGRAM (one row per
+    # distinct document-frequency value -- bounded, never corpus-sized)
     w = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, 0)
     mass = (F.col("cnt") * F.col("df") * (F.col("df") - 1) / F.lit(2)).cast("long")
     cum = hist.withColumn("cum_pairs", F.sum(mass).over(w))

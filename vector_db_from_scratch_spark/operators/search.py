@@ -260,6 +260,8 @@ def hybrid_rrf(
     """
     terms = query_terms or DEFAULT_QUERY_TERMS
     vec = flat_knn(spark, sf_dir, "cosine", k=pool, query_vec_id=query_vec_id)
+    # the two unpartitioned rank windows below run over the already-capped
+    # pool-row lists (a TakeOrdered output), never the corpus
     vec_ranked = vec.withColumn(
         "vec_rank",
         F.row_number().over(Window.orderBy("distance", "vec_id")).cast("long"),
