@@ -13,9 +13,12 @@ shingle groups, so "10x data" would measure a different problem. Instead:
   to the text (so exact/near-dup structure per copy matches the base
   corpus instead of exploding) and doc_ids shifted by copy*N.
 
-Output dir contains only these two tables; the scale section runs only
-queries that read them. Deterministic (seeded) and memoized on disk:
-regenerated only when the base tables change.
+events / lineitem / orders are replicated K times with their id columns
+shifted past the base maxima (per-key structure and value distributions
+preserved -- no hot keys invented, windows gain K x rows not K x
+windows). The scale section runs only queries that read the scaled
+tables. Deterministic (seeded) and memoized on disk: regenerated only
+when the base tables change (GEN bump covers derivation changes).
 
 Usage: from bench.py (scale_dir(sf_dir, k)) or
        python tools/scale_gen.py [sf_dir] [k]
@@ -30,7 +33,7 @@ import sys
 import tempfile
 
 SEED = 20260814
-GEN = 2  # bump when the set of scaled tables or their derivation changes
+GEN = 3  # bump when the set of scaled tables or their derivation changes
 
 
 def _target_dir(sf_dir: str, k: int) -> str:
@@ -142,6 +145,20 @@ def scale_dir(sf_dir: str, k: int = 10) -> str:
         con.execute(
             f"CREATE VIEW li AS SELECT * FROM '{sf_dir}/lineitem.parquet';"
             f"COPY ({li_sql}) TO '{tmp}/lineitem.parquet' (FORMAT PARQUET);"
+        )
+    # orders: replicate K times with o_orderkey shifted past the base max;
+    # the o_totalprice distribution (what the quantile/range sketches bin)
+    # is preserved exactly, so sketch grids stay comparable across scales.
+    if _os.path.exists(f"{sf_dir}/orders.parquet"):
+        od_sql = " UNION ALL ".join(
+            f"SELECT * REPLACE ("
+            f"o_orderkey + {copy} * (SELECT max(o_orderkey) + 1 FROM od) AS o_orderkey"
+            f") FROM od"
+            for copy in range(k)
+        )
+        con.execute(
+            f"CREATE VIEW od AS SELECT * FROM '{sf_dir}/orders.parquet';"
+            f"COPY ({od_sql}) TO '{tmp}/orders.parquet' (FORMAT PARQUET);"
         )
     con.close()
 
