@@ -54,6 +54,37 @@ def test_bucketed_join_correct(warehouse, spark, sf_dir):
     assert n_bucketed == n_plain
 
 
+def test_registered_bucketed_join_plan_colocated(spark, sf_dir):
+    """join_bucketed_colocated: the registered query's JOIN subtree must
+    be a bucket-aligned SortMergeJoin with no hashpartitioning exchange
+    feeding it (the only exchange in the full plan is the tiny status
+    aggregate)."""
+    from vector_db_from_scratch_spark.operators.relational import (
+        _bucketed_pair,
+        bucketed_join_revenue,
+    )
+    from pyspark.sql import functions as F
+
+    res = bucketed_join_revenue(spark, sf_dir)
+    rows = res.collect()
+    assert rows and all(r["n_lines"] > 0 for r in rows)
+    # the bare join (pre-aggregate) must plan with zero exchanges
+    on, ln = _bucketed_pair(spark, sf_dir)
+    joined = (
+        spark.table(ln)
+        .select("l_orderkey")
+        .hint("merge")
+        .join(
+            spark.table(on).select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    plan = plan_string(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, "bucketed join must not shuffle"
+    assert "Bucketed: true" in plan
+
+
 def test_bucketed_point_lookup_prunes_buckets(spark, sf_dir):
     """The CRUD-at-scale guard path: an equality lookup on the key-bucketed
     entity table scans ONE bucket, not the table (SCALE.md "CRUD at

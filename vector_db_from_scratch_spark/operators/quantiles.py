@@ -109,8 +109,7 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in x and ties share a bin, so local rank idx - cum_before
     is exactly the global order statistic idx."""
     o = _orders_x(spark, sf_dir)
-    params = _grid_params(o)
-    cum = _hist_cum(o, params)
+    params, cum = _orders_grid(spark, sf_dir)
     qs = spark.createDataFrame([(float(q),) for q in QS], "q double")
     sel = (
         qs.crossJoin(F.broadcast(params))
@@ -261,6 +260,28 @@ ORDER BY 1
 N_RANGES = 8
 
 
+from ._memo import register as _quant_register_memo
+
+# the (params, cumulative histogram) pair IS the quantile-sketch artifact
+# (1 + <=B rows): memoized per (application, sf_dir) behind eager
+# localCheckpoints so the balance report, the layout writer, and the
+# quantile probes share one corpus pass instead of re-aggregating the
+# grid per subtree. First call builds it; the gate always runs cold.
+_ORDERS_GRID_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = (
+    _quant_register_memo({})
+)
+
+
+def _orders_grid(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ORDERS_GRID_MEMO:
+        o = _orders_x(spark, sf_dir)
+        params = _grid_params(o).localCheckpoint()
+        cum = _hist_cum(o, params).localCheckpoint()
+        _ORDERS_GRID_MEMO[key] = (params, cum)
+    return _ORDERS_GRID_MEMO[key]
+
+
 def _hist_cum(o: DataFrame, params: DataFrame) -> DataFrame:
     """Histogram + cumulative counts (bin, n_bin, cum_before). The
     cumulative side is a broadcast self-join over the <= B-row histogram:
@@ -335,8 +356,7 @@ def range_bounds_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (range_id, lo_bound, hi_bound, n_range, ideal, abs_dev,
     dev_bound, within_bound), one row per range, lo/hi NULL at the ends."""
     o = _orders_x(spark, sf_dir)
-    params = _grid_params(o)
-    cum = _hist_cum(o, params)
+    params, cum = _orders_grid(spark, sf_dir)
     sel = _boundary_sel(spark, params, cum)
     barr = sel.groupBy().agg(F.sort_array(F.collect_list("bound")).alias("bounds"))
     counts = (
@@ -464,9 +484,7 @@ def orders_range_layout_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _RANGE_LAYOUT_MEMO:
         return _RANGE_LAYOUT_MEMO[key]
-    o = _orders_x(spark, sf_dir)
-    params = _grid_params(o)
-    cum = _hist_cum(o, params)
+    params, cum = _orders_grid(spark, sf_dir)
     bounds = sorted(
         r["bound"] for r in _boundary_sel(spark, params, cum).collect()
     )

@@ -872,6 +872,12 @@ def build() -> dict[str, Entry]:
     # SQL-surface shapes both engines decorrelate/plan natively
     reg["subquery_above_avg_orders"] = (r.above_avg_orders, r.above_avg_orders_oracle())
     reg["join_lateral_topk"] = (r.lateral_top_orders, r.lateral_top_orders_oracle())
+    # co-located bucketed big-big join: the pay-the-shuffle-once layout
+    # strategy as a gated query (plan shape pinned in test_bucketed_join)
+    reg["join_bucketed_colocated"] = (
+        r.bucketed_join_revenue,
+        r.bucketed_join_revenue_oracle(),
+    )
     # sort-free argmax (max-of-struct) -- the window-free top-1-per-key
     reg["agg_argmax_latest_event"] = (
         r.latest_event_per_user,
