@@ -225,6 +225,10 @@ def test_per_group_sketches_guarantees(spark, sf_dir):
     merge = kmv.kmv_by_group_merge(spark, sf_dir).collect()
     assert merge and all(r["sketch_equal"] for r in merge)
     assert all(r["diff_rows"] == 0 for r in merge)
+    hm = quantiles.hist_by_group_merge(spark, sf_dir).collect()
+    assert hm and all(r["sketch_equal"] for r in hm)
+    assert all(r["merged_rows"] == r["whole_rows"] > 0 for r in hm)
+    assert all(r["n_cells"] <= quantiles.N_BINS for r in hm)
     hq = quantiles.hist_quantiles_by_group(spark, sf_dir).collect()
     assert len(hq) == 5 * len(quantiles.QS)
     assert all(r["within_bound"] for r in hq)

@@ -690,3 +690,94 @@ SELECT grp, q, bin,
 FROM cand WHERE rloc = target
 ORDER BY grp, q
 """.strip()
+
+
+def hist_by_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-group MERGE leg of the quantile sketch (completes the
+    per-group protocol kmv_by_group_merge gates for KMV): per-(group,
+    shard) histograms built on each GROUP'S OWN (lo, hi, B) grid -- the
+    grid is a per-group shared parameter, which is exactly what makes the
+    keyed rollup sound -- merge by bin-wise addition into the per-group
+    whole histogram. One gated summary row per group: bin counts, total
+    rows, and a per-group cell diff that must be 0. At 100 TB each
+    (source, shard) ships <= B counters on its source's grid; a shard
+    binned on the WRONG group's grid flips the diff."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("x"),
+        "o_orderkey",
+    )
+    params = (
+        o.groupBy("grp")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .select("grp", "lo", ((F.col("hi") - F.col("lo")) / N_BINS).alias("w"))
+    )
+    binned = o.join(F.broadcast(params), "grp").select(
+        "grp",
+        (F.col("o_orderkey") % N_SHARDS).alias("shard"),
+        _bin_expr().alias("bin"),
+    )
+    shard_hists = binned.groupBy("grp", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_bin")
+    )
+    merged = shard_hists.groupBy("grp", "bin").agg(
+        F.sum("n_bin").alias("merged_n")
+    )
+    whole = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("whole_n"))
+    cells = merged.join(whole, ["grp", "bin"], "full_outer").select(
+        "grp",
+        "bin",
+        F.coalesce("merged_n", F.lit(0)).alias("merged_n"),
+        F.coalesce("whole_n", F.lit(0)).alias("whole_n"),
+    )
+    return (
+        cells.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("merged_n").alias("merged_rows"),
+            F.sum("whole_n").alias("whole_rows"),
+            F.sum(F.abs(F.col("merged_n") - F.col("whole_n"))).alias(
+                "abs_diff_total"
+            ),
+        )
+        .select(
+            "grp",
+            "n_cells",
+            "merged_rows",
+            "whole_rows",
+            "abs_diff_total",
+            (F.col("abs_diff_total") == 0).alias("sketch_equal"),
+        )
+        .orderBy("grp")
+    )
+
+
+def hist_by_group_merge_oracle() -> str:
+    return f"""
+WITH o AS (SELECT o_orderpriority AS grp, o_totalprice AS x, o_orderkey
+           FROM orders),
+params AS (
+  SELECT grp, min(x) AS lo, (max(x) - min(x)) / {N_BINS} AS w
+  FROM o GROUP BY grp),
+binned AS (
+  SELECT o.grp, o.o_orderkey % {N_SHARDS} AS shard, {_BIN_SQL} AS bin
+  FROM o JOIN params USING (grp)),
+shard_hists AS (
+  SELECT grp, shard, bin, count(*) AS n_bin
+  FROM binned GROUP BY grp, shard, bin),
+merged AS (
+  SELECT grp, bin, sum(n_bin) AS merged_n FROM shard_hists GROUP BY grp, bin),
+whole AS (SELECT grp, bin, count(*) AS whole_n FROM binned GROUP BY grp, bin),
+cells AS (
+  SELECT coalesce(m.grp, w.grp) AS grp, coalesce(m.bin, w.bin) AS bin,
+         coalesce(merged_n, 0) AS merged_n, coalesce(whole_n, 0) AS whole_n
+  FROM merged m FULL OUTER JOIN whole w ON m.grp = w.grp AND m.bin = w.bin)
+SELECT grp, count(*) AS n_cells,
+       sum(merged_n)::BIGINT AS merged_rows,
+       sum(whole_n)::BIGINT AS whole_rows,
+       sum(abs(merged_n - whole_n))::BIGINT AS abs_diff_total,
+       sum(abs(merged_n - whole_n)) = 0 AS sketch_equal
+FROM cells
+GROUP BY grp
+ORDER BY grp
+""".strip()

@@ -558,6 +558,13 @@ def build() -> dict[str, Entry]:
         quantiles.hist_quantiles_by_group,
         quantiles.hist_quantiles_by_group_oracle(),
     )
+    # the per-group MERGE leg for the quantile member: per-(group, shard)
+    # histograms on each group's OWN grid sum bin-wise to the per-group
+    # whole -- a shard binned on the wrong group's grid flips the diff
+    reg["sketch_hist_by_group_merge"] = (
+        quantiles.hist_by_group_merge,
+        quantiles.hist_by_group_merge_oracle(),
+    )
     # the sketch driving the engine's own layout planning: range-partition
     # boundaries interpolated from the cumulative histogram (the
     # deterministic twin of repartitionByRange's sampling), balance audited
