@@ -67,6 +67,12 @@ def build_specs() -> list[tuple[str, Callable[[SparkSession, str], object]]]:
         ("sq8_ranges", lambda s, d: sq.sq8_knn(s, d)),
         # --- entity-layout artifacts
         ("bucketed_gate_table", lambda s, d: entity.bucketed_point_lookup_query(s, d)),
+        # --- round-9 layout/training artifacts
+        ("quantile_grid", _quantile_grid_build),
+        ("range_layout_dir", _range_layout_build),
+        ("bucketed_join_pair", _bucketed_pair_build),
+        ("kmeans_iter2_assignment", _iter2_assignment_build),
+        ("bpe_trained_vocab", _bpe_vocab_build),
         # --- streaming replay fixtures (parquet slice + sentinel writes)
         ("ssjoin_left_replay", _ssjoin_left_replay),
         ("multiplex_topic_dirs", _multiplex_dirs_build),
@@ -83,6 +89,37 @@ def _multiplex_dirs_build(s: SparkSession, d: str) -> None:
     from .streaming import windows
 
     windows._multiplex_dirs(s, d)
+
+
+def _quantile_grid_build(s: SparkSession, d: str) -> None:
+    from .operators import quantiles
+
+    quantiles._orders_grid(s, d)  # eager localCheckpoints
+
+
+def _range_layout_build(s: SparkSession, d: str) -> None:
+    from .operators import quantiles
+
+    quantiles.orders_range_layout_dir(s, d)
+
+
+def _bucketed_pair_build(s: SparkSession, d: str) -> None:
+    from .operators import relational
+
+    relational._bucketed_pair(s, d)
+
+
+def _iter2_assignment_build(s: SparkSession, d: str):
+    from .operators import ivf
+
+    return ivf.kmeans_iter2_sizes(s, d)
+
+
+def _bpe_vocab_build(s: SparkSession, d: str):
+    from .operators import textops
+
+    textops.bpe_train_merges(s, d)
+    return textops.tokenize_trained_bpe(s, d)
 
 
 def run_builds(spark: SparkSession, sf_dir: str) -> dict[str, float]:

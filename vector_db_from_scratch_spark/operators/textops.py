@@ -1361,8 +1361,10 @@ def tokenize_trained_bpe(
             "word", F.size(F.split(F.rtrim(F.col("s")), " ")).alias("n_sym")
         ).localCheckpoint()
     counts = _BPE_VOCAB_MEMO[memo_key]
+    # explicit broadcast: the checkpointed vocab carries no size stats,
+    # so without the hint the bounded-artifact join degrades to SMJ
     return (
-        dwords.join(counts, "word", "left")
+        dwords.join(F.broadcast(counts), "word", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
