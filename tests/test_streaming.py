@@ -88,6 +88,139 @@ def test_streaming_hist_and_kmv_equal_batch(spark, sf_dir):
         assert row["est_distinct"] == row["exact_distinct"] == row["k"]
 
 
+def test_kmv_bottom_k_state_is_slicing_invariant():
+    """The streaming KMV state transition must be invariant to how the
+    input is sliced into micro-batches and to arrival order: bottom-k of
+    (bottom-k(S1) ∪ S2) == bottom-k(S1 ∪ S2). Drive the actual
+    applyInPandasWithState body with a fake GroupState over random
+    multisets under random slicings (hypothesis) and pin the final state
+    to the sorted-distinct bottom-k of everything seen."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_db_from_scratch_spark.operators.kmv import K_MERGE
+    from vector_db_from_scratch_spark.streaming.stateful import _bottom_k
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**60 - 1), min_size=1, max_size=200),
+        st.integers(min_value=1, max_value=7),
+        st.randoms(),
+    )
+    def run(hashes, n_batches, rng):
+        rng.shuffle(hashes)
+        cuts = sorted(rng.randrange(len(hashes) + 1) for _ in range(n_batches - 1))
+        batches, prev = [], 0
+        for c in cuts + [len(hashes)]:
+            batches.append(hashes[prev:c])
+            prev = c
+        state = FakeState()
+        for b in batches:
+            list(_bottom_k((0,), iter([pd.DataFrame({"h": b})]), state))
+        expect = sorted(set(hashes))[:K_MERGE]
+        assert list(state.get[0]) == expect
+
+    run()
+
+
+def test_range_bounds_deviation_bound_holds_on_random_data():
+    """The sketch_range_bounds construction guarantee -- each range's
+    deviation from its ideal share is at most the mass of its two
+    boundary bins -- must hold across value-like distributions (prices,
+    sizes, scores: 2-dp decimals, bounded ratio), not just o_totalprice.
+    Replicate the arithmetic in NumPy over hypothesis inputs and assert
+    the bound. (Unbounded float ranges can break the two-bin bound via
+    IEEE edge ties -- documented caveat in range_bounds_sketch; this fuzz
+    pins the bound on the op's actual domain.)"""
+    import math
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_db_from_scratch_spark.operators.quantiles import N_BINS, N_RANGES
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.decimals(
+                min_value=0, max_value=10**6, places=2, allow_nan=False
+            ).map(float),
+            min_size=N_RANGES,
+            max_size=400,
+        )
+    )
+    def run(xs):
+        xs = np.asarray(xs, dtype=np.float64)
+        lo, hi, n = xs.min(), xs.max(), len(xs)
+        w = (hi - lo) / N_BINS
+        if w == 0.0:
+            return  # degenerate constant column: grid undefined, skip
+        bins = np.minimum(np.floor((xs - lo) / w), N_BINS - 1).astype(int)
+        counts = np.bincount(bins, minlength=N_BINS)
+        cum_before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        bounds, idxs, masses = [], [], []
+        for i in range(1, N_RANGES):
+            idx = math.ceil(i * n / N_RANGES)
+            b = int(np.argmax(cum_before + counts >= idx))
+            est = lo + w * (b + (idx - cum_before[b]) / counts[b])
+            bounds.append(est)
+            idxs.append(idx)
+            masses.append(counts[b])
+        bounds_arr = np.sort(np.asarray(bounds))
+        rid = (xs[:, None] >= bounds_arr[None, :]).sum(axis=1)
+        n_range = np.bincount(rid, minlength=N_RANGES)
+        idx_ext = [0] + idxs + [n]
+        for r in range(N_RANGES):
+            ideal = idx_ext[r + 1] - idx_ext[r]
+            dev_bound = (masses[r - 1] if r > 0 else 0) + (
+                masses[r] if r < N_RANGES - 1 else 0
+            )
+            assert abs(int(n_range[r]) - ideal) <= dev_bound, (
+                r, n_range[r], ideal, dev_bound)
+
+    run()
+
+
+def test_session_restart_merges_boundary_sessions(spark, sf_dir):
+    """stream_session_restart_drained must actually exercise MERGING state
+    across the restart: the replay splits the timeline in half, so at
+    least one emitted session must span the phase boundary (start at or
+    before the median event time, end after it) -- otherwise the gate
+    would be vacuous for the recovery claim."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.sources.tables import load_table
+    from vector_db_from_scratch_spark.streaming import sinks
+
+    res = sinks.session_restart_drained(spark, sf_dir).collect()
+    assert res
+    ev = load_table(spark, sf_dir, "events")
+    med_ts = (
+        ev.select(F.col("ts").cast("string").alias("t"))
+        .orderBy("t")
+        .collect()[ev.count() // 2 - 1]["t"][:19]
+    )
+    spanning = [
+        r for r in res if r["session_start"] <= med_ts < r["session_end"]
+    ]
+    assert spanning, f"no session spans the phase boundary {med_ts}"
+
+
 def test_streaming_counter_matches_batch(spark, sf_dir):
     stream_res = run_stream_once(counter_stream(spark, sf_dir), "t_counter")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")

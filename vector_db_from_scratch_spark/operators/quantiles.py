@@ -351,7 +351,16 @@ def range_bounds_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from its ideal share by at most the mass of its two boundary bins --
     emitted as ``within_bound`` (abs_dev <= dev_bound) per range. Every
     column is deterministic IEEE arithmetic on the shared grid, so the
-    whole report (bounds, counts, deviations) hash-gates.
+    whole report (bounds, counts, deviations) hash-gates regardless.
+
+    Caveat (found by the property fuzz in tests/test_streaming.py): the
+    two-bin bound is exact in real arithmetic but can be exceeded by
+    edge-tie pathologies in IEEE floats -- under extreme dynamic range
+    (~1e300 spread), a row can bin to b+1 yet compare below a boundary
+    interpolated at bin b's upper edge. On value-like domains (prices,
+    sizes, scores: bounded ratio, fixed decimals) the bound holds, which
+    is what the fuzz pins; the gate itself can never flip either way
+    because both engines run the identical arithmetic.
 
     Output: (range_id, lo_bound, hi_bound, n_range, ideal, abs_dev,
     dev_bound, within_bound), one row per range, lo/hi NULL at the ends."""

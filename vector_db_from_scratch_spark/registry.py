@@ -1006,6 +1006,13 @@ def build() -> dict[str, Entry]:
         stream_sinks.tumbling_restart_drained,
         stream_sinks.tumbling_restart_drained_oracle(),
     )
+    # ... and session-window MERGING state across a restart: a session
+    # straddling the phase boundary emits ONE merged window only if the
+    # recovered open-session state merges with phase-2 arrivals
+    reg["stream_session_restart_drained"] = (
+        stream_sinks.session_restart_drained,
+        stream_sinks.session_restart_drained_oracle(),
+    )
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins

@@ -355,3 +355,63 @@ def tumbling_restart_drained_oracle() -> str:
     from .windows import tumbling_counts_drained_oracle
 
     return tumbling_counts_drained_oracle()
+
+
+@memoize_drain
+def session_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery for session-window MERGING state -- the third
+    state type under a mid-stream restart (tumbling_restart covers fixed
+    window buckets, upsert_restart covers source offsets + a foreachBatch
+    sink). The replay slices split the event timeline in half, so every
+    user whose session straddles the boundary can only emit ONE merged
+    session if the recovered state's open sessions genuinely merge with
+    phase-2 arrivals -- a lost or duplicated state row splits a session
+    or doubles n_events, and either flips the hash against the batch
+    gaps-and-islands oracle."""
+    import glob
+
+    from ..sources.artifacts import scratch_dir
+    from .windows import GAP, drain_conf, events_stream_from, replay_events_dir
+
+    replay = scratch_dir("session-restart-replay-")
+    replay_events_dir(spark, sf_dir, replay, n_files=2)
+    files = sorted(glob.glob(os.path.join(replay, "part-*.parquet")))
+    assert len(files) >= 2, files
+    stream_dir = scratch_dir("session-restart-stream-")
+    ckpt = scratch_dir("session-restart-ckpt-")
+
+    def run_phase(new_files: list[str], qname: str) -> DataFrame:
+        for f in new_files:
+            shutil.copy(f, os.path.join(stream_dir, os.path.basename(f)))
+        ev = events_stream_from(spark, stream_dir, files_per_trigger=1)
+        agg = ev.groupBy(
+            F.session_window("ts", GAP).alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        with drain_conf(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        return spark.table(qname)
+
+    half = len(files) // 2
+    run_phase(files[:half], "t_gate_session_restart_p1")
+    res = run_phase(files[half:], "t_gate_session_restart_p2")
+    return res.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+def session_restart_drained_oracle() -> str:
+    from .windows import session_stats_drained_oracle
+
+    return session_stats_drained_oracle()
