@@ -72,6 +72,17 @@ def test_streaming_hist_and_kmv_equal_batch(spark, sf_dir):
     cols = ["bin", "n_bin"]
     assert _rows(h_stream, cols) == _rows(h_batch.select(*cols), cols)
 
+    grp_rows = stateful.kmv_by_group_ingest_drained.__wrapped__(
+        spark, sf_dir
+    ).collect()
+    batch_grp = {
+        r["grp"]: (r["k"], r["kth_min"], r["est_distinct"])
+        for r in kmv.kmv_by_group(spark, sf_dir).collect()
+    }
+    assert {
+        r["grp"]: (r["k"], r["kth_min"], r["est_distinct"]) for r in grp_rows
+    } == batch_grp
+
     row = stateful.kmv_ingest_drained.__wrapped__(spark, sf_dir).collect()[0]
     # batch twin at the same k: bottom-K_MERGE over the same portable hash
     batch = (

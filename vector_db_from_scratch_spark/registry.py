@@ -979,6 +979,13 @@ def build() -> dict[str, Entry]:
         _stateful.kmv_ingest_drained,
         kmv.kmv_distinct_oracle(k=kmv.K_MERGE),
     )
+    # ... and its per-GROUP form: bounded bottom-k state per (group,
+    # shard), merged per group on read -- the per-source data-quality
+    # rollup running continuously; oracle shared with sketch_kmv_by_group
+    reg["stream_kmv_by_group_ingest_drained"] = (
+        _stateful.kmv_by_group_ingest_drained,
+        kmv.kmv_by_group_oracle(),
+    )
     # multiplexed multi-topic source: union of landing dirs with a lineage
     # column, one streaming query, per-topic windows under the gate
     reg["stream_multiplex_drained"] = (

@@ -152,6 +152,109 @@ def _bottom_k(
     yield pd.DataFrame({"shard": [key[0]], "hs": [top]})
 
 
+KMV_GROUP_OUTPUT_SCHEMA = "grp string, shard long, hs array<long>"
+
+
+def _bottom_k_grouped(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from ..operators.kmv import K_MERGE
+
+    cur = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        if len(pdf):
+            cur.update(int(v) for v in pdf["h"].values)
+    top = sorted(cur)[:K_MERGE]
+    state.update((top,))
+    yield pd.DataFrame({"grp": [key[0]], "shard": [key[1]], "hs": [top]})
+
+
+def kmv_by_group_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import hash60
+
+    ev = events_stream(spark, sf_dir)
+    hashed = ev.select(
+        F.col("event_type").alias("grp"),
+        hash60(F.col("user_id").cast("string")).alias("h"),
+    )
+    return (
+        hashed.withColumn("shard", F.col("h") % KMV_STREAM_SHARDS)
+        .groupBy("grp", "shard")
+        .applyInPandasWithState(
+            _bottom_k_grouped,
+            KMV_GROUP_OUTPUT_SCHEMA,
+            KMV_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@memoize_drain
+def kmv_by_group_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-group KMV rollup maintained CONTINUOUSLY: bounded bottom-k
+    state per (group, shard) -- the per-source data-quality job running
+    as a stream instead of a batch scan. The read path merges each
+    group's shard states by k-smallest-of-union (the gated
+    kmv_by_group_merge protocol) and emits the same (grp, k, kth_min,
+    est_distinct, exact_distinct, rel_err) rows as the batch
+    sketch_kmv_by_group -- oracle shared VERBATIM. The per-group
+    bottom-k after the drain rides Spark's WindowGroupLimit, so each
+    mapper ships at most k rows per group."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.kmv import HASH_SPACE, K_MERGE
+    from ..sources.tables import load_table
+    from .windows import drain_conf
+
+    with drain_conf(spark, partitions=KMV_STREAM_SHARDS):
+        q = (
+            kmv_by_group_ingest_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName("t_gate_kmv_grp_ingest")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    emitted = spark.sql("SELECT * FROM t_gate_kmv_grp_ingest")
+    w = Window.partitionBy("grp").orderBy("h")
+    merged = (
+        emitted.select("grp", F.explode("hs").alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K_MERGE)
+    )
+    agg = merged.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(F.col("k") < K_MERGE, F.col("k").cast("double")).otherwise(
+        (F.col("k") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min")
+    )
+    return (
+        agg.join(exact, "grp")
+        .select(
+            "grp",
+            "k",
+            "kth_min",
+            F.round(est, 6).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("grp")
+    )
+
+
 def kmv_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
