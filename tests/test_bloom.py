@@ -282,3 +282,65 @@ def test_range_bounds_sketch_guarantees(spark, sf_dir):
     # interior ranges share boundaries: hi of r == lo of r+1
     for a, b in zip(rows, rows[1:]):
         assert a["hi_bound"] == b["lo_bound"]
+
+
+def test_ams_counters_invariants(spark, sf_dir):
+    """AMS counter vector: exactly AMS_COUNTERS rows, every counter's
+    magnitude bounded by n (a sum of n signs) and its PARITY equal to
+    n's parity (each event contributes exactly +/-1 to every counter, so
+    counter == n mod 2 -- a broken explode/sign path flips this)."""
+    from vector_db_from_scratch_spark.operators import ams
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = ams.ams_counters(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "events").count()
+    assert [r["j"] for r in rows] == list(range(ams.AMS_COUNTERS))
+    assert all(abs(r["counter"]) <= n for r in rows)
+    assert all(r["counter"] % 2 == n % 2 for r in rows)
+
+
+def test_ams_f2_estimator_math_and_skew_bound(spark, sf_dir):
+    """The emitted estimate must equal the median-of-means recomputed
+    from the counter vector in plain Python, exact_f2 >= n (counts >= 1),
+    and skew_ratio >= 1 (Cauchy-Schwarz: sum(c^2) * d >= (sum c)^2)."""
+    from vector_db_from_scratch_spark.operators import ams
+
+    row = ams.ams_f2(spark, sf_dir).collect()[0]
+    counters = [r["counter"] for r in ams.ams_counters(spark, sf_dir).collect()]
+    gs = sorted(
+        sum(
+            c * c
+            for c in counters[g * ams.AMS_GROUP_SIZE : (g + 1) * ams.AMS_GROUP_SIZE]
+        )
+        for g in range(ams.AMS_GROUPS)
+    )
+    est = gs[ams.AMS_GROUPS // 2] / ams.AMS_GROUP_SIZE
+    assert row["est_f2"] == round(est, 6)
+    assert row["exact_f2"] >= row["n_total"]
+    assert row["skew_ratio"] >= 0.999999
+    assert row["rel_err"] == round(abs(est - row["exact_f2"]) / row["exact_f2"], 6)
+
+
+def test_ams_merge_equals_whole(spark, sf_dir):
+    """Per-shard AMS vectors merged by element-wise addition must equal
+    the whole-corpus vector on every counter (diff == 0 everywhere)."""
+    from vector_db_from_scratch_spark.operators import ams
+
+    rows = ams.ams_merge_shards(spark, sf_dir).collect()
+    assert len(rows) == ams.AMS_COUNTERS
+    assert all(r["diff"] == 0 for r in rows)
+    assert all(r["merged_counter"] == r["whole_counter"] for r in rows)
+
+
+def test_ams_by_group_invariants(spark, sf_dir):
+    """Per-group AMS: one row per event_type, per-group Cauchy-Schwarz
+    bound (skew_ratio >= 1), and group n_totals summing to the corpus."""
+    from vector_db_from_scratch_spark.operators import ams
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = ams.ams_by_group(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert len(rows) == ev.select("event_type").distinct().count()
+    assert all(r["skew_ratio"] >= 0.999999 for r in rows)
+    assert sum(r["n_total"] for r in rows) == ev.count()
+    assert all(r["exact_f2"] >= r["n_total"] for r in rows)

@@ -759,3 +759,15 @@ def test_tumbling_restart_recovers_state_store(spark, sf_dir):
     hours = [t["ts"].replace(minute=0, second=0, microsecond=0) for t in ordered]
     phase1, phase2 = set(hours[: n // 2]), set(hours[n // 2 :])
     assert phase1 - phase2, "no phase-1-only window; recovery gate degenerates"
+
+
+def test_streaming_ams_equals_batch(spark, sf_dir):
+    """The AMS counter vector is a pure sum aggregation, so its drained
+    streaming form must equal the batch sketch counter for counter."""
+    from vector_db_from_scratch_spark.operators import ams
+    from vector_db_from_scratch_spark.streaming import windows as w
+
+    cols = ["j", "counter"]
+    s = w.ams_ingest_drained.__wrapped__(spark, sf_dir)
+    b = ams.ams_counters(spark, sf_dir)
+    assert _rows(s, cols) == _rows(b, cols)

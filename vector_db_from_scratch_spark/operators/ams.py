@@ -1,0 +1,326 @@
+"""AMS tug-of-war sketch for F2 (second frequency moment) -- the fifth
+member of the deterministic sketch toolkit (Bloom = membership, KMV =
+distinct, CM = per-key frequency, histogram = quantiles, AMS = join/skew
+mass), built on the same portable md5-derived hash so the sketch
+STRUCTURE and the estimate it yields both hash-gate against DuckDB.
+
+F2 = sum over keys of count^2 is the SELF-JOIN SIZE: the single statistic
+a planner needs to size a key's join fan-out and detect skew before
+shuffling anything (F2 / n^2 collapses to 1/distinct under uniform keys
+and blows up when a handful of keys dominate -- exactly when salting or a
+skew-join hint pays off). The exact computation is a full per-key groupBy;
+the AMS estimator (Alon, Matias & Szegedy 1996) replaces it with
+AMS_COUNTERS running sums of hash-derived +/-1 signs: each counter is ONE
+integer regardless of corpus size, counters from disjoint shards merge by
+plain addition, and the estimator is the median over AMS_GROUPS groups of
+the mean of squared counters. Everything up to the final division is
+integer arithmetic on the portable hash, so the estimate is bit-identical
+across engines and sits under the hash gate -- unlike engine-internal
+sketches (approx_count_distinct et al.) that can only ever be
+verdict-gated.
+
+Sizing: per-group variance of a squared counter is <= 2*F2^2, so a group
+mean over AMS_GROUP_SIZE counters lands within ~sqrt(2/AMS_GROUP_SIZE) of
+F2; the median across AMS_GROUPS groups suppresses outlier groups. The
+48-counter default measures 4-19% relative error on this testdata -- a
+planning-grade signal for ~48 BIGINTs of state per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+from ..sources.tables import load_table
+
+AMS_GROUPS = 3  # odd, so the median is one group's value (no averaging)
+AMS_GROUP_SIZE = 16
+AMS_COUNTERS = AMS_GROUPS * AMS_GROUP_SIZE
+N_SHARDS = 4
+
+
+def _sign_expr(key, j: int):
+    """+1 / -1 from one bit of the portable hash, per counter j."""
+    h = hash60(F.concat(key.cast("string"), F.lit(f"#ams{j}")))
+    return F.when(h % 2 == 0, F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
+
+
+def _sign_sql(expr: str, j: int) -> str:
+    hashed = hash60_sql(expr + f" || '#ams{j}'")
+    return f"(CASE WHEN ({hashed} % 2) = 0 THEN 1 ELSE -1 END)"
+
+
+def _events_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("user_id")
+
+
+def _counter_cells(key):
+    """(j, sign) struct array for one key -- shared by batch, shard-merge,
+    and streaming builds so every path updates identical counters."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), _sign_expr(key, j).alias("s"))
+                for j in range(AMS_COUNTERS)
+            ]
+        )
+    ).alias("c")
+
+
+def _cells_sql(expr: str) -> str:
+    return ", ".join(
+        f"struct_pack(j := {j}, s := {_sign_sql(expr, j)})" for j in range(AMS_COUNTERS)
+    )
+
+
+def ams_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AMS counter vector over per-user event occurrences as a
+    (j, counter) table, hash-gated: a wrong salt, sign convention, or
+    counter count flips rows. Build is one shuffled partial-sum aggregate;
+    at most AMS_COUNTERS rows leave each partition regardless of corpus
+    size."""
+    ev = _events_keyed(spark, sf_dir)
+    cells = ev.select(_counter_cells(F.col("user_id"))).select("c.j", "c.s")
+    return (
+        cells.groupBy("j").agg(F.sum("s").alias("counter")).orderBy("j")
+    )
+
+
+def ams_counters_oracle() -> str:
+    return f"""
+WITH cells AS (
+  SELECT c.j AS j, c.s AS s
+  FROM (SELECT unnest([{_cells_sql('user_id::VARCHAR')}]) AS c FROM events))
+SELECT j, sum(s)::BIGINT AS counter
+FROM cells
+GROUP BY j
+ORDER BY j
+""".strip()
+
+
+def ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F2 estimate read from the counter vector, gated against the
+    exact second moment: one row with (n_total, exact_distinct, exact_f2,
+    est_f2, rel_err, skew_ratio). est_f2 = median over AMS_GROUPS groups
+    of mean(counter^2) -- integer sums until the single final division, so
+    the estimate is engine-portable. skew_ratio = exact_f2 * distinct /
+    n^2 (1.0 = perfectly uniform keys; >> 1 = skew worth salting). The
+    exact side is the per-key groupBy the sketch REPLACES at 100 TB -- it
+    exists here only to gate the estimate and measure its error."""
+    counters = ams_counters(spark, sf_dir)
+    group_sums = (
+        counters.select(
+            (F.col("j") / AMS_GROUP_SIZE).cast("int").alias("g"),
+            (F.col("counter") * F.col("counter")).alias("sq"),
+        )
+        .groupBy("g")
+        .agg(F.sum("sq").alias("gs"))
+        .agg(F.sort_array(F.collect_list("gs")).alias("arr"))
+        .select(
+            (F.col("arr")[AMS_GROUPS // 2] / F.lit(float(AMS_GROUP_SIZE))).alias(
+                "est_f2"
+            )
+        )
+    )
+    ev = _events_keyed(spark, sf_dir)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.sum(F.col("c") * F.col("c")).alias("exact_f2"),
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("exact_distinct"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(group_sums))
+        .select(
+            "n_total",
+            "exact_distinct",
+            "exact_f2",
+            F.round("est_f2", 6).alias("est_f2"),
+            F.round(
+                F.abs(F.col("est_f2") - F.col("exact_f2")) / F.col("exact_f2"), 6
+            ).alias("rel_err"),
+            F.round(
+                F.col("exact_f2")
+                * F.col("exact_distinct")
+                / (F.col("n_total") * F.col("n_total")),
+                6,
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+def ams_f2_oracle() -> str:
+    mid = AMS_GROUPS // 2 + 1  # DuckDB lists are 1-indexed
+    return f"""
+WITH cells AS (
+  SELECT c.j AS j, c.s AS s
+  FROM (SELECT unnest([{_cells_sql('user_id::VARCHAR')}]) AS c FROM events)),
+counters AS (SELECT j, sum(s)::BIGINT AS counter FROM cells GROUP BY j),
+groups AS (
+  SELECT (j // {AMS_GROUP_SIZE})::INT AS g, sum(counter * counter) AS gs
+  FROM counters GROUP BY g),
+med AS (
+  SELECT list_sort(list(gs))[{mid}] / {float(AMS_GROUP_SIZE)!r} AS est_f2
+  FROM groups),
+exact AS (
+  SELECT sum(c * c)::BIGINT AS exact_f2, sum(c)::BIGINT AS n_total,
+         count(*)::BIGINT AS exact_distinct
+  FROM (SELECT count(*) AS c FROM events GROUP BY user_id))
+SELECT n_total, exact_distinct, exact_f2,
+       round(est_f2, 6) AS est_f2,
+       round(abs(est_f2 - exact_f2) / exact_f2, 6) AS rel_err,
+       round(exact_f2 * exact_distinct / (n_total::DOUBLE * n_total), 6)
+         AS skew_ratio
+FROM exact, med
+""".strip()
+
+
+def ams_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability under the gate: independent counter vectors per
+    disjoint shard (user_id % N_SHARDS) merge by ELEMENT-WISE ADDITION
+    (the AMS merge rule -- each counter is a plain sum, so shard counters
+    add), emitted full-outer-joined with the whole-corpus vector as
+    (j, merged_counter, whole_counter, diff) with every diff gated 0.
+    This is the 100 TB rollup: per-shard planning statistics combine into
+    the global one without the raw keys ever co-shuffling."""
+    ev = _events_keyed(spark, sf_dir)
+    cells = ev.select(
+        (F.col("user_id") % N_SHARDS).alias("shard"),
+        _counter_cells(F.col("user_id")),
+    ).select("shard", "c.j", "c.s")
+    shard_counters = cells.groupBy("shard", "j").agg(F.sum("s").alias("counter"))
+    merged = shard_counters.groupBy("j").agg(F.sum("counter").alias("merged_counter"))
+    whole = ams_counters(spark, sf_dir).withColumnRenamed("counter", "whole_counter")
+    return (
+        merged.join(whole, ["j"], "full_outer")
+        .select(
+            "j",
+            F.coalesce("merged_counter", F.lit(0)).alias("merged_counter"),
+            F.coalesce("whole_counter", F.lit(0)).alias("whole_counter"),
+            (
+                F.coalesce("merged_counter", F.lit(0))
+                - F.coalesce("whole_counter", F.lit(0))
+            ).alias("diff"),
+        )
+        .orderBy("j")
+    )
+
+
+def ams_merge_shards_oracle() -> str:
+    cells = _cells_sql("user_id::VARCHAR")
+    return f"""
+WITH cells AS (
+  SELECT user_id % {N_SHARDS} AS shard, c.j AS j, c.s AS s
+  FROM (SELECT user_id, unnest([{cells}]) AS c FROM events)),
+shard_counters AS (
+  SELECT shard, j, sum(s) AS counter FROM cells GROUP BY shard, j),
+merged AS (
+  SELECT j, sum(counter) AS merged_counter FROM shard_counters GROUP BY j),
+whole AS (
+  SELECT c.j AS j, sum(c.s) AS whole_counter
+  FROM (SELECT unnest([{cells}]) AS c FROM events)
+  GROUP BY j)
+SELECT coalesce(m.j, w.j) AS j,
+       coalesce(merged_counter, 0)::BIGINT AS merged_counter,
+       coalesce(whole_counter, 0)::BIGINT AS whole_counter,
+       (coalesce(merged_counter, 0) - coalesce(whole_counter, 0))::BIGINT AS diff
+FROM merged m FULL OUTER JOIN whole w ON m.j = w.j
+ORDER BY 1
+""".strip()
+
+
+def ams_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type AMS sketch -- the per-source skew monitor a 100 TB
+    data-quality rollup runs: one AMS_COUNTERS-long vector per group
+    (groupBy(grp, j), still bounded output), the median-of-means F2
+    estimate read per group, gated against each group's exact second
+    moment. Emits (grp, n_total, exact_distinct, exact_f2, est_f2,
+    rel_err, skew_ratio): a group whose skew_ratio spikes is the one
+    whose joins need salting. Completes the per-group matrix leg for the
+    fifth sketch member (KMV and histogram landed theirs in round 9)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), "user_id"
+    )
+    cells = ev.select("grp", _counter_cells(F.col("user_id"))).select(
+        "grp", "c.j", "c.s"
+    )
+    counters = cells.groupBy("grp", "j").agg(F.sum("s").alias("counter"))
+    est = (
+        counters.select(
+            "grp",
+            (F.col("j") / AMS_GROUP_SIZE).cast("int").alias("g"),
+            (F.col("counter") * F.col("counter")).alias("sq"),
+        )
+        .groupBy("grp", "g")
+        .agg(F.sum("sq").alias("gs"))
+        .groupBy("grp")
+        .agg(F.sort_array(F.collect_list("gs")).alias("arr"))
+        .select(
+            "grp",
+            (F.col("arr")[AMS_GROUPS // 2] / F.lit(float(AMS_GROUP_SIZE))).alias(
+                "est_f2"
+            ),
+        )
+    )
+    exact = (
+        ev.groupBy("grp", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("exact_f2"),
+            F.sum("c").alias("n_total"),
+            F.count(F.lit(1)).alias("exact_distinct"),
+        )
+    )
+    return (
+        exact.join(est, "grp")
+        .select(
+            "grp",
+            "n_total",
+            "exact_distinct",
+            "exact_f2",
+            F.round("est_f2", 6).alias("est_f2"),
+            F.round(
+                F.abs(F.col("est_f2") - F.col("exact_f2")) / F.col("exact_f2"), 6
+            ).alias("rel_err"),
+            F.round(
+                F.col("exact_f2")
+                * F.col("exact_distinct")
+                / (F.col("n_total") * F.col("n_total")),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy("grp")
+    )
+
+
+def ams_by_group_oracle() -> str:
+    mid = AMS_GROUPS // 2 + 1
+    return f"""
+WITH cells AS (
+  SELECT grp, c.j AS j, c.s AS s
+  FROM (SELECT event_type AS grp,
+               unnest([{_cells_sql('user_id::VARCHAR')}]) AS c
+        FROM events)),
+counters AS (
+  SELECT grp, j, sum(s)::BIGINT AS counter FROM cells GROUP BY grp, j),
+groups AS (
+  SELECT grp, (j // {AMS_GROUP_SIZE})::INT AS g, sum(counter * counter) AS gs
+  FROM counters GROUP BY grp, g),
+med AS (
+  SELECT grp, list_sort(list(gs))[{mid}] / {float(AMS_GROUP_SIZE)!r} AS est_f2
+  FROM groups GROUP BY grp),
+exact AS (
+  SELECT grp, sum(c * c)::BIGINT AS exact_f2, sum(c)::BIGINT AS n_total,
+         count(*)::BIGINT AS exact_distinct
+  FROM (SELECT event_type AS grp, count(*) AS c FROM events
+        GROUP BY event_type, user_id)
+  GROUP BY grp)
+SELECT e.grp, n_total, exact_distinct, exact_f2,
+       round(est_f2, 6) AS est_f2,
+       round(abs(est_f2 - exact_f2) / exact_f2, 6) AS rel_err,
+       round(exact_f2 * exact_distinct / (n_total::DOUBLE * n_total), 6)
+         AS skew_ratio
+FROM exact e JOIN med m ON e.grp = m.grp
+ORDER BY e.grp
+""".strip()

@@ -565,6 +565,21 @@ def build() -> dict[str, Entry]:
         quantiles.hist_by_group_merge,
         quantiles.hist_by_group_merge_oracle(),
     )
+    # AMS tug-of-war sketch (5th member): F2 / self-join-size / skew mass
+    # from AMS_COUNTERS integer sums of portable-hash signs -- the counter
+    # vector, the median-of-means estimate read from it (gated against the
+    # exact second moment with rel_err and the skew diagnostic), and the
+    # element-wise-addition shard merge
+    from .operators import ams
+    reg["sketch_ams_counters"] = (ams.ams_counters, ams.ams_counters_oracle())
+    reg["sketch_ams_f2"] = (ams.ams_f2, ams.ams_f2_oracle())
+    reg["sketch_ams_merge_shards"] = (
+        ams.ams_merge_shards,
+        ams.ams_merge_shards_oracle(),
+    )
+    # ... and its per-GROUP form (per-event_type F2 / skew monitor),
+    # completing the per-group matrix for the fifth member
+    reg["sketch_ams_by_group"] = (ams.ams_by_group, ams.ams_by_group_oracle())
     # the sketch driving the engine's own layout planning: range-partition
     # boundaries interpolated from the cumulative histogram (the
     # deterministic twin of repartitionByRange's sampling), balance audited
@@ -968,6 +983,14 @@ def build() -> dict[str, Entry]:
     reg["stream_hist_ingest_drained"] = (
         w.hist_ingest_drained,
         quantiles.hist_sketch_oracle(),
+    )
+    # ... and the AMS counter vector (pure sum aggregation): the
+    # join-size/skew planning statistic maintained continuously, drained
+    # state under the batch sketch's oracle verbatim
+    from .operators import ams as _ams
+    reg["stream_ams_ingest_drained"] = (
+        w.ams_ingest_drained,
+        _ams.ams_counters_oracle(),
     )
     # KMV is NOT a pure aggregation (bottom-k has no built-in streaming
     # agg): applyInPandasWithState holds each shard's k smallest hashes

@@ -760,6 +760,25 @@ def hist_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("bin")
 
 
+def ams_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ams import _counter_cells
+
+    ev = events_stream(spark, sf_dir)
+    cells = ev.select(_counter_cells(F.col("user_id"))).select("c.j", "c.s")
+    return cells.groupBy("j").agg(F.sum("s").alias("counter"))
+
+
+@memoize_drain
+def ams_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming AMS counter vector == the batch vector (same
+    oracle as sketch_ams_counters): each counter is a plain sum of
+    hash-derived signs, a pure aggregation, so the join-size/skew
+    statistic stays current as events ingest with AMS_COUNTERS BIGINTs of
+    state no matter how long the stream runs."""
+    res = run_stream_once(ams_ingest_stream(spark, sf_dir), "t_gate_ams_ingest")
+    return res.orderBy("j")
+
+
 # --------------------------------------------------------------------------
 # Multiplexed streaming source: N topic directories unioned into ONE
 # streaming query with a lineage column -- the multi-topic ingestion shape
