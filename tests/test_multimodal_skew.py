@@ -71,3 +71,22 @@ def test_salt_spreads_keys(spark, sf_dir):
         .select("salt").distinct().count()
     )
     assert n == NUM_SALTS
+
+def test_skew_salt_auto_decision_sound(spark, sf_dir):
+    """Sketch-derived salt decision: the CM bound never under-estimates
+    the heaviest key (so the salt never under-provisions), the chosen S is
+    in [1, MAX_SALTS], the salted two-stage checksum equals the direct
+    aggregation exactly, and regrouping loses no rows."""
+    from vector_db_from_scratch_spark.operators import skew
+
+    r = skew.skew_salt_auto(spark, sf_dir).collect()[0]
+    assert r["est_never_under"]
+    assert r["est_max"] >= r["max_count"]
+    assert 1 <= r["salt_s"] <= skew.MAX_SALTS
+    assert r["checksum_diff"] == 0
+    assert r["regroup_diff"] == 0
+    assert r["max_partial"] <= r["max_count"]
+    # the decision is self-consistent: S chosen = clamp(ceil(est_max/target))
+    import math
+    expect = min(max(math.ceil(r["est_max"] / r["target"]), 1), skew.MAX_SALTS)
+    assert r["salt_s"] == expect

@@ -480,6 +480,11 @@ def build() -> dict[str, Entry]:
     )
     reg["skew_salted_agg"] = (skew.salted_event_totals, skew.salted_event_totals_oracle())
     reg["skew_salted_join"] = (skew.salted_weighted_join, skew.salted_weighted_join_oracle())
+    # the sketch toolkit driving the engine's own skew decision: salt
+    # factor derived from CM (heaviest-key bound) + KMV (distinct) inside
+    # the lazy plan, salted two-stage agg executed WITH that S, checksum
+    # vs the direct agg and the decision itself under the hash gate
+    reg["skew_salt_auto"] = (skew.skew_salt_auto, skew.skew_salt_auto_oracle())
 
     # --- Bloom-filter join pruning (explicit runtime-filter / DPP form) ---
     from .operators import bloom
