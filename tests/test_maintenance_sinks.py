@@ -131,3 +131,28 @@ def test_schema_evolution_merged_read(spark, sf_dir):
     assert merged.filter(
         (F.col("gen") == "v2") & F.col("n_chars").isNull()
     ).count() == 0
+
+
+def test_column_stats_analyze_surface(spark, sf_dir):
+    """ANALYZE stats: one row per declared column, key-column NDV equals
+    the row count (o_orderkey is unique), typed min/max populated by
+    kind, and the KMV NDV estimate is exact below the sketch's k."""
+    from vector_db_from_scratch_spark.operators import maintenance
+    from vector_db_from_scratch_spark.operators.kmv import K_MIN
+
+    rows = {r["col"]: r for r in maintenance.column_stats(spark, sf_dir).collect()}
+    assert set(rows) == {c for c, _ in maintenance.STATS_COLUMNS}
+    ok = rows["o_orderkey"]
+    assert ok["ndv_exact"] == ok["n_rows"] and ok["n_null"] == 0
+    for col, kind in maintenance.STATS_COLUMNS:
+        r = rows[col]
+        assert r["n_rows"] == ok["n_rows"]
+        if kind in ("key", "num"):
+            assert r["min_num"] is not None and r["min_num"] <= r["max_num"]
+            assert r["min_str"] is None
+        else:
+            assert r["min_str"] is not None and r["min_str"] <= r["max_str"]
+            assert r["min_num"] is None
+        if r["ndv_exact"] < K_MIN:
+            assert r["ndv_est"] == float(r["ndv_exact"])
+        assert r["ndv_est"] > 0

@@ -147,3 +147,160 @@ FROM ranged
 GROUP BY range_id
 ORDER BY range_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style statistics collection: the per-column stats table a
+# cost-based optimizer reads (row count, null count, NDV, min/max).
+# --------------------------------------------------------------------------
+
+# per-column portable canonical form: (column, kind) where kind picks the
+# hash/display rendering that is bit-identical across engines
+#   key  -- integer: cast to string
+#   num  -- double with <= 6dp: micro-unit integer canonical
+#   str  -- ASCII varchar: identity (binary collation in both engines)
+#   ts   -- timestamp: explicit second-precision format (never raw cast,
+#           whose fraction-trimming is engine-specific)
+STATS_COLUMNS = [
+    ("o_orderkey", "key"),
+    ("o_custkey", "key"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE orders: one stats row per column -- (col, n_rows,
+    n_null, ndv_exact, ndv_est, ndv_rel_err, min_num, max_num, min_str,
+    max_str) -- the statistics surface a cost-based optimizer consumes
+    (join reordering, broadcast thresholds, selectivity). NDV comes from
+    the KMV bottom-k sketch on the portable hash, so the ESTIMATE itself
+    is hash-gated next to the exact count it approximates; numeric
+    columns report min/max as rounded doubles, string/timestamp columns
+    as portable strings. Per-column subtrees here share one cached scan;
+    a production ANALYZE fuses all columns into a single pass of partial
+    aggregates -- the per-column KMV bottom-k is the only piece needing
+    its own (distinct-hash) shuffle, bounded at k rows per column."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import hash60
+    from ..sources.tables import load_table
+    from .kmv import HASH_SPACE, K_MIN
+    from .relational import MICRO
+
+    orders = load_table(spark, sf_dir, "orders")
+    parts = []
+    for col, kind in STATS_COLUMNS:
+        v = F.col(col)
+        if kind == "key":
+            canon = v.cast("string")
+            min_num, max_num = F.round(F.min(v).cast("double"), 6), F.round(
+                F.max(v).cast("double"), 6
+            )
+            min_str = F.lit(None).cast("string")
+            max_str = F.lit(None).cast("string")
+        elif kind == "num":
+            canon = F.round(v * F.lit(float(MICRO)), 0).cast("long").cast("string")
+            min_num, max_num = F.round(F.min(v), 6), F.round(F.max(v), 6)
+            min_str = F.lit(None).cast("string")
+            max_str = F.lit(None).cast("string")
+        elif kind == "ts":
+            canon = F.date_format(v, "yyyy-MM-dd HH:mm:ss")
+            min_num = F.lit(None).cast("double")
+            max_num = F.lit(None).cast("double")
+            min_str = F.min(F.date_format(v, "yyyy-MM-dd HH:mm:ss"))
+            max_str = F.max(F.date_format(v, "yyyy-MM-dd HH:mm:ss"))
+        else:
+            canon = v
+            min_num = F.lit(None).cast("double")
+            max_num = F.lit(None).cast("double")
+            min_str, max_str = F.min(v), F.max(v)
+        base = orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_null"),
+            F.count_distinct(v).alias("ndv_exact"),
+            min_num.alias("min_num"),
+            max_num.alias("max_num"),
+            min_str.alias("min_str"),
+            max_str.alias("max_str"),
+        )
+        kmv = (
+            orders.filter(v.isNotNull())
+            .select(hash60(canon).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(K_MIN)
+            .agg(F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min"))
+        )
+        est = F.when(F.col("k") < K_MIN, F.col("k").cast("double")).otherwise(
+            (F.col("k") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min")
+        )
+        parts.append(
+            base.crossJoin(F.broadcast(kmv)).select(
+                F.lit(col).alias("col"),
+                "n_rows",
+                "n_null",
+                "ndv_exact",
+                F.round(est, 6).alias("ndv_est"),
+                F.round(F.abs(est - F.col("ndv_exact")) / F.col("ndv_exact"), 6).alias(
+                    "ndv_rel_err"
+                ),
+                "min_num",
+                "max_num",
+                "min_str",
+                "max_str",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")
+
+
+def column_stats_oracle() -> str:
+    from ..functions.hashing import hash60_sql
+    from .kmv import HASH_SPACE, K_MIN
+    from .relational import MICRO
+
+    blocks = []
+    for col, kind in STATS_COLUMNS:
+        if kind == "key":
+            canon = f"{col}::VARCHAR"
+            mm = (f"round(min({col})::DOUBLE, 6) AS min_num, "
+                  f"round(max({col})::DOUBLE, 6) AS max_num, "
+                  "NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str")
+        elif kind == "num":
+            canon = f"round({col} * {float(MICRO)!r}, 0)::BIGINT::VARCHAR"
+            mm = (f"round(min({col}), 6) AS min_num, "
+                  f"round(max({col}), 6) AS max_num, "
+                  "NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str")
+        elif kind == "ts":
+            canon = f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
+            mm = ("NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, "
+                  f"min(strftime({col}, '%Y-%m-%d %H:%M:%S')) AS min_str, "
+                  f"max(strftime({col}, '%Y-%m-%d %H:%M:%S')) AS max_str")
+        else:
+            canon = col
+            mm = ("NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, "
+                  f"min({col}) AS min_str, max({col}) AS max_str")
+        h = hash60_sql(canon)
+        est = (
+            f"CASE WHEN k < {K_MIN} THEN k::DOUBLE "
+            f"ELSE (k - 1) * {HASH_SPACE!r} / kth_min END"
+        )
+        blocks.append(f"""
+SELECT '{col}' AS col, n_rows, n_null, ndv_exact,
+       round({est}, 6) AS ndv_est,
+       round(abs(({est}) - ndv_exact) / ndv_exact, 6) AS ndv_rel_err,
+       min_num, max_num, min_str, max_str
+FROM (SELECT count(*) AS n_rows,
+             sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+             count(DISTINCT {col}) AS ndv_exact, {mm}
+      FROM orders),
+     (SELECT count(*) AS k, max(h) AS kth_min
+      FROM (SELECT DISTINCT {h} AS h FROM orders WHERE {col} IS NOT NULL
+            ORDER BY h LIMIT {K_MIN}))""".strip())
+    body = "\nUNION ALL\n".join(blocks)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY col"

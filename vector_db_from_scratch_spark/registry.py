@@ -353,6 +353,12 @@ def build() -> dict[str, Entry]:
         maintenance.range_partition_report,
         maintenance.range_partition_report_oracle(),
     )
+    # ANALYZE-style per-column statistics (row/null counts, exact + KMV
+    # NDV, typed min/max) -- the stats table a cost-based optimizer reads
+    reg["maintenance_column_stats"] = (
+        maintenance.column_stats,
+        maintenance.column_stats_oracle(),
+    )
 
     # single-pass vector aggregate: quantize-to-6dp + exact decimal sums
     # make the centroid hash-checkable (unlike the iterative kmeans below)
