@@ -156,3 +156,17 @@ def test_column_stats_analyze_surface(spark, sf_dir):
         if r["ndv_exact"] < K_MIN:
             assert r["ndv_est"] == float(r["ndv_exact"])
         assert r["ndv_est"] > 0
+
+
+def test_column_stats_merge_is_lossless(spark, sf_dir):
+    """Partition stats folded to table stats must equal a direct ANALYZE:
+    counts, bounds, and the merged KMV NDV estimate all match (bottom-k of
+    the union of per-partition bottom-ks IS the global bottom-k)."""
+    from vector_db_from_scratch_spark.operators import maintenance
+
+    rows = maintenance.column_stats_merge(spark, sf_dir).collect()
+    assert len(rows) == len(maintenance.STATS_MERGE_COLUMNS)
+    for r in rows:
+        assert r["counts_match"] and r["bounds_match"] and r["ndv_match"], r
+        assert r["m_n_rows"] == r["w_n_rows"]
+        assert r["m_ndv_est"] == r["w_ndv_est"]

@@ -171,6 +171,34 @@ STATS_COLUMNS = [
 ]
 
 
+def _canon_expr(col: str, kind: str):
+    """The portable string rendering hashed for NDV (see STATS_COLUMNS)."""
+    from pyspark.sql import functions as F
+
+    from .relational import MICRO
+
+    v = F.col(col)
+    if kind == "key":
+        return v.cast("string")
+    if kind == "num":
+        return F.round(v * F.lit(float(MICRO)), 0).cast("long").cast("string")
+    if kind == "ts":
+        return F.date_format(v, "yyyy-MM-dd HH:mm:ss")
+    return v
+
+
+def _canon_sql(col: str, kind: str) -> str:
+    from .relational import MICRO
+
+    if kind == "key":
+        return f"{col}::VARCHAR"
+    if kind == "num":
+        return f"round({col} * {float(MICRO)!r}, 0)::BIGINT::VARCHAR"
+    if kind == "ts":
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
+    return col
+
+
 def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE orders: one stats row per column -- (col, n_rows,
     n_null, ndv_exact, ndv_est, ndv_rel_err, min_num, max_num, min_str,
@@ -194,26 +222,23 @@ def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for col, kind in STATS_COLUMNS:
         v = F.col(col)
+        canon = _canon_expr(col, kind)
         if kind == "key":
-            canon = v.cast("string")
             min_num, max_num = F.round(F.min(v).cast("double"), 6), F.round(
                 F.max(v).cast("double"), 6
             )
             min_str = F.lit(None).cast("string")
             max_str = F.lit(None).cast("string")
         elif kind == "num":
-            canon = F.round(v * F.lit(float(MICRO)), 0).cast("long").cast("string")
             min_num, max_num = F.round(F.min(v), 6), F.round(F.max(v), 6)
             min_str = F.lit(None).cast("string")
             max_str = F.lit(None).cast("string")
         elif kind == "ts":
-            canon = F.date_format(v, "yyyy-MM-dd HH:mm:ss")
             min_num = F.lit(None).cast("double")
             max_num = F.lit(None).cast("double")
             min_str = F.min(F.date_format(v, "yyyy-MM-dd HH:mm:ss"))
             max_str = F.max(F.date_format(v, "yyyy-MM-dd HH:mm:ss"))
         else:
-            canon = v
             min_num = F.lit(None).cast("double")
             max_num = F.lit(None).cast("double")
             min_str, max_str = F.min(v), F.max(v)
@@ -266,23 +291,20 @@ def column_stats_oracle() -> str:
 
     blocks = []
     for col, kind in STATS_COLUMNS:
+        canon = _canon_sql(col, kind)
         if kind == "key":
-            canon = f"{col}::VARCHAR"
             mm = (f"round(min({col})::DOUBLE, 6) AS min_num, "
                   f"round(max({col})::DOUBLE, 6) AS max_num, "
                   "NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str")
         elif kind == "num":
-            canon = f"round({col} * {float(MICRO)!r}, 0)::BIGINT::VARCHAR"
             mm = (f"round(min({col}), 6) AS min_num, "
                   f"round(max({col}), 6) AS max_num, "
                   "NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str")
         elif kind == "ts":
-            canon = f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
             mm = ("NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, "
                   f"min(strftime({col}, '%Y-%m-%d %H:%M:%S')) AS min_str, "
                   f"max(strftime({col}, '%Y-%m-%d %H:%M:%S')) AS max_str")
         else:
-            canon = col
             mm = ("NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, "
                   f"min({col}) AS min_str, max({col}) AS max_str")
         h = hash60_sql(canon)
@@ -302,5 +324,175 @@ FROM (SELECT count(*) AS n_rows,
      (SELECT count(*) AS k, max(h) AS kth_min
       FROM (SELECT DISTINCT {h} AS h FROM orders WHERE {col} IS NOT NULL
             ORDER BY h LIMIT {K_MIN}))""".strip())
+    body = "\nUNION ALL\n".join(blocks)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY col"
+
+
+# partition-stat rollup gate: representative column of each kind (keeps
+# the per-(partition, column) job count bounded at gate scale)
+STATS_MERGE_COLUMNS = [
+    ("o_custkey", "key"),
+    ("o_totalprice", "num"),
+    ("o_orderpriority", "str"),
+]
+STATS_N_PARTS = 2  # orders split by o_orderkey parity
+
+
+def column_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE rollup protocol under the gate: per-partition column
+    stats (orders split by o_orderkey % STATS_N_PARTS) merged WITHOUT
+    rescanning -- counts add, min/max combine by least/greatest, and the
+    KMV NDV sketch merges by k-smallest-of-union of the partitions'
+    bottom-k hash sets (exact: the global bottom-k lives inside the union
+    of per-partition bottom-ks). Emits per column the merged stats
+    full-joined with the whole-table stats and gated equality columns --
+    every *_match must be true. This is how table-level statistics stay
+    current at 100 TB: each partition maintains its own stats row + k-row
+    sketch, and ANALYZE is a metadata fold, not a scan."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import hash60
+    from ..sources.tables import load_table
+    from .kmv import HASH_SPACE, K_MIN
+
+    orders = load_table(spark, sf_dir, "orders")
+    est = F.when(F.col("k") < K_MIN, F.col("k").cast("double")).otherwise(
+        (F.col("k") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min")
+    )
+    out = None
+    for col, kind in STATS_MERGE_COLUMNS:
+        v = F.col(col)
+        canon = _canon_expr(col, kind)
+        if kind in ("key", "num"):
+            mn = F.round(F.min(v).cast("double"), 6)
+            mx = F.round(F.max(v).cast("double"), 6)
+        else:
+            mn, mx = F.min(v), F.max(v)
+
+        def base_stats(df):
+            return df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_null"),
+                mn.alias("mn"),
+                mx.alias("mx"),
+            )
+
+        def bottom_k(df):
+            return (
+                df.filter(v.isNotNull())
+                .select(hash60(canon).alias("h"))
+                .distinct()
+                .orderBy("h")
+                .limit(K_MIN)
+            )
+
+        parts_stats = []
+        parts_hashes = []
+        for p in range(STATS_N_PARTS):
+            slice_ = orders.filter(F.col("o_orderkey") % STATS_N_PARTS == p)
+            parts_stats.append(base_stats(slice_))
+            parts_hashes.append(bottom_k(slice_))
+        # metadata fold: counts add, bounds combine, sketches re-bottom-k
+        stacked = parts_stats[0]
+        for p in parts_stats[1:]:
+            stacked = stacked.unionByName(p)
+        merged_stats = stacked.agg(
+            F.sum("n_rows").alias("m_n_rows"),
+            F.sum("n_null").alias("m_n_null"),
+            F.min("mn").alias("m_mn"),
+            F.max("mx").alias("m_mx"),
+        )
+        union_hashes = parts_hashes[0]
+        for h in parts_hashes[1:]:
+            union_hashes = union_hashes.unionByName(h)
+        merged_kmv = (
+            union_hashes.distinct()
+            .orderBy("h")
+            .limit(K_MIN)
+            .agg(F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min"))
+            .select(F.round(est, 6).alias("m_ndv_est"))
+        )
+        whole_stats = base_stats(orders).select(
+            F.col("n_rows").alias("w_n_rows"),
+            F.col("n_null").alias("w_n_null"),
+            F.col("mn").alias("w_mn"),
+            F.col("mx").alias("w_mx"),
+        )
+        whole_kmv = (
+            bottom_k(orders)
+            .agg(F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min"))
+            .select(F.round(est, 6).alias("w_ndv_est"))
+        )
+        row = (
+            merged_stats.crossJoin(F.broadcast(merged_kmv))
+            .crossJoin(F.broadcast(whole_stats))
+            .crossJoin(F.broadcast(whole_kmv))
+            .select(
+                F.lit(col).alias("col"),
+                "m_n_rows",
+                "w_n_rows",
+                "m_ndv_est",
+                "w_ndv_est",
+                ((F.col("m_n_rows") == F.col("w_n_rows"))
+                 & (F.col("m_n_null") == F.col("w_n_null"))).alias("counts_match"),
+                (F.col("m_mn").eqNullSafe(F.col("w_mn"))
+                 & F.col("m_mx").eqNullSafe(F.col("w_mx"))).alias("bounds_match"),
+                (F.col("m_ndv_est") == F.col("w_ndv_est")).alias("ndv_match"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("col")
+
+
+def column_stats_merge_oracle() -> str:
+    from ..functions.hashing import hash60_sql
+    from .kmv import HASH_SPACE, K_MIN
+
+    blocks = []
+    est = (
+        f"CASE WHEN k < {K_MIN} THEN k::DOUBLE "
+        f"ELSE (k - 1) * {HASH_SPACE!r} / kth_min END"
+    )
+    for col, kind in STATS_MERGE_COLUMNS:
+        canon = _canon_sql(col, kind)
+        h = hash60_sql(canon)
+        if kind in ("key", "num"):
+            mn, mx = (
+                f"round(min({col})::DOUBLE, 6)",
+                f"round(max({col})::DOUBLE, 6)",
+            )
+        else:
+            mn, mx = f"min({col})", f"max({col})"
+        part_stats = " UNION ALL ".join(
+            f"(SELECT count(*) AS n_rows, "
+            f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null, "
+            f"{mn} AS mn, {mx} AS mx FROM orders WHERE o_orderkey % {STATS_N_PARTS} = {p})"
+            for p in range(STATS_N_PARTS)
+        )
+        part_hashes = " UNION ".join(
+            f"(SELECT h FROM (SELECT DISTINCT {h} AS h FROM orders "
+            f"WHERE o_orderkey % {STATS_N_PARTS} = {p} AND {col} IS NOT NULL "
+            f"ORDER BY h LIMIT {K_MIN}))"
+            for p in range(STATS_N_PARTS)
+        )
+        blocks.append(f"""
+SELECT '{col}' AS col, m.m_n_rows, w0.w_n_rows, m2.m_ndv_est, w2.w_ndv_est,
+       (m.m_n_rows = w0.w_n_rows AND m.m_n_null = w0.w_n_null) AS counts_match,
+       (m.m_mn IS NOT DISTINCT FROM w0.w_mn
+        AND m.m_mx IS NOT DISTINCT FROM w0.w_mx) AS bounds_match,
+       (m2.m_ndv_est = w2.w_ndv_est) AS ndv_match
+FROM (SELECT sum(n_rows)::BIGINT AS m_n_rows, sum(n_null)::BIGINT AS m_n_null,
+             min(mn) AS m_mn, max(mx) AS m_mx
+      FROM ({part_stats})) m,
+     (SELECT round({est}, 6) AS m_ndv_est
+      FROM (SELECT count(*) AS k, max(h) AS kth_min
+            FROM (SELECT DISTINCT h FROM ({part_hashes}) ORDER BY h LIMIT {K_MIN}))) m2,
+     (SELECT count(*) AS w_n_rows,
+             sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS w_n_null,
+             {mn} AS w_mn, {mx} AS w_mx FROM orders) w0,
+     (SELECT round({est}, 6) AS w_ndv_est
+      FROM (SELECT count(*) AS k, max(h) AS kth_min
+            FROM (SELECT DISTINCT {h} AS h FROM orders WHERE {col} IS NOT NULL
+                  ORDER BY h LIMIT {K_MIN}))) w2""".strip())
     body = "\nUNION ALL\n".join(blocks)
     return f"SELECT * FROM (\n{body}\n) ORDER BY col"

@@ -359,6 +359,13 @@ def build() -> dict[str, Entry]:
         maintenance.column_stats,
         maintenance.column_stats_oracle(),
     )
+    # ... and the partition-stats ROLLUP protocol: per-partition stats
+    # rows + k-row KMV sketches fold to the table-level stats without a
+    # rescan (counts add, bounds least/greatest, NDV k-smallest-of-union)
+    reg["maintenance_column_stats_merge"] = (
+        maintenance.column_stats_merge,
+        maintenance.column_stats_merge_oracle(),
+    )
 
     # single-pass vector aggregate: quantize-to-6dp + exact decimal sums
     # make the centroid hash-checkable (unlike the iterative kmeans below)
