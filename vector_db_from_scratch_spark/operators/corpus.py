@@ -608,3 +608,81 @@ SELECT lang, n_docs, tokens, w_micro,
 FROM w, tot
 ORDER BY lang
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Deterministic WEIGHTED per-group sampling: K documents per language,
+# chosen by priority = hash(doc_id) / weight -- heavier documents draw
+# proportionally smaller priorities, so inclusion odds grow with weight
+# while the draw stays a pure function of (doc_id, weight). This is the
+# transcendental-free cousin of A-ES weighted reservoir sampling
+# (Efraimidis & Spirakis 2006 use u^(1/w); ranking by u/w keeps the same
+# weight monotonicity but needs only one IEEE double division, which is
+# correctly rounded and therefore bit-identical across engines -- no
+# ln/pow portability budget).
+#
+# Scale: priority is computable per row at scan time with zero shuffles;
+# per-group top-K by (priority, id) is a mergeable aggregation (partial
+# top-K per partition, then top-K of the union), so at 100 TB this is a
+# TakeOrdered-shaped pass, never a global sort. The window form below is
+# the small-SF gate shape; the hash-range pre-filter documented on
+# corpus_group_sample applies verbatim (priority <= ~K/|group| quantile
+# bound prunes before ranking).
+# --------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 4
+
+
+def corpus_weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = WEIGHTED_SAMPLE_K
+) -> DataFrame:
+    """(lang, rank, doc_id, weight, priority): the K per-language documents
+    with the smallest hash/weight priority; weight = n_chars (document
+    length as the mixing weight -- longer docs carry more tokens)."""
+    from pyspark.sql import Window
+    from ..functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    # u in [0, 1): the hash mapped into the unit interval BEFORE dividing
+    # by the weight -- keeps priority at <=1 magnitude where the round-6dp
+    # display contract is portable (at 1e13 magnitude Spark's BigDecimal
+    # HALF_UP and DuckDB's multiply-round-divide disagree in the last ulp)
+    u = hash60(F.col("doc_id").cast("string")).cast("double") / F.lit(float(1 << 60))
+    priority = u / weight.cast("double")
+    w = Window.partitionBy("lang").orderBy(priority, "doc_id")
+    return (
+        docs.withColumn("weight", weight)
+        .withColumn("priority", priority)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "lang",
+            "rank",
+            "doc_id",
+            "weight",
+            (F.round("priority", 6) + F.lit(0.0)).alias("priority"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+def corpus_weighted_sample_oracle(k: int = WEIGHTED_SAMPLE_K) -> str:
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql("doc_id::VARCHAR")
+    return f"""
+WITH scored AS (
+  SELECT lang, doc_id, greatest(n_chars, 1)::BIGINT AS weight,
+         ({h}::DOUBLE / {float(1 << 60)!r}) / greatest(n_chars, 1)::DOUBLE AS priority
+  FROM documents),
+ranked AS (
+  SELECT lang, doc_id, weight, priority,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY priority, doc_id) AS rank
+  FROM scored)
+SELECT lang, rank::BIGINT AS rank, doc_id, weight,
+       (round(priority, 6) + 0.0) AS priority
+FROM ranked WHERE rank <= {k}
+ORDER BY lang, rank
+""".strip()

@@ -700,6 +700,12 @@ def build() -> dict[str, Entry]:
         corpus.corpus_group_sample,
         corpus.corpus_group_sample_oracle(),
     )
+    # deterministic WEIGHTED per-group sample (A-ES analog, hash/weight
+    # priority -- one IEEE division, no transcendental portability budget)
+    reg["pipeline_weighted_sample"] = (
+        corpus.corpus_weighted_sample,
+        corpus.corpus_weighted_sample_oracle(),
+    )
     # flagship Jaccard near-dup is the df-CAPPED form (candidates from rare
     # shingles only, exact verify over full sets) -- the uncapped self-join
     # (`ngram_jaccard_pairs`) survives as a test-only recall cross-check,
