@@ -170,3 +170,41 @@ def test_column_stats_merge_is_lossless(spark, sf_dir):
         assert r["counts_match"] and r["bounds_match"] and r["ndv_match"], r
         assert r["m_n_rows"] == r["w_n_rows"]
         assert r["m_ndv_est"] == r["w_ndv_est"]
+
+
+def test_zorder_pruned_scan_plan_prunes_and_interleave_sound(spark, sf_dir):
+    """sink_zorder_pruned: the static partition IN-list must resolve to
+    directory pruning; morton2 must be a bijection on the cell grid whose
+    prefix squares are axis-aligned; and every returned cell must lie
+    inside the gated bucket-space box with its partition id equal to its
+    cell's high bits."""
+    from vector_db_from_scratch_spark.operators import zorder
+    from vector_db_from_scratch_spark.plans import plan_string
+
+    # curve properties (pure Python): bijective on the 2^ZBITS square, and
+    # each ZPART_SHIFT-prefix covers a contiguous 2x2 bucket square
+    cells = {
+        zorder.morton2(bx, by): (bx, by)
+        for bx in range(zorder.ZSIDE)
+        for by in range(zorder.ZSIDE)
+    }
+    assert len(cells) == zorder.ZSIDE * zorder.ZSIDE
+    for part in range(zorder.ZSIDE * zorder.ZSIDE >> zorder.ZPART_SHIFT):
+        sq = [cells[z] for z in range(part << zorder.ZPART_SHIFT,
+                                      (part + 1) << zorder.ZPART_SHIFT)]
+        xs = {bx for bx, _ in sq}
+        ys = {by for _, by in sq}
+        assert len(xs) == 2 and len(ys) == 2  # an aligned 2x2 square
+        assert max(xs) - min(xs) == 1 and max(ys) - min(ys) == 1
+
+    res = zorder.zorder_pruned_scan(spark, sf_dir)
+    plan = plan_string(res)
+    assert "PartitionFilters" in plan and "zpart" in plan
+    rows = res.collect()
+    assert rows, "box must be non-empty at every SF"
+    for r in rows:
+        assert r["zpart"] in zorder.box_partitions()
+        assert r["zpart"] == r["zcell"] >> zorder.ZPART_SHIFT
+        bx, by = cells[r["zcell"]]
+        assert zorder.BOX_BX[0] <= bx <= zorder.BOX_BX[1]
+        assert zorder.BOX_BY[0] <= by <= zorder.BOX_BY[1]

@@ -70,6 +70,7 @@ def build_specs() -> list[tuple[str, Callable[[SparkSession, str], object]]]:
         # --- round-9 layout/training artifacts
         ("quantile_grid", _quantile_grid_build),
         ("range_layout_dir", _range_layout_build),
+        ("zorder_layout_dir", _zorder_layout_build),
         ("bucketed_join_pair", _bucketed_pair_build),
         ("kmeans_iter2_assignment", _iter2_assignment_build),
         ("bpe_trained_vocab", _bpe_vocab_build),
@@ -101,6 +102,12 @@ def _range_layout_build(s: SparkSession, d: str) -> None:
     from .operators import quantiles
 
     quantiles.orders_range_layout_dir(s, d)
+
+
+def _zorder_layout_build(s: SparkSession, d: str) -> None:
+    from .operators import zorder
+
+    zorder.orders_zorder_layout_dir(s, d)
 
 
 def _bucketed_pair_build(s: SparkSession, d: str) -> None:

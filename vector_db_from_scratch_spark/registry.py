@@ -956,6 +956,15 @@ def build() -> dict[str, Entry]:
         quantiles.range_pruned_scan,
         quantiles.range_pruned_scan_oracle(),
     )
+    # 2-D extension of the same layout story: Morton-curve (Z-order) cell
+    # ids over (o_totalprice, o_custkey), written partitioned by the cell
+    # prefix; a bucket-space box query prunes to the statically-enumerable
+    # covered directories and the oracle recomputes grid + interleave
+    from .operators import zorder
+    reg["sink_zorder_pruned"] = (
+        zorder.zorder_pruned_scan,
+        zorder.zorder_pruned_scan_oracle(),
+    )
     # additive schema evolution: mergeSchema read over two shard generations
     from .sources import evolution
     reg["source_schema_evolution"] = (
