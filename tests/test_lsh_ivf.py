@@ -348,3 +348,58 @@ def test_lsh_batch_fallback_matches_single_query_everywhere(spark, sf_dir):
         ]
         got = [v for _, v in sorted(batch.get(qid, []))]
         assert got == single, f"query {qid}: fallback batch must equal per-query path"
+
+
+def test_knn_strategy_auto_branches_match_direct_paths(spark, sf_dir):
+    """The strategy decision must pick each branch for the probe it was
+    designed to exercise (broad filter -> IVF, selective filter -> exact),
+    and the emitted top-k must equal the DIRECT operator for the chosen
+    strategy -- i.e. the flag-guarded union leaks nothing and loses
+    nothing."""
+    from pyspark.sql import functions as F
+    from vector_db_from_scratch_spark.operators import ivf
+    from vector_db_from_scratch_spark.operators.knn import flat_knn
+
+    rows = ivf.knn_strategy_auto(spark, sf_dir).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        by_probe.setdefault(r["probe"], []).append(r)
+    assert set(by_probe) == {1, 2}
+    strategies = {p: rs[0]["strategy"] for p, rs in by_probe.items()}
+    assert strategies[1] == "ivf_postfilter"
+    assert strategies[2] == "prefilter_exact"
+    # decision never contradicts itself within a probe
+    for rs in by_probe.values():
+        assert len({r["strategy"] for r in rs}) == 1
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+    # probe 1 == the direct IVF probe with the same label filter
+    direct_ivf = [
+        r["vec_id"]
+        for r in ivf.ivf_knn(
+            spark, sf_dir, "cosine", k=ivf.STRAT_K, query_vec_id=0,
+            label_filter=ivf.STRAT_LABEL,
+        ).collect()
+    ]
+    assert [r["vec_id"] for r in sorted(by_probe[1], key=lambda r: r["rank"])] == direct_ivf
+    # probe 2 == the exact flat scan over the doubly-filtered candidates
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    from vector_db_from_scratch_spark.functions.vector import distance_expr
+
+    direct_exact = [
+        r["vec_id"]
+        for r in (
+            emb.filter(
+                (F.col("label") == ivf.STRAT_LABEL)
+                & (F.col("vec_id") < ivf.STRAT_VEC_BOUND)
+            )
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                distance_expr("cosine", F.col("embedding"), F.col("q")).alias("d"),
+            )
+            .orderBy("d", "vec_id")
+            .limit(ivf.STRAT_K)
+        ).collect()
+    ]
+    assert [r["vec_id"] for r in sorted(by_probe[2], key=lambda r: r["rank"])] == direct_exact

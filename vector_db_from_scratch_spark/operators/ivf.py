@@ -1461,3 +1461,253 @@ def append_delta_to_index(
     is_delta = (F.col("vec_id") % delta_mod) == delta_bucket
     assigned.filter(~is_delta).write.mode("overwrite").partitionBy("cell").parquet(path)
     assigned.filter(is_delta).write.mode("append").partitionBy("cell").parquet(path)
+
+
+# --------------------------------------------------------------------------
+# Stats-driven FILTERED-ANN strategy decision: pre-filter exact scan vs
+# IVF probe. The question every filtered vector search answers per query
+# (Qdrant/Milvus/Vespa all special-case it): if the metadata filter is
+# SELECTIVE, scan the few matching rows exactly -- an index probe would
+# read more data than the filter leaves; if the filter is BROAD, probe the
+# index and filter the candidate pool. The decision inputs come from the
+# engine's own statistics surface, never a counting pass over the data:
+#
+#   ndv_est   -- KMV bottom-k NDV of `label` (operators/kmv.py discipline;
+#                exact when ndv < K_MIN, as here)
+#   sel_range -- min/max uniform interpolation for the vec_id range
+#                predicate (the textbook no-histogram Selinger fallback;
+#                at 100 TB both inputs are one lookup into the ANALYZE
+#                stats table, operators/maintenance.py)
+#   est_rows  -- independence assumption: n_total * (1/ndv_est) * sel_range
+#   strategy  -- 'prefilter_exact' iff est_rows <= STRAT_THRESH_FRAC *
+#                n_total, else 'ivf_postfilter'
+#
+# Two probes share one gated plan: probe 1 filters on label only (broad ->
+# IVF at every SF), probe 2 adds the range predicate (selective at the
+# gate SFs -> exact). Execution is branch-free: all four (probe, strategy)
+# subtrees exist in one lazy plan, each guarded by its broadcast 1-row
+# decision flag (the lsh_knn fallback-union shape -- no driver-side
+# branching, no collect), so retries/speculation see one deterministic
+# plan. Gated columns: the decision inputs, the chosen strategy, AND the
+# top-k the chosen branch returned -- a wrong estimate, a flipped
+# threshold, or a branch leaking through a false flag all change rows.
+# --------------------------------------------------------------------------
+
+STRAT_K = 5
+STRAT_THRESH_FRAC = 0.05
+STRAT_LABEL = 3
+STRAT_VEC_BOUND = 100  # probe 2's extra predicate: vec_id < 100
+
+
+def knn_strategy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions.hashing import hash60
+    from .kmv import HASH_SPACE, K_MIN
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    # --- statistics (all bounded: 1-row aggregates + a K_MIN-row sketch)
+    hashes = emb.select(hash60(F.col("label").cast("string")).alias("h")).distinct()
+    kmv = hashes.orderBy("h").limit(K_MIN).agg(
+        F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min")
+    )
+    ndv_est = F.when(F.col("k") < K_MIN, F.col("k").cast("double")).otherwise(
+        (F.col("k") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min")
+    )
+    stats = (
+        kmv.crossJoin(
+            emb.agg(
+                F.count(F.lit(1)).alias("n_total"),
+                F.min("vec_id").alias("lo"),
+                F.max("vec_id").alias("hi"),
+            )
+        ).select("n_total", "lo", "hi", ndv_est.alias("ndv_est"))
+    )
+    probes = spark.createDataFrame(
+        [(1, False), (2, True)], "probe int, with_range boolean"
+    )
+    sel_range = F.when(
+        F.col("with_range"),
+        F.least(
+            F.greatest(
+                (F.lit(STRAT_VEC_BOUND) - F.col("lo")).cast("double")
+                / (F.col("hi") - F.col("lo") + 1).cast("double"),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+    ).otherwise(F.lit(1.0))
+    dec = (
+        probes.crossJoin(F.broadcast(stats))
+        .withColumn("sel_range", sel_range)
+        .withColumn(
+            "est_rows",
+            F.floor(
+                F.col("n_total") / F.col("ndv_est") * F.col("sel_range")
+            ).cast("long"),
+        )
+        .withColumn(
+            "strategy",
+            F.when(
+                F.col("est_rows").cast("double")
+                <= F.lit(STRAT_THRESH_FRAC) * F.col("n_total").cast("double"),
+                F.lit("prefilter_exact"),
+            ).otherwise(F.lit("ivf_postfilter")),
+        )
+    )
+
+    def _filtered(df: DataFrame, with_range: bool) -> DataFrame:
+        out = df.filter(F.col("label") == STRAT_LABEL)
+        return out.filter(F.col("vec_id") < STRAT_VEC_BOUND) if with_range else out
+
+    def _branch(probe: int, with_range: bool, strat: str) -> DataFrame:
+        if strat == "prefilter_exact":
+            cand = _filtered(emb, with_range).select("vec_id", "embedding")
+        else:
+            assigned = _filtered(assign_cells(spark, sf_dir), with_range)
+            cent = _centroids(spark, sf_dir)
+            probe_cells = (
+                cent.crossJoin(F.broadcast(q))
+                .select(
+                    "cell",
+                    distance_expr("euclidean", F.col("cv"), F.col("qv")).alias("qd"),
+                )
+                .orderBy("qd", "cell")
+                .limit(NPROBE)
+                .select("cell")
+            )
+            cand = assigned.join(F.broadcast(probe_cells), "cell").select(
+                "vec_id", "embedding"
+            )
+        topk = (
+            cand.crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                distance_expr("cosine", F.col("embedding"), F.col("qv")).alias(
+                    "distance"
+                ),
+            )
+            .orderBy("distance", "vec_id")
+            .limit(STRAT_K)
+        )
+        flag = dec.filter(F.col("probe") == probe).select(
+            (F.col("strategy") == strat).alias("use")
+        )
+        return (
+            topk.crossJoin(F.broadcast(flag))
+            .filter(F.col("use"))
+            .select(F.lit(probe).alias("probe"), "vec_id", "distance")
+        )
+
+    unioned = (
+        _branch(1, False, "prefilter_exact")
+        .unionAll(_branch(1, False, "ivf_postfilter"))
+        .unionAll(_branch(2, True, "prefilter_exact"))
+        .unionAll(_branch(2, True, "ivf_postfilter"))
+    )
+    w = Window.partitionBy("probe").orderBy("distance", "vec_id")
+    ranked = unioned.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(dec), "probe")
+        .select(
+            "probe",
+            "n_total",
+            (F.round("ndv_est", 6) + F.lit(0.0)).alias("ndv_est"),
+            (F.round("sel_range", 6) + F.lit(0.0)).alias("sel_range"),
+            "est_rows",
+            "strategy",
+            "rank",
+            "vec_id",
+            "distance",
+        )
+        .orderBy("probe", "rank")
+    )
+
+
+def knn_strategy_auto_oracle() -> str:
+    from ..functions.hashing import hash60_sql
+    from .kmv import HASH_SPACE, K_MIN
+
+    h = hash60_sql("label::VARCHAR")
+    d = oracle_distance_sql("cosine", "c.v", "q.qv")
+    eu = oracle_distance_sql("euclidean", "e.v", "ct.cv")
+    equ = oracle_distance_sql("euclidean", "ct.cv", "q.qv")
+    ndv = (
+        f"CASE WHEN k < {K_MIN} THEN k::DOUBLE "
+        f"ELSE (k - 1) * {HASH_SPACE!r} / kth_min END"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+kk AS (SELECT count(*) AS k, max(h) AS kth_min
+       FROM (SELECT h FROM (SELECT DISTINCT {h} AS h FROM embeddings)
+             ORDER BY h LIMIT {K_MIN})),
+stats AS (SELECT n_total, lo, hi, {ndv} AS ndv_est
+          FROM kk, (SELECT count(*) AS n_total, min(vec_id) AS lo,
+                           max(vec_id) AS hi FROM embeddings)),
+probes AS (SELECT * FROM (VALUES (1, false), (2, true)) t(probe, with_range)),
+dec AS (
+  SELECT probe, n_total, ndv_est,
+         CASE WHEN with_range THEN least(greatest(
+                ({STRAT_VEC_BOUND} - lo)::DOUBLE / (hi - lo + 1)::DOUBLE,
+                0.0), 1.0)
+              ELSE 1.0 END AS sel_range,
+         with_range
+  FROM probes, stats),
+dec2 AS (
+  SELECT probe, n_total, ndv_est, sel_range, with_range,
+         floor(n_total / ndv_est * sel_range)::BIGINT AS est_rows
+  FROM dec),
+dec3 AS (
+  SELECT *, CASE WHEN est_rows::DOUBLE <= {STRAT_THRESH_FRAC!r} * n_total::DOUBLE
+                 THEN 'prefilter_exact' ELSE 'ivf_postfilter' END AS strategy
+  FROM dec2),
+cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {NUM_CELLS}),
+assign AS (
+  SELECT vec_id, label, v, cell FROM (
+    SELECT e.vec_id, e.label, e.v, ct.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {eu}, ct.cell) AS rn
+    FROM e, cent ct)
+  WHERE rn = 1),
+probe_cells AS (SELECT cell FROM cent ct, q ORDER BY {equ}, cell LIMIT {NPROBE}),
+branch AS (
+  SELECT 1 AS probe, vec_id, distance FROM (
+    SELECT c.vec_id, {d} AS distance FROM e c, q
+    WHERE c.label = {STRAT_LABEL}
+      AND (SELECT strategy FROM dec3 WHERE probe = 1) = 'prefilter_exact'
+    ORDER BY distance, c.vec_id LIMIT {STRAT_K})
+  UNION ALL
+  SELECT 1 AS probe, vec_id, distance FROM (
+    SELECT c.vec_id, {d} AS distance
+    FROM (SELECT a.vec_id, a.v FROM assign a JOIN probe_cells USING (cell)
+          WHERE a.label = {STRAT_LABEL}) c, q
+    WHERE (SELECT strategy FROM dec3 WHERE probe = 1) = 'ivf_postfilter'
+    ORDER BY distance, c.vec_id LIMIT {STRAT_K})
+  UNION ALL
+  SELECT 2 AS probe, vec_id, distance FROM (
+    SELECT c.vec_id, {d} AS distance FROM e c, q
+    WHERE c.label = {STRAT_LABEL} AND c.vec_id < {STRAT_VEC_BOUND}
+      AND (SELECT strategy FROM dec3 WHERE probe = 2) = 'prefilter_exact'
+    ORDER BY distance, c.vec_id LIMIT {STRAT_K})
+  UNION ALL
+  SELECT 2 AS probe, vec_id, distance FROM (
+    SELECT c.vec_id, {d} AS distance
+    FROM (SELECT a.vec_id, a.v FROM assign a JOIN probe_cells USING (cell)
+          WHERE a.label = {STRAT_LABEL} AND a.vec_id < {STRAT_VEC_BOUND}) c, q
+    WHERE (SELECT strategy FROM dec3 WHERE probe = 2) = 'ivf_postfilter'
+    ORDER BY distance, c.vec_id LIMIT {STRAT_K})),
+ranked AS (
+  SELECT probe, vec_id, distance,
+         row_number() OVER (PARTITION BY probe
+                            ORDER BY distance, vec_id) AS rank
+  FROM branch)
+SELECT r.probe, d3.n_total,
+       (round(d3.ndv_est, 6) + 0.0) AS ndv_est,
+       (round(d3.sel_range, 6) + 0.0) AS sel_range,
+       d3.est_rows, d3.strategy, r.rank, r.vec_id, r.distance
+FROM ranked r JOIN dec3 d3 USING (probe)
+ORDER BY r.probe, r.rank
+""".strip()

@@ -856,6 +856,14 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: ivf.ivf_knn(spark, sf, "cosine", k=5, query_vec_id=0, label_filter=5),
         ivf.ivf_knn_oracle("cosine", k=5, query_vec_id=0, label_filter=5),
     )
+    # stats-driven filtered-ANN strategy: KMV-NDV + min/max-interpolation
+    # selectivity estimate picks pre-filter exact scan vs IVF probe per
+    # query; decision inputs, chosen strategy, and the chosen branch's
+    # top-k all gated (branch-free lazy-plan union, lsh-fallback shape)
+    reg["knn_strategy_auto"] = (
+        ivf.knn_strategy_auto,
+        ivf.knn_strategy_auto_oracle(),
+    )
     # the same persisted lifecycle for the IVF family (cell-partitioned)
     reg["ivf_index_persisted_knn"] = (
         lambda spark, sf: ivf.ivf_index_persisted_knn(spark, sf, "cosine", k=10, query_vec_id=0),
