@@ -89,3 +89,51 @@ def test_batch_knn_fast_matches_expression_path(spark, sf_dir):
         ) == sorted(
             [(r["query_id"], r["rank"], r["vec_id"], r["distance"]) for r in fast]
         ), metric
+
+
+def test_mmr_rerank_greedy_matches_python_and_lambda1_degenerates(spark, sf_dir):
+    """knn_mmr_rerank: (a) lam=1 degenerates to pure relevance order (the
+    un-diversified top-k); (b) at lam=0.7 the selections match a
+    brute-force Python greedy MMR over the same rounded similarities;
+    (c) no duplicate picks."""
+    import numpy as np
+    from vector_db_from_scratch_spark.operators.knn import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_N,
+        knn_mmr_rerank,
+    )
+
+    rows = knn_mmr_rerank(spark, sf_dir).collect()
+    picked = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert len(set(picked)) == len(picked) == MMR_K
+
+    pure = knn_mmr_rerank(spark, sf_dir, lam=1.0).collect()
+    pure_ids = [r["vec_id"] for r in sorted(pure, key=lambda r: r["rank"])]
+
+    emb = {
+        r["vec_id"]: np.asarray([float(x) for x in r["embedding"]], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def sim(u, v):  # 1 - rounded cosine distance (the engines' contract)
+        d = 1.0 - float(u @ v) / (np.sqrt(u @ u) * np.sqrt(v @ v))
+        return 1.0 - np.floor(d * 1e6 + 0.5) / 1e6
+
+    q = emb[0]
+    rel = {i: sim(v, q) for i, v in emb.items() if i != 0}
+    short = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_N]
+    assert pure_ids == short[:MMR_K]
+
+    sel: list[int] = [short[0]]
+    while len(sel) < MMR_K:
+        best = min(
+            (i for i in short if i not in sel),
+            key=lambda i: (
+                -(MMR_LAMBDA * rel[i]
+                  - (1 - MMR_LAMBDA) * max(sim(emb[i], emb[s]) for s in sel)),
+                i,
+            ),
+        )
+        sel.append(best)
+    assert picked == sel

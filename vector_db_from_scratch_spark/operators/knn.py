@@ -516,3 +516,157 @@ SELECT {prefix_dim} AS prefix_dim, {k} AS k, n_matched,
        n_matched::DOUBLE / {float(k)!r} AS recall_at_k
 FROM m
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998) diversity
+# re-ranking -- the standard "don't return five near-duplicates" pass a
+# vector search runs over its shortlist. Greedy: the first pick is the
+# most relevant candidate; each later pick maximizes
+#
+#   score = LAMBDA * rel - (1 - LAMBDA) * max_{s in selected} sim(c, s)
+#
+# with rel = 1 - cosine_distance(q, c) and sim = 1 - cosine_distance(c, s).
+#
+# Portability: distances carry the shared round-6dp contract, so rel/sim
+# are identical doubles in both engines; the score arithmetic is two
+# exact-rounded multiplies and a subtract of identical inputs -> identical
+# scores; ties break on vec_id. The K selection steps compose as ONE lazy
+# plan (the bpe_train_merges / quantized-Lloyd discipline) over the
+# broadcast-sized shortlist, and the oracle unrolls the greedy loop as a
+# CTE chain -- every iteration's winner and score is under the hash gate.
+#
+# Scale: the expensive part (shortlist retrieval) is the existing top-k
+# machinery (TakeOrdered / IVF probe); MMR itself touches N rows and N^2
+# pairs with N fixed by the API (here 12) -- bounded work independent of
+# corpus size, exactly how production rerankers run.
+# --------------------------------------------------------------------------
+
+MMR_N = 12
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def knn_mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = MMR_K,
+    shortlist_n: int = MMR_N,
+    lam: float = MMR_LAMBDA,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """(rank, vec_id, relevance, mmr_score): the K MMR selections over the
+    top-``shortlist_n`` cosine shortlist (query vector itself excluded)."""
+    emb = load_table(spark, sf_dir, EMB).filter(F.col("vec_id") != query_vec_id)
+    q = query_vector_df(spark, sf_dir, query_vec_id)
+    short = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            (
+                F.lit(1.0)
+                - distance_expr("cosine", F.col("embedding"), F.col("q"))
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(shortlist_n)
+        .cache()
+    )
+    a = short.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = short.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                F.lit(1.0) - distance_expr("cosine", F.col("va"), F.col("vb"))
+            ).alias("sim"),
+        )
+    )
+    sel = (
+        short.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            "rel",
+            (F.lit(lam) * F.col("rel")).alias("score"),
+        )
+    )
+    for i in range(2, k + 1):
+        chosen = sel.select("vec_id")
+        rem = short.join(chosen, "vec_id", "left_anti").select("vec_id", "rel")
+        pen = (
+            pairs.join(chosen.withColumnRenamed("vec_id", "b"), "b")
+            .groupBy(F.col("a").alias("vec_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scores = rem.join(pen, "vec_id").select(
+            "vec_id",
+            "rel",
+            (
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim")
+            ).alias("score"),
+        )
+        pick = (
+            scores.orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .select(F.lit(i).alias("rank"), "vec_id", "rel", "score")
+        )
+        sel = sel.unionAll(pick)
+    return sel.select(
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        (F.round("rel", 6) + F.lit(0.0)).alias("relevance"),
+        (F.round("score", 6) + F.lit(0.0)).alias("mmr_score"),
+    ).orderBy("rank")
+
+
+def knn_mmr_rerank_oracle(
+    k: int = MMR_K,
+    shortlist_n: int = MMR_N,
+    lam: float = MMR_LAMBDA,
+    query_vec_id: int = 0,
+) -> str:
+    dq = oracle_distance_sql("cosine", "e.v", "q.qv")
+    dp = oracle_distance_sql("cosine", "a.v", "b.v")
+    ctes = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id != {query_vec_id})""",
+        f"""q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = {query_vec_id})""",
+        f"""short AS (SELECT e.vec_id, e.v, 1.0 - {dq} AS rel
+          FROM e, q ORDER BY rel DESC, e.vec_id LIMIT {shortlist_n})""",
+        f"""pairs AS (SELECT a.vec_id AS a, b.vec_id AS b, 1.0 - {dp} AS sim
+          FROM short a, short b WHERE a.vec_id != b.vec_id)""",
+        f"""sel1 AS (SELECT 1 AS rank, vec_id, rel, {lam!r} * rel AS score
+        FROM short ORDER BY rel DESC, vec_id LIMIT 1)""",
+        "all1 AS (SELECT * FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        prev = f"all{i - 1}"
+        ctes.append(
+            f"""sel{i} AS (
+  SELECT {i} AS rank, r.vec_id, r.rel,
+         {lam!r} * r.rel - {1.0 - lam!r} * max(p.sim) AS score
+  FROM short r
+  JOIN pairs p ON p.a = r.vec_id AND p.b IN (SELECT vec_id FROM {prev})
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY r.vec_id, r.rel
+  ORDER BY score DESC, r.vec_id LIMIT 1)"""
+        )
+        ctes.append(
+            f"all{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{i})"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT rank::BIGINT AS rank, vec_id,
+       (round(rel, 6) + 0.0) AS relevance,
+       (round(score, 6) + 0.0) AS mmr_score
+FROM all{k}
+ORDER BY rank
+""".strip()

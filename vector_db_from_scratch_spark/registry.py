@@ -227,6 +227,13 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: knn.flat_knn(spark, sf, "cosine", k=10, query_vec_id=0, label_filter=-1),
         knn.flat_knn_oracle("cosine", k=10, query_vec_id=0, label_filter=-1),
     )
+    # MMR diversity re-rank over the cosine shortlist: K greedy selections
+    # composed as one lazy plan, oracle = the loop unrolled as CTEs (the
+    # bpe_train_merges discipline); every winner + score hash-gated
+    reg["knn_mmr_rerank"] = (
+        knn.knn_mmr_rerank,
+        knn.knn_mmr_rerank_oracle(),
+    )
     # zero-norm query -> every cosine distance is +inf, rows still returned
     # sorted by the (distance, vec_id) tie-break (indexes.py:112-113 trap)
     reg["knn_zero_vector"] = (
