@@ -771,3 +771,35 @@ def test_streaming_ams_equals_batch(spark, sf_dir):
     s = w.ams_ingest_drained.__wrapped__(spark, sf_dir)
     b = ams.ams_counters(spark, sf_dir)
     assert _rows(s, cols) == _rows(b, cols)
+
+
+def test_streaming_column_stats_equal_batch_recount(spark, sf_dir):
+    """Streaming ANALYZE: the drained per-column stats must equal a batch
+    recount over the same events table, column for column, including the
+    typed min/max canonicalization (nulled for the wrong type)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.streaming import windows as w
+
+    got = {
+        r["col"]: r.asDict()
+        for r in w.stats_ingest_drained.__wrapped__(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert set(got) == {c for c, _ in w.EVENT_STATS_COLUMNS}
+    n = ev.count()
+    for col, kind in w.EVENT_STATS_COLUMNS:
+        row = got[col]
+        assert row["n_rows"] == n
+        assert row["n_null"] == ev.filter(F.col(col).isNull()).count()
+        if kind in ("key", "num"):
+            agg = ev.agg(
+                F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+            ).collect()[0]
+            assert row["min_num"] == round(agg[0], 6)
+            assert row["max_num"] == round(agg[1], 6)
+            assert row["min_str"] is None and row["max_str"] is None
+        else:
+            assert row["min_num"] is None and row["max_num"] is None
+            assert row["min_str"] is not None and row["max_str"] is not None
+            assert row["min_str"] <= row["max_str"]

@@ -1040,6 +1040,14 @@ def build() -> dict[str, Entry]:
         w.ams_ingest_drained,
         _ams.ams_counters_oracle(),
     )
+    # streaming ANALYZE: the pure-aggregation column stats (count / nulls
+    # / typed min & max) maintained continuously via unpivot + one
+    # groupBy(col); state = one row per column (the NDV member streams
+    # separately as the stateful bottom-k, stream_kmv_ingest_drained)
+    reg["stream_stats_ingest_drained"] = (
+        w.stats_ingest_drained,
+        w.events_stats_oracle(),
+    )
     # KMV is NOT a pure aggregation (bottom-k has no built-in streaming
     # agg): applyInPandasWithState holds each shard's k smallest hashes
     # (bounded state), and the read path merges shards by

@@ -844,3 +844,105 @@ FROM events
 GROUP BY 1, 2
 ORDER BY window_start, topic
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Streaming ANALYZE: the per-column statistics surface
+# (operators/maintenance.py:column_stats) maintained as a CONTINUOUS
+# aggregation over the events stream -- stats that are current as data
+# arrives instead of recomputed by a nightly scan. Only the
+# pure-aggregation members stream here (count / null-count / min / max:
+# all associative); the NDV member's streaming form is the stateful
+# bottom-k already gated as stream_kmv_ingest_drained. Shape: UNPIVOT
+# each row into (col, is_null, num_val, str_val) entries, then ONE
+# groupBy(col) -- a single aggregation (the structured-streaming
+# constraint) that is also exactly how a one-pass production ANALYZE
+# fuses its per-column partials. State: one row per column, bounded.
+# --------------------------------------------------------------------------
+
+EVENT_STATS_COLUMNS = [
+    ("event_id", "key"),
+    ("event_type", "str"),
+    ("props", "str"),
+    ("ts", "ts"),
+    ("user_id", "key"),
+    ("value", "num"),
+]
+
+
+def stats_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+
+    def entry(col: str, kind: str):
+        v = F.col(col)
+        num = (
+            v.cast("double")
+            if kind in ("key", "num")
+            else F.lit(None).cast("double")
+        )
+        if kind == "ts":
+            s = F.date_format(v, "yyyy-MM-dd HH:mm:ss")
+        elif kind == "str":
+            s = v
+        else:
+            s = F.lit(None).cast("string")
+        return F.struct(
+            F.lit(col).alias("col"),
+            v.isNull().cast("int").alias("is_null"),
+            num.alias("num_val"),
+            s.alias("str_val"),
+        )
+
+    ex = ev.select(
+        F.explode(
+            F.array(*[entry(c, k) for c, k in EVENT_STATS_COLUMNS])
+        ).alias("e")
+    ).select("e.*")
+    return ex.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_null").alias("n_null"),
+        F.min("num_val").alias("min_num_raw"),
+        F.max("num_val").alias("max_num_raw"),
+        F.min("str_val").alias("min_str"),
+        F.max("str_val").alias("max_str"),
+    )
+
+
+@memoize_drain
+def stats_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming column stats == the batch ANALYZE pass (rounding
+    applied batch-side on the one-row-per-column result table)."""
+    res = run_stream_once(stats_ingest_stream(spark, sf_dir), "t_gate_stats_ingest")
+    return res.select(
+        "col",
+        "n_rows",
+        F.col("n_null").cast("long").alias("n_null"),
+        (F.round("min_num_raw", 6) + F.lit(0.0)).alias("min_num"),
+        (F.round("max_num_raw", 6) + F.lit(0.0)).alias("max_num"),
+        "min_str",
+        "max_str",
+    ).orderBy("col")
+
+
+def events_stats_oracle() -> str:
+    parts = []
+    for col, kind in EVENT_STATS_COLUMNS:
+        if kind in ("key", "num"):
+            mn = f"(round(min({col}::DOUBLE), 6) + 0.0)"
+            mx = f"(round(max({col}::DOUBLE), 6) + 0.0)"
+            ms, xs = "NULL::VARCHAR", "NULL::VARCHAR"
+        elif kind == "ts":
+            mn, mx = "NULL::DOUBLE + 0.0", "NULL::DOUBLE + 0.0"
+            ms = f"min(strftime({col}, '%Y-%m-%d %H:%M:%S'))"
+            xs = f"max(strftime({col}, '%Y-%m-%d %H:%M:%S'))"
+        else:
+            mn, mx = "NULL::DOUBLE + 0.0", "NULL::DOUBLE + 0.0"
+            ms, xs = f"min({col})", f"max({col})"
+        parts.append(
+            f"""SELECT '{col}' AS col, count(*) AS n_rows,
+       sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       {mn} AS min_num, {mx} AS max_num, {ms} AS min_str, {xs} AS max_str
+FROM events"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY col"
