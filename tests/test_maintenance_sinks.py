@@ -208,3 +208,39 @@ def test_zorder_pruned_scan_plan_prunes_and_interleave_sound(spark, sf_dir):
         bx, by = cells[r["zcell"]]
         assert zorder.BOX_BX[0] <= bx <= zorder.BOX_BX[1]
         assert zorder.BOX_BY[0] <= by <= zorder.BOX_BY[1]
+
+
+def test_join_strategy_auto_decisions_and_forced_plan_shapes(spark, sf_dir):
+    """join_strategy_auto: the width-model decision must pick broadcast
+    for the small build side and shuffle for the fact table at the test
+    SFs; the forced subtrees must actually plan as BroadcastHashJoin /
+    SortMergeJoin; and the emitted join aggregates must equal a direct
+    recount (the flag-guarded union leaks nothing)."""
+    from pyspark.sql import functions as F
+    from vector_db_from_scratch_spark.operators import maintenance as m
+    from vector_db_from_scratch_spark.plans import plan_string
+
+    rows = {r["probe"]: r for r in m.join_strategy_auto(spark, sf_dir).collect()}
+    assert rows[1]["build_side"] == "customer" and rows[1]["strategy"] == "broadcast"
+    assert rows[2]["build_side"] == "lineitem" and rows[2]["strategy"] == "shuffle"
+    for r in rows.values():
+        assert r["est_bytes"] >= r["n_build_rows"] * 8  # width model floor
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # forced branch shapes: the hint the decision selects must take effect
+    bcast = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    assert "BroadcastHashJoin" in plan_string(bcast)
+    shuf = orders.join(li.hint("merge"), orders.o_orderkey == li.l_orderkey)
+    p = plan_string(shuf)
+    assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p
+    # aggregates equal a direct recount
+    assert rows[1]["n_join"] == orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+    assert rows[2]["n_join"] == orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).count()

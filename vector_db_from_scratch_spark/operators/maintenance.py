@@ -496,3 +496,174 @@ FROM (SELECT sum(n_rows)::BIGINT AS m_n_rows, sum(n_null)::BIGINT AS m_n_null,
                   ORDER BY h LIMIT {K_MIN}))) w2""".strip())
     body = "\nUNION ALL\n".join(blocks)
     return f"SELECT * FROM (\n{body}\n) ORDER BY col"
+
+
+# --------------------------------------------------------------------------
+# Stats-driven JOIN strategy decision: broadcast vs shuffle -- the other
+# half of the engine's cost-based-decision surface (skew.skew_salt_auto
+# sizes the salt, this sizes the build side). The classic CBO rule: a
+# join side whose estimated bytes (row count x estimated row width, the
+# Selinger width model: 8 bytes per numeric/timestamp column + average
+# measured length per string column) fit under the broadcast threshold
+# ships to every task as a hash map; otherwise both sides shuffle on the
+# key. Two probes under one gated plan:
+#
+#   probe 1 -- customer as the build side of orders |><| customer
+#              (small at the gate SFs -> 'broadcast')
+#   probe 2 -- lineitem as the build side of orders |><| lineitem
+#              (the fact table -> 'shuffle' at every SF)
+#
+# At 100 TB n_rows/avg-width come from the ANALYZE stats table
+# (column_stats above) -- here they are 1-row bounded aggregates in the
+# same lazy plan. Execution is branch-free: a broadcast()-hinted subtree
+# and a merge-hinted subtree per probe, each guarded by its broadcast
+# 1-row decision flag (the knn_strategy_auto shape); both branches agree
+# on VALUES (the gate checks that via the joined aggregate), the plans
+# differ (pinned by test on the forced branches). The decision flips with
+# data volume by design -- at sf0.1 customer outgrows the threshold and
+# correctly falls back to shuffle; cross-engine agreement is what the
+# gate checks, not a fixed answer.
+# --------------------------------------------------------------------------
+
+JOIN_BC_THRESHOLD = 256 * 1024  # bytes
+
+
+def _side_stats(df: DataFrame, num_cols: int, str_cols: list[str]):
+    """1-row (n_rows, width_est): fixed 8 bytes per numeric/timestamp
+    column + measured mean length per string column."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in str_cols:
+        aggs.append(F.avg(F.length(F.col(c))).alias(f"_len_{c}"))
+    width = F.lit(8.0 * num_cols)
+    for c in str_cols:
+        width = width + F.col(f"_len_{c}")
+    return df.agg(*aggs).select("n_rows", width.alias("width_est"))
+
+
+def join_strategy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from .relational import MICRO
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    sides = [
+        # (probe, build_side_name, stats_df, 8-byte cols, string cols)
+        (1, "customer", _side_stats(cust, 3, ["c_name", "c_mktsegment"])),
+        (2, "lineitem", _side_stats(li, 9, ["l_returnflag", "l_linestatus"])),
+    ]
+    decs = []
+    for probe, name, stats in sides:
+        decs.append(
+            stats.select(
+                F.lit(probe).alias("probe"),
+                F.lit(name).alias("build_side"),
+                F.col("n_rows").alias("n_build_rows"),
+                "width_est",
+            )
+        )
+    dec = (
+        decs[0]
+        .unionByName(decs[1])
+        .withColumn(
+            "est_bytes",
+            F.floor(F.col("n_build_rows") * F.col("width_est")).cast("long"),
+        )
+        .withColumn(
+            "strategy",
+            F.when(
+                F.col("est_bytes") <= F.lit(JOIN_BC_THRESHOLD), F.lit("broadcast")
+            ).otherwise(F.lit("shuffle")),
+        )
+    )
+
+    def _micros(col: str):
+        return (
+            F.sum(F.round(F.col(col) * F.lit(float(MICRO)), 0).cast("long"))
+            .cast("double")
+            / F.lit(float(MICRO))
+            + F.lit(0.0)
+        )
+
+    def _branch(probe: int, strat: str) -> DataFrame:
+        if probe == 1:
+            build = cust.select(F.col("c_custkey").alias("k"))
+            probe_side = orders.select(F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("val"))
+        else:
+            build = li.select(F.col("l_orderkey").alias("k"), F.col("l_extendedprice").alias("val"))
+            probe_side = orders.select(F.col("o_orderkey").alias("k"))
+        b = F.broadcast(build) if strat == "broadcast" else build.hint("merge")
+        joined = probe_side.join(b, "k")
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("n_join"), _micros("val").alias("total")
+        )
+        flag = dec.filter(F.col("probe") == probe).select(
+            (F.col("strategy") == strat).alias("use")
+        )
+        return (
+            agg.crossJoin(F.broadcast(flag))
+            .filter(F.col("use"))
+            .select(F.lit(probe).alias("probe"), "n_join", "total")
+        )
+
+    unioned = (
+        _branch(1, "broadcast")
+        .unionAll(_branch(1, "shuffle"))
+        .unionAll(_branch(2, "broadcast"))
+        .unionAll(_branch(2, "shuffle"))
+    )
+    return (
+        unioned.join(F.broadcast(dec), "probe")
+        .select(
+            "probe",
+            "build_side",
+            "n_build_rows",
+            (F.round("width_est", 6) + F.lit(0.0)).alias("width_est"),
+            "est_bytes",
+            "strategy",
+            "n_join",
+            "total",
+        )
+        .orderBy("probe")
+    )
+
+
+def join_strategy_auto_oracle() -> str:
+    from .relational import osum
+
+    return f"""
+WITH cstat AS (
+  SELECT count(*) AS n_rows,
+         8.0 * 3 + avg(length(c_name)) + avg(length(c_mktsegment)) AS width_est
+  FROM customer),
+lstat AS (
+  SELECT count(*) AS n_rows,
+         8.0 * 9 + avg(length(l_returnflag)) + avg(length(l_linestatus)) AS width_est
+  FROM lineitem),
+dec AS (
+  SELECT 1 AS probe, 'customer' AS build_side, n_rows AS n_build_rows,
+         width_est, floor(n_rows * width_est)::BIGINT AS est_bytes
+  FROM cstat
+  UNION ALL
+  SELECT 2, 'lineitem', n_rows, width_est, floor(n_rows * width_est)::BIGINT
+  FROM lstat),
+dec2 AS (
+  SELECT *, CASE WHEN est_bytes <= {JOIN_BC_THRESHOLD}
+                 THEN 'broadcast' ELSE 'shuffle' END AS strategy
+  FROM dec),
+j1 AS (SELECT 1 AS probe, count(*) AS n_join, {osum('o_totalprice')} AS total
+       FROM orders JOIN customer ON o_custkey = c_custkey),
+j2 AS (SELECT 2 AS probe, count(*) AS n_join, {osum('l_extendedprice')} AS total
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+joins AS (SELECT * FROM j1 UNION ALL SELECT * FROM j2)
+SELECT d.probe, d.build_side, d.n_build_rows,
+       (round(d.width_est, 6) + 0.0) AS width_est,
+       d.est_bytes, d.strategy, j.n_join, j.total
+FROM dec2 d JOIN joins j USING (probe)
+ORDER BY d.probe
+""".strip()

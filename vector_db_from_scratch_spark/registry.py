@@ -939,6 +939,16 @@ def build() -> dict[str, Entry]:
         r.bucketed_join_revenue,
         r.bucketed_join_revenue_oracle(),
     )
+    # stats-driven broadcast-vs-shuffle decision: Selinger width model
+    # (8B per numeric col + measured mean string lengths) x row count vs
+    # the broadcast threshold, executed branch-free with hint-forced
+    # subtrees behind decision flags; decision inputs + join aggregates
+    # gated (plan shapes of the forced branches pinned in tests)
+    from .operators import maintenance as _mnt
+    reg["join_strategy_auto"] = (
+        _mnt.join_strategy_auto,
+        _mnt.join_strategy_auto_oracle(),
+    )
     # sort-free argmax (max-of-struct) -- the window-free top-1-per-key
     reg["agg_argmax_latest_event"] = (
         r.latest_event_per_user,
