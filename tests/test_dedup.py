@@ -253,3 +253,66 @@ def test_incremental_ingest_verdicts_consistent(spark, sf_dir):
             assert earlier_same, i
         elif r["verdict"] == "new":
             assert not earlier_same, i
+
+
+def test_repeated_spans_match_python_reference(spark, sf_dir):
+    """dedup_repeated_spans: the full per-doc span report must equal a
+    brute-force Python reference (dict of gram -> doc set, interval merge
+    per doc) -- corpus-independent ground truth for the distributed
+    k-gram + gaps-and-islands pipeline."""
+    from collections import defaultdict
+
+    from vector_db_from_scratch_spark.operators.dedup import (
+        K_SPAN,
+        repeated_substring_spans,
+    )
+
+    got = {
+        r["doc_id"]: (
+            r["n_spans"],
+            r["max_span_len"],
+            r["repeated_chars"],
+            r["repeated_frac"],
+        )
+        for r in repeated_substring_spans(spark, sf_dir).collect()
+    }
+    assert got, "synthetic corpus must contain cross-doc repeats"
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    gram_docs = defaultdict(set)
+    for doc_id, text in docs.items():
+        for i in range(len(text) - K_SPAN + 1):
+            gram_docs[text[i : i + K_SPAN]].add(doc_id)
+    expected = {}
+    for doc_id, text in docs.items():
+        pos = [
+            i
+            for i in range(len(text) - K_SPAN + 1)
+            if len(gram_docs[text[i : i + K_SPAN]]) >= 2
+        ]
+        if not pos:
+            continue
+        spans = []
+        s = e = pos[0]
+        for p in pos[1:]:
+            if p - e > K_SPAN:
+                spans.append((s, e + K_SPAN - 1))
+                s = p
+            e = p
+        spans.append((s, e + K_SPAN - 1))
+        rep = sum(b - a + 1 for a, b in spans)
+        import math
+
+        # engines round HALF-UP (53/128 hits an exact .5 at the 6th
+        # decimal); Python's round() is half-to-even
+        frac = math.floor(rep / len(text) * 1e6 + 0.5) / 1e6
+        expected[doc_id] = (
+            len(spans),
+            max(b - a + 1 for a, b in spans),
+            rep,
+            frac,
+        )
+    assert got == expected

@@ -1754,3 +1754,141 @@ LEFT JOIN exact_ids e ON d.doc_id = e.doc_id
 LEFT JOIN near_ids n ON d.doc_id = n.doc_id
 ORDER BY d.doc_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated-SUBSTRING spans (the exact-substring dedup of
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"): find, per document, the maximal contiguous character spans
+# covered by K_SPAN-char substrings that also occur in another document.
+# Their single-node tool is a suffix array; the distributed re-expression
+# is positional k-grams + an interval merge:
+#
+#   1. explode each doc into (doc_id, pos, hash(substr(text, pos, K)))
+#      -- the shuffle moves 8-byte hashes, never the text (exact_dedup
+#      discipline),
+#   2. keep positions whose gram occurs in >= 2 DISTINCT documents,
+#   3. merge overlapping/adjacent fixed-length intervals per doc with the
+#      gaps-and-islands window (new island when the position gap exceeds
+#      K): per-doc windows are bounded by document length, so the only
+#      corpus-sized shuffle is the gram groupBy.
+#
+# At 100 TB step 2's grams-with-df>=2 set is exactly what a count-min /
+# Bloom pre-filter prunes before the join (operators/bloom.py); the
+# per-doc interval merge never leaves the document. Output per affected
+# doc: span count, longest span, repeated-char mass and fraction.
+# --------------------------------------------------------------------------
+
+K_SPAN = 20  # characters
+
+
+def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions.hashing import hash60
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        # a doc shorter than one gram contributes nothing; the guard also
+        # keeps F.sequence ascending (start > stop would DESCEND in Spark)
+        .filter(F.col("n_chars") >= K_SPAN)
+    )
+    grams = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_chars") - F.lit(K_SPAN - 1))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "n_chars",
+        "pos",
+        hash60(F.substring(F.col("text"), F.col("pos"), K_SPAN)).alias("gh"),
+    )
+    crossdoc = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(crossdoc, "gh").select("doc_id", "n_chars", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > K_SPAN, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = islands.groupBy("doc_id", "n_chars", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(K_SPAN - 1)).alias("e"),
+    )
+    return (
+        spans.groupBy("doc_id", "n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max(F.col("e") - F.col("s") + 1).alias("max_span_len"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("repeated_chars"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("max_span_len").cast("long").alias("max_span_len"),
+            F.col("repeated_chars").cast("long").alias("repeated_chars"),
+            (
+                F.round(
+                    F.col("repeated_chars").cast("double")
+                    / F.col("n_chars").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("repeated_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def repeated_substring_spans_oracle() -> str:
+    from ..functions.hashing import hash60_sql
+
+    gh = hash60_sql(f"substr(text, pos, {K_SPAN})")
+    return f"""
+WITH grams AS (
+  SELECT doc_id, n_chars, pos, {gh} AS gh
+  FROM (SELECT doc_id, n_chars, text,
+               unnest(range(1, n_chars - {K_SPAN - 1} + 1)) AS pos
+        FROM documents WHERE n_chars >= {K_SPAN})),
+crossdoc AS (
+  SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT doc_id, n_chars, pos FROM grams JOIN crossdoc USING (gh)),
+marked AS (
+  SELECT doc_id, n_chars, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {K_SPAN} THEN 1 ELSE 0 END AS new_island
+  FROM hits),
+islands AS (
+  SELECT doc_id, n_chars, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked),
+spans AS (
+  SELECT doc_id, n_chars, island,
+         min(pos) AS s, max(pos) + {K_SPAN - 1} AS e
+  FROM islands GROUP BY doc_id, n_chars, island)
+SELECT doc_id,
+       count(*)::BIGINT AS n_spans,
+       max(e - s + 1)::BIGINT AS max_span_len,
+       sum(e - s + 1)::BIGINT AS repeated_chars,
+       (round(sum(e - s + 1)::DOUBLE / any_value(n_chars)::DOUBLE, 6) + 0.0)
+         AS repeated_frac
+FROM spans
+GROUP BY doc_id
+ORDER BY doc_id
+""".strip()

@@ -676,6 +676,13 @@ def build() -> dict[str, Entry]:
     # --- dedup family (exact, ngram-jaccard, minhash-LSH, simhash, cosine) ---
     d = dedup
     reg["dedup_exact"] = (d.exact_dedup, d.exact_dedup_oracle())
+    # exact-SUBSTRING dedup (Lee et al. 2022) re-expressed distributed:
+    # positional k-gram hashes + cross-doc df>=2 filter + per-doc
+    # gaps-and-islands interval merge; per-doc span report gated
+    reg["dedup_repeated_spans"] = (
+        d.repeated_substring_spans,
+        d.repeated_substring_spans_oracle(),
+    )
     reg["dedup_exact_normalized"] = (d.exact_dedup_normalized, d.exact_dedup_normalized_oracle())
     reg["pipeline_corpus_prep"] = (corpus.corpus_prep, corpus.corpus_prep_oracle())
     reg["pipeline_sample_split"] = (corpus.corpus_sample_split, corpus.corpus_sample_split_oracle())
