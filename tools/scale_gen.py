@@ -33,7 +33,7 @@ import sys
 import tempfile
 
 SEED = 20260814
-GEN = 3  # bump when the set of scaled tables or their derivation changes
+GEN = 4  # bump when the set of scaled tables or their derivation changes
 
 
 def _target_dir(sf_dir: str, k: int) -> str:
@@ -159,6 +159,13 @@ def scale_dir(sf_dir: str, k: int = 10) -> str:
         con.execute(
             f"CREATE VIEW od AS SELECT * FROM '{sf_dir}/orders.parquet';"
             f"COPY ({od_sql}) TO '{tmp}/orders.parquet' (FORMAT PARQUET);"
+        )
+    # customer: copied UNCHANGED -- the realistic scale scenario is facts
+    # growing while dimensions stay put (join_strategy_auto's broadcast
+    # decision measures exactly that asymmetry at 10x)
+    if _os.path.exists(f"{sf_dir}/customer.parquet"):
+        shutil.copyfile(
+            f"{sf_dir}/customer.parquet", f"{tmp}/customer.parquet"
         )
     con.close()
 
