@@ -344,3 +344,19 @@ def test_ams_by_group_invariants(spark, sf_dir):
     assert all(r["skew_ratio"] >= 0.999999 for r in rows)
     assert sum(r["n_total"] for r in rows) == ev.count()
     assert all(r["exact_f2"] >= r["n_total"] for r in rows)
+
+
+def test_ams_join_size_estimator_sanity(spark, sf_dir):
+    """AGMS join-size estimate: the exact side must equal the lineitem
+    count (FK integrity -- every line matches an order), and the sketch
+    estimate must land within an order of magnitude with a non-negative
+    error column (a sign-family bug or a cross-sketch salt mismatch blows
+    the estimate far outside this band or makes it negative)."""
+    from vector_db_from_scratch_spark.operators.ams import ams_join_size
+
+    row = ams_join_size(spark, sf_dir).collect()[0]
+    li_count = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert row["exact_join_size"] == li_count
+    assert row["n_right"] == li_count
+    assert 0.05 * row["exact_join_size"] <= row["est_join_size"] <= 20 * row["exact_join_size"]
+    assert row["rel_err"] >= 0.0

@@ -324,3 +324,106 @@ SELECT e.grp, n_total, exact_distinct, exact_f2,
 FROM exact e JOIN med m ON e.grp = m.grp
 ORDER BY e.grp
 """.strip()
+
+
+def ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE estimation from two AMS sketches (the AGMS inner-product
+    estimator, Alon-Gibbons-Matias-Szegedy 1999): |R join S| on a key
+    equals the inner product of the two frequency vectors, and the
+    median-of-means over per-counter PRODUCTS of the two relations'
+    tug-of-war counters estimates it -- the statistic `join_strategy_auto`
+    would consult when neither side's per-key histogram fits anywhere.
+    Both sides use the SAME sign family (same portable hash, same salt per
+    counter j), which is what makes the cross-sketch product unbiased.
+    Sides: orders.o_orderkey (unique key) vs lineitem.l_orderkey (~4 lines
+    per order) -- integer arithmetic until one final division, so the
+    ESTIMATE hash-gates; the exact join count it replaces at 100 TB sits
+    next to it with the measured relative error.
+
+    Accuracy: per-group variance is <= 2*F2(R)*F2(S)/AMS_GROUP_SIZE, which
+    on NEAR-UNIQUE keys (F2 ~ n) gives a relative std of
+    sqrt(2*F2R*F2S)/|J|/4 ~ 25-60% at the default 48 counters -- an
+    order-of-magnitude planning signal (broadcast vs shuffle vs salt), not
+    a cardinality oracle; measured 0.26 / 0.59 rel_err at sf0.001/0.01.
+    Sharper estimates scale AMS_GROUP_SIZE (std ~ 1/sqrt(w)), still a few
+    hundred BIGINTs of state."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+
+    def _vec(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(_counter_cells(F.col("k")))
+            .select("c.j", "c.s")
+            .groupBy("j")
+            .agg(F.sum("s").alias(name))
+        )
+
+    prod = (
+        _vec(orders, "cr")
+        .join(_vec(li, "cs"), "j")
+        .select(
+            (F.col("j") / AMS_GROUP_SIZE).cast("int").alias("g"),
+            (F.col("cr") * F.col("cs")).alias("p"),
+        )
+    )
+    est = (
+        prod.groupBy("g")
+        .agg(F.sum("p").alias("gs"))
+        .agg(F.sort_array(F.collect_list("gs")).alias("arr"))
+        .select(
+            (F.col("arr")[AMS_GROUPS // 2] / F.lit(float(AMS_GROUP_SIZE))).alias(
+                "est_join_size"
+            )
+        )
+    )
+    exact = (
+        orders.join(li, "k")
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+        .crossJoin(orders.agg(F.count(F.lit(1)).alias("n_left")))
+        .crossJoin(li.agg(F.count(F.lit(1)).alias("n_right")))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_left",
+        "n_right",
+        "exact_join_size",
+        F.round("est_join_size", 6).alias("est_join_size"),
+        F.round(
+            F.abs(F.col("est_join_size") - F.col("exact_join_size"))
+            / F.col("exact_join_size"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def ams_join_size_oracle() -> str:
+    mid = AMS_GROUPS // 2 + 1
+    return f"""
+WITH rc AS (
+  SELECT c.j AS j, sum(c.s)::BIGINT AS cr
+  FROM (SELECT unnest([{_cells_sql('o_orderkey::VARCHAR')}]) AS c FROM orders)
+  GROUP BY j),
+sc AS (
+  SELECT c.j AS j, sum(c.s)::BIGINT AS cs
+  FROM (SELECT unnest([{_cells_sql('l_orderkey::VARCHAR')}]) AS c FROM lineitem)
+  GROUP BY j),
+groups AS (
+  SELECT (rc.j // {AMS_GROUP_SIZE})::INT AS g, sum(cr * cs) AS gs
+  FROM rc JOIN sc ON rc.j = sc.j GROUP BY g),
+med AS (
+  SELECT list_sort(list(gs))[{mid}] / {float(AMS_GROUP_SIZE)!r} AS est_join_size
+  FROM groups),
+exact AS (
+  SELECT (SELECT count(*) FROM orders)::BIGINT AS n_left,
+         (SELECT count(*) FROM lineitem)::BIGINT AS n_right,
+         count(*)::BIGINT AS exact_join_size
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+SELECT n_left, n_right, exact_join_size,
+       round(est_join_size, 6) AS est_join_size,
+       round(abs(est_join_size - exact_join_size) / exact_join_size, 6)
+         AS rel_err
+FROM exact, med
+""".strip()

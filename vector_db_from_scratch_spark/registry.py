@@ -605,6 +605,11 @@ def build() -> dict[str, Entry]:
     # ... and its per-GROUP form (per-event_type F2 / skew monitor),
     # completing the per-group matrix for the fifth member
     reg["sketch_ams_by_group"] = (ams.ams_by_group, ams.ams_by_group_oracle())
+    # the AGMS inner-product JOIN-SIZE estimator: the two relations'
+    # tug-of-war vectors (same sign family) multiplied counter-wise,
+    # median-of-means -- integer until one division, estimate hash-gated
+    # next to the exact join count it replaces
+    reg["sketch_ams_join_size"] = (ams.ams_join_size, ams.ams_join_size_oracle())
     # the sketch driving the engine's own layout planning: range-partition
     # boundaries interpolated from the cumulative histogram (the
     # deterministic twin of repartitionByRange's sampling), balance audited
