@@ -20,10 +20,15 @@ sketches (approx_count_distinct et al.) that can only ever be
 verdict-gated.
 
 Sizing: per-group variance of a squared counter is <= 2*F2^2, so a group
-mean over AMS_GROUP_SIZE counters lands within ~sqrt(2/AMS_GROUP_SIZE) of
-F2; the median across AMS_GROUPS groups suppresses outlier groups. The
-48-counter default measures 4-19% relative error on this testdata -- a
-planning-grade signal for ~48 BIGINTs of state per shard.
+mean over AMS_GROUP_SIZE counters lands within ~sqrt(2/AMS_GROUP_SIZE)
+(~35%) of F2; the median across AMS_GROUPS groups suppresses outlier
+groups. The 48-counter default measures 4-32% relative F2 error across
+the test SFs -- a planning-grade signal for ~48 BIGINTs of state per
+shard. Signs: ONE md5 digest per row, counter j reads bit j (see
+_sign_expr -- the per-counter salted family costs 48 digests/row, which
+was the entire measured cost of the family at sf0.1); counters compute
+as 48 fused aggregate expressions in one scan pass (_counter_sums), never
+an explode.
 """
 
 from __future__ import annotations
@@ -40,38 +45,81 @@ AMS_COUNTERS = AMS_GROUPS * AMS_GROUP_SIZE
 N_SHARDS = 4
 
 
-def _sign_expr(key, j: int):
-    """+1 / -1 from one bit of the portable hash, per counter j."""
-    h = hash60(F.concat(key.cast("string"), F.lit(f"#ams{j}")))
-    return F.when(h % 2 == 0, F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
+def _sign_expr(h, j: int):
+    """+1 / -1 from bit j of the PRECOMPUTED 60-bit hash column ``h``.
+
+    One md5 digest per row supplies all AMS_COUNTERS signs (bit j is
+    counter j's coin flip; md5 bits are independent uniform coins). The
+    textbook construction draws each counter's sign from its own salted
+    hash -- 48 digests per row, which the round-9 bench measured at
+    7-38s PER AMS QUERY at sf0.1 with md5 as the entire cost (the same
+    lesson as the Bloom filter's Carter-Wegman switch, bloom.py:61-78).
+    The bit family is the standard engineering substitution; counter
+    groups use disjoint bit ranges so the median-of-means grouping sees
+    independent groups."""
+    return (
+        F.when(F.shiftright(h, j) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
 
 
-def _sign_sql(expr: str, j: int) -> str:
-    hashed = hash60_sql(expr + f" || '#ams{j}'")
-    return f"(CASE WHEN ({hashed} % 2) = 0 THEN 1 ELSE -1 END)"
+def _sign_sql(hexpr: str, j: int) -> str:
+    """DuckDB twin of :func:`_sign_expr` over a precomputed h column."""
+    return f"(CASE WHEN (({hexpr} >> {j}) % 2) = 0 THEN 1 ELSE -1 END)"
 
 
 def _events_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select("user_id")
 
 
-def _counter_cells(key):
-    """(j, sign) struct array for one key -- shared by batch, shard-merge,
-    and streaming builds so every path updates identical counters."""
+def _counter_cells(h):
+    """(j, sign) struct array from one precomputed hash column -- the
+    EXPLODE form, kept for the streaming build (one row per (j, sign)
+    update). Batch builds use :func:`_counter_sums` instead: same signs,
+    no 48x row multiplication."""
     return F.explode(
         F.array(
             *[
-                F.struct(F.lit(j).alias("j"), _sign_expr(key, j).alias("s"))
+                F.struct(F.lit(j).alias("j"), _sign_expr(h, j).alias("s"))
                 for j in range(AMS_COUNTERS)
             ]
         )
     ).alias("c")
 
 
-def _cells_sql(expr: str) -> str:
-    return ", ".join(
-        f"struct_pack(j := {j}, s := {_sign_sql(expr, j)})" for j in range(AMS_COUNTERS)
+def _counter_sums():
+    """All AMS_COUNTERS counters as aggregate expressions over the hashed
+    frame -- ONE scan pass, partial-aggregation friendly, no explode (the
+    explode form multiplied a 600k-row table to 28.8M rows before the
+    groupBy; measured 8.6s warm vs sub-second for the fused aggregate)."""
+    return [
+        F.sum(_sign_expr(F.col("h"), j)).alias(f"c{j}")
+        for j in range(AMS_COUNTERS)
+    ]
+
+
+def _unpivot_counters(row_df: DataFrame, *keys: str) -> DataFrame:
+    """(keys..., j, counter) from a keys + c0..cN-1 aggregate row."""
+    return row_df.select(
+        *keys,
+        F.posexplode(
+            F.array(*[F.col(f"c{j}") for j in range(AMS_COUNTERS)])
+        ).alias("j", "counter"),
     )
+
+
+def _cells_sql(hexpr: str) -> str:
+    return ", ".join(
+        f"struct_pack(j := {j}, s := {_sign_sql(hexpr, j)})"
+        for j in range(AMS_COUNTERS)
+    )
+
+
+def _hashed(df: DataFrame, key: str, *keep: str) -> DataFrame:
+    """Project the key to its portable hash ONCE per row (the single md5
+    the whole counter vector derives from)."""
+    return df.select(*keep, hash60(F.col(key).cast("string")).alias("h"))
 
 
 def ams_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,18 +128,16 @@ def ams_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter count flips rows. Build is one shuffled partial-sum aggregate;
     at most AMS_COUNTERS rows leave each partition regardless of corpus
     size."""
-    ev = _events_keyed(spark, sf_dir)
-    cells = ev.select(_counter_cells(F.col("user_id"))).select("c.j", "c.s")
-    return (
-        cells.groupBy("j").agg(F.sum("s").alias("counter")).orderBy("j")
-    )
+    ev = _hashed(_events_keyed(spark, sf_dir), "user_id")
+    return _unpivot_counters(ev.agg(*_counter_sums())).orderBy("j")
 
 
 def ams_counters_oracle() -> str:
     return f"""
 WITH cells AS (
   SELECT c.j AS j, c.s AS s
-  FROM (SELECT unnest([{_cells_sql('user_id::VARCHAR')}]) AS c FROM events))
+  FROM (SELECT unnest([{_cells_sql('h')}]) AS c
+        FROM (SELECT {hash60_sql('user_id::VARCHAR')} AS h FROM events)))
 SELECT j, sum(s)::BIGINT AS counter
 FROM cells
 GROUP BY j
@@ -154,7 +200,8 @@ def ams_f2_oracle() -> str:
     return f"""
 WITH cells AS (
   SELECT c.j AS j, c.s AS s
-  FROM (SELECT unnest([{_cells_sql('user_id::VARCHAR')}]) AS c FROM events)),
+  FROM (SELECT unnest([{_cells_sql('h')}]) AS c
+        FROM (SELECT {hash60_sql('user_id::VARCHAR')} AS h FROM events))),
 counters AS (SELECT j, sum(s)::BIGINT AS counter FROM cells GROUP BY j),
 groups AS (
   SELECT (j // {AMS_GROUP_SIZE})::INT AS g, sum(counter * counter) AS gs
@@ -183,12 +230,16 @@ def ams_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (j, merged_counter, whole_counter, diff) with every diff gated 0.
     This is the 100 TB rollup: per-shard planning statistics combine into
     the global one without the raw keys ever co-shuffling."""
-    ev = _events_keyed(spark, sf_dir)
-    cells = ev.select(
-        (F.col("user_id") % N_SHARDS).alias("shard"),
-        _counter_cells(F.col("user_id")),
-    ).select("shard", "c.j", "c.s")
-    shard_counters = cells.groupBy("shard", "j").agg(F.sum("s").alias("counter"))
+    ev = _hashed(
+        _events_keyed(spark, sf_dir).withColumn(
+            "shard", F.col("user_id") % N_SHARDS
+        ),
+        "user_id",
+        "shard",
+    )
+    shard_counters = _unpivot_counters(
+        ev.groupBy("shard").agg(*_counter_sums()), "shard"
+    )
     merged = shard_counters.groupBy("j").agg(F.sum("counter").alias("merged_counter"))
     whole = ams_counters(spark, sf_dir).withColumnRenamed("counter", "whole_counter")
     return (
@@ -207,18 +258,19 @@ def ams_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ams_merge_shards_oracle() -> str:
-    cells = _cells_sql("user_id::VARCHAR")
+    cells = _cells_sql("h")
+    hev = f"(SELECT user_id, {hash60_sql('user_id::VARCHAR')} AS h FROM events)"
     return f"""
 WITH cells AS (
   SELECT user_id % {N_SHARDS} AS shard, c.j AS j, c.s AS s
-  FROM (SELECT user_id, unnest([{cells}]) AS c FROM events)),
+  FROM (SELECT user_id, unnest([{cells}]) AS c FROM {hev})),
 shard_counters AS (
   SELECT shard, j, sum(s) AS counter FROM cells GROUP BY shard, j),
 merged AS (
   SELECT j, sum(counter) AS merged_counter FROM shard_counters GROUP BY j),
 whole AS (
   SELECT c.j AS j, sum(c.s) AS whole_counter
-  FROM (SELECT unnest([{cells}]) AS c FROM events)
+  FROM (SELECT unnest([{cells}]) AS c FROM {hev})
   GROUP BY j)
 SELECT coalesce(m.j, w.j) AS j,
        coalesce(merged_counter, 0)::BIGINT AS merged_counter,
@@ -241,10 +293,10 @@ def ams_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"), "user_id"
     )
-    cells = ev.select("grp", _counter_cells(F.col("user_id"))).select(
-        "grp", "c.j", "c.s"
+    counters = _unpivot_counters(
+        _hashed(ev, "user_id", "grp").groupBy("grp").agg(*_counter_sums()),
+        "grp",
     )
-    counters = cells.groupBy("grp", "j").agg(F.sum("s").alias("counter"))
     est = (
         counters.select(
             "grp",
@@ -299,9 +351,9 @@ def ams_by_group_oracle() -> str:
     return f"""
 WITH cells AS (
   SELECT grp, c.j AS j, c.s AS s
-  FROM (SELECT event_type AS grp,
-               unnest([{_cells_sql('user_id::VARCHAR')}]) AS c
-        FROM events)),
+  FROM (SELECT grp, unnest([{_cells_sql('h')}]) AS c
+        FROM (SELECT event_type AS grp,
+                     {hash60_sql('user_id::VARCHAR')} AS h FROM events))),
 counters AS (
   SELECT grp, j, sum(s)::BIGINT AS counter FROM cells GROUP BY grp, j),
 groups AS (
@@ -355,11 +407,8 @@ def ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _vec(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.select(_counter_cells(F.col("k")))
-            .select("c.j", "c.s")
-            .groupBy("j")
-            .agg(F.sum("s").alias(name))
+        return _unpivot_counters(_hashed(df, "k").agg(*_counter_sums())).select(
+            "j", F.col("counter").alias(name)
         )
 
     prod = (
@@ -404,11 +453,13 @@ def ams_join_size_oracle() -> str:
     return f"""
 WITH rc AS (
   SELECT c.j AS j, sum(c.s)::BIGINT AS cr
-  FROM (SELECT unnest([{_cells_sql('o_orderkey::VARCHAR')}]) AS c FROM orders)
+  FROM (SELECT unnest([{_cells_sql('h')}]) AS c
+        FROM (SELECT {hash60_sql('o_orderkey::VARCHAR')} AS h FROM orders))
   GROUP BY j),
 sc AS (
   SELECT c.j AS j, sum(c.s)::BIGINT AS cs
-  FROM (SELECT unnest([{_cells_sql('l_orderkey::VARCHAR')}]) AS c FROM lineitem)
+  FROM (SELECT unnest([{_cells_sql('h')}]) AS c
+        FROM (SELECT {hash60_sql('l_orderkey::VARCHAR')} AS h FROM lineitem))
   GROUP BY j),
 groups AS (
   SELECT (rc.j // {AMS_GROUP_SIZE})::INT AS g, sum(cr * cs) AS gs

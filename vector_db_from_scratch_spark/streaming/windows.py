@@ -761,10 +761,14 @@ def hist_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ams_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash60
     from ..operators.ams import _counter_cells
 
     ev = events_stream(spark, sf_dir)
-    cells = ev.select(_counter_cells(F.col("user_id"))).select("c.j", "c.s")
+    # one digest per row; every sign derives from its bits (the batch
+    # family, ams.py:_sign_expr)
+    hashed = ev.select(hash60(F.col("user_id").cast("string")).alias("h"))
+    cells = hashed.select(_counter_cells(F.col("h"))).select("c.j", "c.s")
     return cells.groupBy("j").agg(F.sum("s").alias("counter"))
 
 
