@@ -360,3 +360,30 @@ def test_ams_join_size_estimator_sanity(spark, sf_dir):
     assert row["n_right"] == li_count
     assert 0.05 * row["exact_join_size"] <= row["est_join_size"] <= 20 * row["exact_join_size"]
     assert row["rel_err"] >= 0.0
+
+
+def test_cm_by_group_rolls_up_to_global_grid(spark, sf_dir):
+    """Per-group grids share the global grid's salts and width, so summing
+    them over groups must reproduce cm_counters cell by cell -- the
+    additivity that makes the per-group form a real aggregation state."""
+    from vector_db_from_scratch_spark.operators import countmin
+
+    by_group = countmin.cm_by_group(spark, sf_dir)
+    rolled = {
+        (r["row"], r["bucket"]): r["total"]
+        for r in by_group.groupBy("row", "bucket")
+        .agg(F.sum("counter").alias("total"))
+        .collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["counter"]
+        for r in countmin.cm_counters(spark, sf_dir).collect()
+    }
+    assert rolled == whole
+
+
+def test_cm_by_group_merge_all_diffs_zero(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators import countmin
+
+    rows = countmin.cm_by_group_merge(spark, sf_dir).collect()
+    assert rows and all(r["diff"] == 0 for r in rows)

@@ -316,3 +316,74 @@ def test_repeated_spans_match_python_reference(spark, sf_dir):
             frac,
         )
     assert got == expected
+
+
+def test_levenshtein_cross_engine_contract(spark):
+    """The edit-distance verifier rests on both engines shipping classic
+    unit-cost Levenshtein; pin a constructed matrix of cases equal."""
+    import duckdb
+
+    cases = [
+        ("kitten", "sitting"),
+        ("abc", ""),
+        ("", "xy"),
+        ("same", "same"),
+        ("the quick brown fox", "the quik brown foxx"),
+        ("a" * 50, "b" * 50),
+        ("prefix shared tail A", "prefix shared tail B"),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = [r["d"] for r in df.select(F.levenshtein("a", "b").alias("d")).collect()]
+    want = [
+        duckdb.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0] for a, b in cases
+    ]
+    assert got == want
+
+
+def test_edit_distance_pairs_subset_of_candidates(spark, sf_dir):
+    """Every emitted pair is a banded candidate (the verifier only ever
+    REMOVES), the distance column is within [0, EDIT_MAX], and at least
+    one pair has a nonzero distance (the verifier measures real edits,
+    not just exact-prefix duplicates)."""
+    from vector_db_from_scratch_spark.operators.dedup import (
+        BAND_SIZE,
+        BUCKET_CAP,
+        EDIT_MAX,
+        NUM_HASHES,
+        _minhash_candidates,
+        edit_distance_pairs,
+    )
+
+    got = edit_distance_pairs(spark, sf_dir).collect()
+    cand = {
+        (r["d1"], r["d2"])
+        for r in _minhash_candidates(
+            spark, sf_dir, 0.3, NUM_HASHES, BAND_SIZE, BUCKET_CAP
+        ).collect()
+    }
+    assert got
+    assert all((r["d1"], r["d2"]) in cand for r in got)
+    assert all(0 <= r["edit_distance"] <= EDIT_MAX for r in got)
+    assert any(r["edit_distance"] > 0 for r in got)
+
+
+def test_edit_distance_filter_excludes_far_pairs(spark):
+    """EDIT_MAX semantics on a constructed frame: the same expression the
+    operator applies drops pairs whose prefixes differ by more than the
+    budget."""
+    from vector_db_from_scratch_spark.operators.dedup import EDIT_MAX, EDIT_PREFIX_LEN
+
+    near = ("x" * 100, "x" * 100 + "y" * 10)          # distance 10
+    far = ("a" * EDIT_PREFIX_LEN, "b" * EDIT_PREFIX_LEN)  # distance PREFIX_LEN
+    df = spark.createDataFrame([near, far], "t1 string, t2 string")
+    kept = (
+        df.select(
+            F.levenshtein(
+                F.substring("t1", 1, EDIT_PREFIX_LEN),
+                F.substring("t2", 1, EDIT_PREFIX_LEN),
+            ).alias("d")
+        )
+        .filter(F.col("d") <= EDIT_MAX)
+        .collect()
+    )
+    assert [r["d"] for r in kept] == [10]

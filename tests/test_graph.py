@@ -1,0 +1,121 @@
+"""Quantized PageRank (operators/graph.py) pinned against an independent
+Python reference: same node subset, same exact k-NN edge build, same
+integer half-up arithmetic -- the Spark chain must match it bit-for-bit,
+and the structural invariants of the quantized update must hold."""
+
+from __future__ import annotations
+
+from decimal import Decimal, ROUND_HALF_UP
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from vector_db_from_scratch_spark.operators import graph
+
+
+def _py_reference(sf_dir: str, iters: int):
+    """Brute-force NumPy replica of _rank_chain: returns list of
+    {vec_id: rank_micros} dicts, one per iteration (0..iters)."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids, vecs = [], []
+    for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
+        if vid % graph.PR_SUBSET_MOD == 0:
+            ids.append(vid)
+            vecs.append(np.asarray(emb, dtype=np.float64))
+    order = np.argsort(ids)
+    ids = [ids[i] for i in order]
+    vecs = np.stack([vecs[i] for i in order])
+    n = len(ids)
+
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    sims = vecs @ vecs.T
+    edges: list[tuple[int, int]] = []
+    for i in range(n):
+        cands = []
+        for j in range(n):
+            if i == j:
+                continue
+            denom = norms[i] * norms[j]
+            d = float("inf") if denom == 0 else 1.0 - sims[i, j] / denom
+            # the house round-6dp distance contract (functions/vector.py):
+            # Spark's F.round = BigDecimal(exact binary double) HALF_UP,
+            # replicated exactly by Decimal(float)
+            if d != float("inf"):
+                d = float(
+                    Decimal(d).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+                )
+            cands.append((d, ids[j]))
+        cands.sort()
+        edges.extend((ids[i], dst) for _, dst in cands[: graph.PR_K])
+
+    def halfup(a: int, b: int) -> int:
+        return (2 * a + b) // (2 * b)
+
+    rank = {v: halfup(graph.MICRO, n) for v in ids}
+    chain = [dict(rank)]
+    for _ in range(iters):
+        sums = {v: 0 for v in ids}
+        for src, dst in edges:
+            sums[dst] += halfup(rank[src], graph.PR_K)
+        rank = {
+            v: halfup(15 * graph.MICRO, graph.DAMP_DEN * n)
+            + halfup(graph.DAMP_NUM * sums[v], graph.DAMP_DEN)
+            for v in ids
+        }
+        chain.append(dict(rank))
+    return chain
+
+
+@pytest.fixture(scope="module")
+def py_chain(sf_dir):
+    return _py_reference(sf_dir, graph.PR_ITERS)
+
+
+def test_pagerank_matches_python_reference(spark, sf_dir, py_chain):
+    rows = graph.pagerank_topn(spark, sf_dir).collect()
+    final = py_chain[-1]
+    expected = sorted(final.items(), key=lambda kv: (-kv[1], kv[0]))[: graph.PR_TOPN]
+    got = [(r["vec_id"], r["rank_micros"]) for r in rows]
+    assert got == expected
+
+
+def test_trajectory_matches_python_reference(spark, sf_dir, py_chain):
+    rows = graph.pagerank_trajectory(spark, sf_dir).collect()
+    assert len(rows) == graph.PR_ITERS + 1
+    for r in rows:
+        ranks = list(py_chain[r["iter"]].values())
+        assert r["total_micros"] == sum(ranks)
+        assert r["min_micros"] == min(ranks)
+        assert r["max_micros"] == max(ranks)
+
+
+def test_out_degree_exactly_k(spark, sf_dir):
+    deg = (
+        graph._edges(spark, sf_dir)
+        .groupBy("src")
+        .count()
+        .select("count")
+        .distinct()
+        .collect()
+    )
+    assert [r["count"] for r in deg] == [graph.PR_K]
+
+
+def test_rank_floor_is_teleport_term(spark, sf_dir, py_chain):
+    """Every rank >= the teleport base (no in-edges => exactly the base):
+    the quantized update can never drop a node below (1-d)/n."""
+    n = len(py_chain[0])
+    base = (2 * 15 * graph.MICRO + graph.DAMP_DEN * n) // (2 * graph.DAMP_DEN * n)
+    rows = graph._rank_chain(spark, sf_dir, graph.PR_ITERS)[-1].collect()
+    assert all(r["rank"] >= base for r in rows)
+
+
+def test_mass_approximately_conserved(py_chain):
+    """Quantization perturbs each node's rank by < 1 micro per halfup (3
+    roundings per iteration), so total mass stays within a few micros per
+    node of 1.0 -- a drift bound, not a float tolerance."""
+    n = len(py_chain[0])
+    for it, ranks in enumerate(py_chain):
+        drift = abs(sum(ranks.values()) - graph.MICRO)
+        assert drift <= 2 * n * (it + 1), (it, drift)

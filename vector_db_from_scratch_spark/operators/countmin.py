@@ -362,3 +362,123 @@ SELECT e.user_id, e.est, x.exact, e.est - x.exact AS overcount
 FROM est e JOIN exact x ON e.user_id = x.user_id
 ORDER BY e.user_id
 """.strip()
+
+
+def cm_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP count-min: one independent d x w grid per event_type over
+    per-user frequencies -- the per-source frequency monitor a 100 TB
+    data-quality rollup keeps (which key is hot WITHIN each source), and
+    the per-group leg of the CM member's matrix (KMV/hist/AMS already have
+    theirs). Same salts and width as the global grid, so per-group grids
+    roll up to it by cell-wise addition; output is nonzero cells only,
+    bounded by groups x d x w regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    cells = ev.select(
+        F.col("event_type").alias("grp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    )
+    return (
+        cells.select("grp", "c.row", "c.bucket")
+        .groupBy("grp", "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("counter"))
+        .orderBy("grp", "row", "bucket")
+    )
+
+
+def cm_by_group_oracle() -> str:
+    cells = ", ".join(
+        f"struct_pack(r := {i}, b := {_bucket_sql('user_id::VARCHAR', i)})"
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+SELECT grp, c.r AS row, c.b AS bucket, count(*) AS counter
+FROM (SELECT event_type AS grp, unnest([{cells}]) AS c FROM events)
+GROUP BY grp, row, bucket
+ORDER BY grp, row, bucket
+""".strip()
+
+
+def cm_by_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability per group: per-(event_type, shard) grids merged by
+    cell-wise addition must equal each group's whole grid -- the rollup
+    protocol under the gate WITHIN a grouping key, i.e. per-source shards
+    combine without their raw keys ever co-shuffling. Emits the cell-wise
+    full-outer diff (all zeros) like cm_merge_shards."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    cells = ev.select(
+        F.col("event_type").alias("grp"),
+        (F.col("user_id") % N_SHARDS).alias("shard"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("grp", "shard", "c.row", "c.bucket")
+    shard_grids = cells.groupBy("grp", "shard", "row", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    merged = shard_grids.groupBy("grp", "row", "bucket").agg(
+        F.sum("counter").alias("merged_counter")
+    )
+    whole = cm_by_group(spark, sf_dir).withColumnRenamed("counter", "whole_counter")
+    return (
+        merged.join(whole, ["grp", "row", "bucket"], "full_outer")
+        .select(
+            "grp",
+            "row",
+            "bucket",
+            F.coalesce("merged_counter", F.lit(0)).alias("merged_counter"),
+            F.coalesce("whole_counter", F.lit(0)).alias("whole_counter"),
+            (
+                F.coalesce("merged_counter", F.lit(0))
+                - F.coalesce("whole_counter", F.lit(0))
+            ).alias("diff"),
+        )
+        .orderBy("grp", "row", "bucket")
+    )
+
+
+def cm_by_group_merge_oracle() -> str:
+    cells = ", ".join(
+        f"struct_pack(r := {i}, b := {_bucket_sql('user_id::VARCHAR', i)})"
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+WITH cells AS (
+  SELECT event_type AS grp, user_id % {N_SHARDS} AS shard, c.r AS row, c.b AS bucket
+  FROM (SELECT event_type, user_id, unnest([{cells}]) AS c FROM events)),
+shard_grids AS (
+  SELECT grp, shard, row, bucket, count(*) AS counter
+  FROM cells GROUP BY grp, shard, row, bucket),
+merged AS (
+  SELECT grp, row, bucket, sum(counter) AS merged_counter
+  FROM shard_grids GROUP BY grp, row, bucket),
+whole AS (
+  SELECT grp, row, bucket, count(*) AS whole_counter
+  FROM cells GROUP BY grp, row, bucket)
+SELECT coalesce(m.grp, w.grp) AS grp,
+       coalesce(m.row, w.row) AS row,
+       coalesce(m.bucket, w.bucket) AS bucket,
+       coalesce(merged_counter, 0)::BIGINT AS merged_counter,
+       coalesce(whole_counter, 0)::BIGINT AS whole_counter,
+       (coalesce(merged_counter, 0) - coalesce(whole_counter, 0))::BIGINT AS diff
+FROM merged m FULL OUTER JOIN whole w
+  ON m.grp = w.grp AND m.row = w.row AND m.bucket = w.bucket
+ORDER BY 1, 2, 3
+""".strip()

@@ -536,6 +536,25 @@ def minhash_lsh_pairs(
        (:func:`_shingle_sets`) instead of re-joining the exploded
        inverted index twice.
     """
+    surv = _minhash_candidates(
+        spark, sf_dir, threshold, num_hashes, band_size, bucket_cap
+    )
+    sets = _shingle_sets(spark, sf_dir)
+    return _verify_jaccard(surv, sets, threshold).orderBy("d1", "d2")
+
+
+def _minhash_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    num_hashes: int,
+    band_size: int,
+    bucket_cap: int,
+) -> DataFrame:
+    """Banded candidate pairs after guards 1+2 of :func:`minhash_lsh_pairs`
+    (bucket cap + signature pre-filter), BEFORE the exact verify -- the
+    candidate set every verifier variant (Jaccard, edit distance) consumes;
+    mirrored by the ``cand`` CTE of :func:`_minhash_pairs_cte`."""
     sig = _minhash_signature_cached(spark, sf_dir, num_hashes)
     n_bands = num_hashes // band_size
     band_keys = [
@@ -579,7 +598,7 @@ def minhash_lsh_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    surv = (
+    return (
         cand.join(
             sigarr.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1")), "d1"
         )
@@ -589,8 +608,6 @@ def minhash_lsh_pairs(
         .filter(matches >= F.lit(_min_matches(threshold, num_hashes)))
         .select("d1", "d2")
     )
-    sets = _shingle_sets(spark, sf_dir)
-    return _verify_jaccard(surv, sets, threshold).orderBy("d1", "d2")
 
 
 _BUCKETCAP_AUTO_MEMO: dict[tuple, DataFrame] = _memo.register({})
@@ -1891,4 +1908,73 @@ SELECT doc_id,
 FROM spans
 GROUP BY doc_id
 ORDER BY doc_id
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Edit-distance near-dup: banded candidates verified by Levenshtein
+# --------------------------------------------------------------------------
+
+EDIT_PREFIX_LEN = 120  # compare normalized-length prefixes: O(P^2) per pair, P fixed
+EDIT_MAX = 24          # keep pairs within 20% edits of the prefix
+
+
+def edit_distance_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs verified by EDIT DISTANCE instead of Jaccard: the
+    banded MinHash candidate set (:func:`_minhash_candidates` -- never
+    all-pairs, same three scale guards) re-checked with
+    ``levenshtein(prefix_a, prefix_b) <= EDIT_MAX`` over fixed
+    EDIT_PREFIX_LEN-char prefixes. Levenshtein is the verifier editors
+    reach for when near-dups differ by local edits rather than shingle
+    churn; the fixed prefix keeps the per-pair cost O(EDIT_PREFIX_LEN^2)
+    -- constant -- so total cost stays linear in the candidate count at
+    any corpus size. Both engines ship the classic unit-cost Levenshtein
+    (insert/delete/substitute = 1), verified equal on constructed cases
+    by tests/test_dedup.py."""
+    cand = _minhash_candidates(
+        spark, sf_dir, threshold, num_hashes, band_size, bucket_cap
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX_LEN).alias("prefix")
+    )
+    return (
+        cand.join(
+            docs.select(F.col("doc_id").alias("d1"), F.col("prefix").alias("p1")), "d1"
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("d2"), F.col("prefix").alias("p2")), "d2"
+        )
+        .select(
+            "d1",
+            "d2",
+            F.levenshtein("p1", "p2").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= EDIT_MAX)
+        .orderBy("d1", "d2")
+    )
+
+
+def edit_distance_pairs_oracle(
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> str:
+    ctes, _final = _minhash_pairs_cte(threshold, num_hashes, band_size)
+    return f"""
+WITH {ctes}
+SELECT d1, d2,
+       levenshtein(substr(a.text, 1, {EDIT_PREFIX_LEN}),
+                   substr(b.text, 1, {EDIT_PREFIX_LEN}))::BIGINT AS edit_distance
+FROM cand JOIN documents a ON a.doc_id = d1
+          JOIN documents b ON b.doc_id = d2
+WHERE levenshtein(substr(a.text, 1, {EDIT_PREFIX_LEN}),
+                  substr(b.text, 1, {EDIT_PREFIX_LEN})) <= {EDIT_MAX}
+ORDER BY d1, d2
 """.strip()

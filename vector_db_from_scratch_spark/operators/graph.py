@@ -1,0 +1,220 @@
+"""Quantized PageRank over the k-NN similarity graph -- the graph-algorithm
+family joining the quantized-chain discipline proven on Lloyd (ivf.py) and
+BPE (textops.py): N iterations composed as ONE lazy plan, every iteration's
+state held in exact integers so the whole trajectory is bit-identical
+across engines, oracle = the loop unrolled as a CTE chain.
+
+Graph: each node's PR_K nearest neighbours by round-6dp cosine distance
+with the house (distance, id) tie-break -- so every node has out-degree
+exactly PR_K and the dangling-node term vanishes. The node set is a
+deterministic subset (vec_id % PR_SUBSET_MOD == 0) so the ORACLE's
+brute-force pair build stays bounded; the Spark side uses the same exact
+build here for gate symmetry, but the rank loop never looks at how edges
+were made -- at 100 TB you swap in the LSH-blocked builder
+(knn.knn_graph_blocked / dedup's banded candidates) and keep the loop.
+
+Arithmetic: ranks are BIGINT micro-units (1e6 = mass 1). Every division
+is half-up via (2a + b) DIV (2b); DIV is implemented as
+(x - pmod(x, y)) / y -- the subtraction makes the numerator exactly
+divisible, so the float64 division of two exactly-representable integers
+with an integer quotient is EXACT (no floor-of-approximate-quotient edge).
+DuckDB mirrors with its native integer `//`. Update rule per iteration:
+
+    contrib(u -> v) = halfup(rank_u, PR_K)
+    rank'_v = halfup(15 * MICRO, 100 * n)                      (teleport)
+            + halfup(85 * sum_in(v) coalesced to 0, 100)       (damping)
+
+i.e. d = 0.85 expressed as the integer pair (85, 100). Public algorithm:
+Brin & Page 1998; the quantization is ours, chosen so the gate can
+hash-compare trajectories instead of trusting float convergence.
+
+At scale: edges are a distributed (src, dst) table; each iteration is one
+equi-join rank⋈edges plus one groupBy(dst) sum -- the textbook distributed
+PageRank shape (shuffle on dst, partial aggregation map-side). The rank
+table is one row per node; nothing corpus-sized is collected or windowed
+globally. Output is the top-PR_TOPN final ranks (bounded), plus a separate
+per-iteration mass-trajectory gate (PR_ITERS rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import distance_expr, oracle_distance_sql
+from ..sources.tables import load_table
+from . import _memo
+
+MICRO = 1_000_000
+PR_SUBSET_MOD = 10  # nodes: vec_id % PR_SUBSET_MOD == 0
+PR_K = 4            # out-degree (exact top-K neighbours)
+PR_ITERS = 3
+PR_TOPN = 20
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an integer pair
+
+
+def _intdiv(a: Column, b: Column) -> Column:
+    """Exact integer floor division for non-negative longs: subtracting
+    pmod makes the numerator exactly divisible, so the float64 division
+    has an integer quotient and is exact (operands stay < 2^53)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def _halfup(a: Column, b: Column) -> Column:
+    """round_half_up(a / b) for non-negative integer columns."""
+    return _intdiv(F.lit(2) * a + b, F.lit(2) * b)
+
+
+def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % PR_SUBSET_MOD == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst): each node's PR_K nearest neighbours, round-6dp cosine,
+    (distance, dst) tie-break. Self-pairs excluded, so out-degree == PR_K
+    whenever the subset has > PR_K nodes (it does at every SF)."""
+    nodes = _nodes(spark, sf_dir)
+    a = nodes.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = nodes.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        distance_expr("cosine", F.col("va"), F.col("vb")).alias("d"),
+    )
+    rn = F.row_number().over(Window.partitionBy("src").orderBy("d", "dst"))
+    # the window is partitioned by src (bounded PR_K survivors per node) --
+    # never a global No-Partition-Defined sort
+    return pairs.withColumn("rn", rn).filter(F.col("rn") <= PR_K).select("src", "dst")
+
+
+_CHAIN_MEMO: dict[tuple, list[DataFrame]] = _memo.register({})
+
+
+def _rank_chain(spark: SparkSession, sf_dir: str, iters: int) -> list[DataFrame]:
+    """[r0, r1, ..., r_iters] rank tables (vec_id, rank, n) composed as one
+    lazy plan; memoized per (application, sf_dir, iters) and eagerly
+    localCheckpointed like the other quantized chains so the trajectory
+    gate and the top-N gate share one execution."""
+    key = (spark.sparkContext.applicationId, sf_dir, iters)
+    if key in _CHAIN_MEMO:
+        return _CHAIN_MEMO[key]
+    nodes = _nodes(spark, sf_dir).select("vec_id")
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    edges = _edges(spark, sf_dir)
+    r = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("vec_id", _halfup(F.lit(MICRO), F.col("n")).alias("rank"), "n")
+        .localCheckpoint()  # eager, per-iteration: truncates the loop
+        # lineage so each iteration executes exactly once (ivf.py:330
+        # discipline) and downstream gates share the materialized states
+    )
+    chain = [r]
+    for _ in range(iters):
+        contrib = (
+            edges.join(r.select(F.col("vec_id").alias("src"), "rank"), "src")
+            .select("dst", _halfup(F.col("rank"), F.lit(PR_K)).alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(sums, nodes["vec_id"] == sums["dst"], "left")
+            .select(
+                "vec_id",
+                (
+                    _halfup(F.lit(15 * MICRO), F.lit(DAMP_DEN) * F.col("n"))
+                    + _halfup(
+                        F.lit(DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0)),
+                        F.lit(DAMP_DEN),
+                    )
+                ).alias("rank"),
+                "n",
+            )
+            .localCheckpoint()
+        )
+        chain.append(r)
+    _CHAIN_MEMO[key] = chain
+    return chain
+
+
+def pagerank_topn(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFrame:
+    """Final ranks after ``iters`` quantized iterations, top PR_TOPN by
+    (rank DESC, vec_id) -- bounded output, BIGINT micro-units hash-gate."""
+    r = _rank_chain(spark, sf_dir, iters)[-1]
+    return (
+        r.select("vec_id", F.col("rank").alias("rank_micros"))
+        .orderBy(F.col("rank_micros").desc(), "vec_id")
+        .limit(PR_TOPN)
+    )
+
+
+def pagerank_trajectory(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS) -> DataFrame:
+    """Per-iteration mass trajectory (iter, total/min/max rank) -- the
+    whole loop's state evolution under the gate in iters+1 rows."""
+    chain = _rank_chain(spark, sf_dir, iters)
+    stats = [
+        df.agg(
+            F.lit(i).alias("iter"),
+            F.sum("rank").alias("total_micros"),
+            F.min("rank").alias("min_micros"),
+            F.max("rank").alias("max_micros"),
+        )
+        for i, df in enumerate(chain)
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("iter")
+
+
+def _chain_sql(iters: int) -> list[str]:
+    """DuckDB CTE chain mirroring :func:`_rank_chain`: nodes, nn, pairs,
+    edges, r0, (c1, r1) ... (c_iters, r_iters)."""
+    d = oracle_distance_sql("cosine", "a.v", "b.v")
+    ctes = [
+        f"""nodes AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id % {PR_SUBSET_MOD} = 0)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"""pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst, {d} AS d
+           FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id)""",
+        f"""edges AS (SELECT src, dst FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+             FROM pairs) WHERE rn <= {PR_K})""",
+        f"""r0 AS (SELECT vec_id, (2 * {MICRO} + n) // (2 * n) AS rank
+           FROM nodes CROSS JOIN nn)""",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""c{it} AS (SELECT e.dst, sum((2 * r.rank + {PR_K}) // (2 * {PR_K})) AS s
+           FROM edges e JOIN r{it - 1} r ON e.src = r.vec_id GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{it} AS (SELECT nodes.vec_id,
+                  ((2 * {15 * MICRO} + {DAMP_DEN} * n) // (2 * {DAMP_DEN} * n)
+                   + (2 * {DAMP_NUM} * coalesce(c.s, 0) + {DAMP_DEN}) // (2 * {DAMP_DEN})) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c{it} c ON c.dst = nodes.vec_id)"""
+        )
+    return ctes
+
+
+def pagerank_topn_oracle(iters: int = PR_ITERS) -> str:
+    ctes = _chain_sql(iters)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, rank::BIGINT AS rank_micros FROM r{iters}"
+        + f"\nORDER BY rank_micros DESC, vec_id LIMIT {PR_TOPN}"
+    )
+
+
+def pagerank_trajectory_oracle(iters: int = PR_ITERS) -> str:
+    ctes = _chain_sql(iters)
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT {it} AS iter, sum(rank)::BIGINT AS total_micros,
+       min(rank)::BIGINT AS min_micros, max(rank)::BIGINT AS max_micros FROM r{it}"""
+        for it in range(iters + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY iter"

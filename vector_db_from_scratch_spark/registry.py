@@ -541,6 +541,14 @@ def build() -> dict[str, Entry]:
         countmin.cm_point_estimates,
         countmin.cm_point_estimates_oracle(),
     )
+    # per-GROUP count-min (per-event_type grids, shared salts/width) and
+    # its per-(group, shard) merge gate -- completes the per-group matrix
+    # for the frequency member (KMV/hist/AMS already have theirs)
+    reg["sketch_cm_by_group"] = (countmin.cm_by_group, countmin.cm_by_group_oracle())
+    reg["sketch_cm_by_group_merge"] = (
+        countmin.cm_by_group_merge,
+        countmin.cm_by_group_merge_oracle(),
+    )
     # cell-wise additive merge of per-shard grids == whole-corpus grid
     reg["sketch_cm_merge_shards"] = (
         countmin.cm_merge_shards,
@@ -610,6 +618,17 @@ def build() -> dict[str, Entry]:
     # median-of-means -- integer until one division, estimate hash-gated
     # next to the exact join count it replaces
     reg["sketch_ams_join_size"] = (ams.ams_join_size, ams.ams_join_size_oracle())
+    # quantized PageRank over the exact k-NN similarity graph: the
+    # graph-algorithm family joining the quantized-chain discipline (Lloyd,
+    # BPE) -- integer micro-unit ranks, half-up divisions, N iterations as
+    # one lazy plan, oracle = the loop unrolled as CTEs. Top-N final ranks
+    # and the per-iteration mass trajectory gated separately.
+    from .operators import graph
+    reg["graph_pagerank_topn"] = (graph.pagerank_topn, graph.pagerank_topn_oracle())
+    reg["graph_pagerank_trajectory"] = (
+        graph.pagerank_trajectory,
+        graph.pagerank_trajectory_oracle(),
+    )
     # the sketch driving the engine's own layout planning: range-partition
     # boundaries interpolated from the cumulative histogram (the
     # deterministic twin of repartitionByRange's sampling), balance audited
@@ -734,6 +753,12 @@ def build() -> dict[str, Entry]:
     # asymmetric containment |A∩B|/|A|, same df-capped candidate subtree
     reg["dedup_containment"] = (d.containment_pairs_dfcap, d.containment_pairs_dfcap_oracle())
     reg["dedup_minhash_lsh"] = (d.minhash_lsh_pairs, d.minhash_lsh_pairs_oracle())
+    # the banded candidates re-verified by LEVENSHTEIN over fixed-length
+    # prefixes (local-edit near-dups; constant per-pair cost)
+    reg["dedup_edit_distance"] = (
+        d.edit_distance_pairs,
+        d.edit_distance_pairs_oracle(),
+    )
     reg["dedup_minhash_autotuned"] = (
         lambda spark, sf: d.minhash_lsh_pairs_autotuned(spark, sf, threshold=0.5),
         d.minhash_lsh_pairs_autotuned_oracle(threshold=0.5),
