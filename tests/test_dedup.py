@@ -387,3 +387,20 @@ def test_edit_distance_filter_excludes_far_pairs(spark):
         .collect()
     )
     assert [r["d"] for r in kept] == [10]
+
+
+def test_leakage_safe_split_properties(spark, sf_dir):
+    """Cluster-keyed split can never straddle a near-dup pair
+    (safe_violations == 0 everywhere), the naive doc-keyed audit records a
+    real leak on this corpus, and doc counts partition the corpus."""
+    import pyarrow.parquet as pq
+
+    from vector_db_from_scratch_spark.operators.corpus import leakage_safe_split
+
+    rows = leakage_safe_split(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["safe_violations"] == 0 for r in rows)
+    assert all(r["naive_violations"] > 0 for r in rows)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(r["n_clusters"] <= r["n_docs"] for r in rows)

@@ -686,3 +686,122 @@ SELECT lang, rank::BIGINT AS rank, doc_id, weight,
 FROM ranked WHERE rank <= {k}
 ORDER BY lang, rank
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe split: near-dup CLUSTERS assigned to splits atomically.
+# Hash-bucketing doc_id sends two near-duplicates to different splits with
+# probability ~2 p(1-p) per pair -- test-set contamination by construction.
+# The fix every serious training pipeline runs: key the split on the dedup
+# cluster representative, so a cluster can never straddle a boundary. The
+# gate emits per-split stats plus BOTH audits side by side: violations
+# under the cluster-keyed split (provably 0) and under the naive doc-keyed
+# split (the leak it prevents).
+# --------------------------------------------------------------------------
+
+
+def leakage_safe_split(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """(split, n_docs, n_clusters, safe_violations, naive_violations):
+    documents split train/val/test by md5-bucketing their near-dup
+    cluster rep (MinHash-LSH pairs -> connected components; singletons
+    rep themselves), with the straddling-pair counts of the cluster-keyed
+    and doc-keyed assignments appended to every row.
+
+    Scale: the pair graph and labels are the memoized dedup artifacts
+    (banded candidates, never all-pairs); the split itself is a scan-side
+    projection of the label table -- one broadcast-sized join on top of
+    what the dedup job already computed."""
+    from .dedup import _clusters_cached, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("d1", "d2")
+    labels = _clusters_cached(spark, sf_dir, threshold, "minhash", pairs).select(
+        F.col("node").alias("doc_id"), "cluster_rep"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clusters = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_rep", "doc_id").alias("rep")
+    )
+
+    def split_of(c):
+        b = _split_bucket(c)
+        return (
+            F.when(b < SPLIT_BOUNDS[0], "train")
+            .when(b < SPLIT_BOUNDS[1], "val")
+            .otherwise("test")
+        )
+
+    assigned = clusters.select("doc_id", "rep", split_of(F.col("rep")).alias("split"))
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep").alias("n_clusters"),
+    )
+    audited = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("d1"), F.col("split").alias("sp1")),
+            "d1",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("d2"), F.col("split").alias("sp2")),
+            "d2",
+        )
+        .select(
+            "sp1",
+            "sp2",
+            split_of(F.col("d1")).alias("nsp1"),
+            split_of(F.col("d2")).alias("nsp2"),
+        )
+    )
+    viol = audited.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("sp1") != F.col("sp2"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("safe_violations"),
+        F.coalesce(
+            F.sum(F.when(F.col("nsp1") != F.col("nsp2"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("naive_violations"),
+    )
+    return per_split.crossJoin(F.broadcast(viol)).orderBy("split")
+
+
+def leakage_safe_split_oracle(threshold: float = 0.3) -> str:
+    from ..functions.hashing import hash60_sql
+    from .dedup import BAND_SIZE, NUM_HASHES, _minhash_pairs_cte
+
+    ctes, final = _minhash_pairs_cte(threshold, NUM_HASHES, BAND_SIZE)
+
+    def split_sql(expr: str) -> str:
+        b = f"({hash60_sql(f'{expr}::VARCHAR')} % {SPLIT_BUCKETS})"
+        return (
+            f"CASE WHEN {b} < {SPLIT_BOUNDS[0]} THEN 'train' "
+            f"WHEN {b} < {SPLIT_BOUNDS[1]} THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (SELECT d1, d2 FROM ({final})),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL
+          SELECT d2, d1 FROM pairs),
+reach(a, b) AS (SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+           FROM reach GROUP BY a),
+clusters AS (SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS rep
+             FROM documents d LEFT JOIN labels l USING (doc_id)),
+assigned AS (SELECT doc_id, rep, {split_sql('rep')} AS split FROM clusters),
+per_split AS (SELECT split, count(*) AS n_docs,
+                     count(DISTINCT rep) AS n_clusters
+              FROM assigned GROUP BY split),
+viol AS (SELECT
+    coalesce(sum(CASE WHEN s1.split <> s2.split THEN 1 ELSE 0 END), 0)::BIGINT
+        AS safe_violations,
+    coalesce(sum(CASE WHEN {split_sql('p.d1')} <> {split_sql('p.d2')} THEN 1 ELSE 0 END), 0)::BIGINT
+        AS naive_violations
+  FROM pairs p JOIN assigned s1 ON s1.doc_id = p.d1
+               JOIN assigned s2 ON s2.doc_id = p.d2)
+SELECT split, n_docs, n_clusters, safe_violations, naive_violations
+FROM per_split CROSS JOIN viol
+ORDER BY split
+""".strip()

@@ -1784,16 +1784,22 @@ ORDER BY d.doc_id
 #   1. explode each doc into (doc_id, pos, hash(substr(text, pos, K)))
 #      -- the shuffle moves 8-byte hashes, never the text (exact_dedup
 #      discipline),
-#   2. keep positions whose gram occurs in >= 2 DISTINCT documents,
+#   2. keep positions whose gram occurs in >= 2 DISTINCT documents --
+#      computed INSIDE the one gram shuffle (dense_rank + max over the gh
+#      partition = count distinct) so the per-position digest evaluates
+#      once, not once per consumer,
 #   3. merge overlapping/adjacent fixed-length intervals per doc with the
 #      gaps-and-islands window (new island when the position gap exceeds
 #      K): per-doc windows are bounded by document length, so the only
-#      corpus-sized shuffle is the gram groupBy.
+#      corpus-sized shuffle is the gh window exchange.
 #
 # At 100 TB step 2's grams-with-df>=2 set is exactly what a count-min /
-# Bloom pre-filter prunes before the join (operators/bloom.py); the
-# per-doc interval merge never leaves the document. Output per affected
-# doc: span count, longest span, repeated-char mass and fraction.
+# Bloom pre-filter prunes up front (operators/bloom.py); a pathological
+# gram shared by every document concentrates its positions in one gh
+# partition -- the same hot-bucket exposure the banding BUCKET_CAP guards,
+# and the same cap applies if a corpus needs it. The per-doc interval
+# merge never leaves the document. Output per affected doc: span count,
+# longest span, repeated-char mass and fraction.
 # --------------------------------------------------------------------------
 
 K_SPAN = 20  # characters
@@ -1823,13 +1829,19 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         hash60(F.substring(F.col("text"), F.col("pos"), K_SPAN)).alias("gh"),
     )
-    crossdoc = (
-        grams.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("df"))
+    # single pass over the positional grams: the md5-derived gram hash is
+    # the dominant cost (one digest per character position), so compute it
+    # once and derive the cross-doc document-frequency WITHIN the same
+    # shuffle (dense_rank by doc_id, max over the gh partition == count
+    # distinct) instead of aggregating grams a second time and joining back
+    wgh = Window.partitionBy("gh")
+    dr = F.dense_rank().over(wgh.orderBy("doc_id"))
+    hits = (
+        grams.withColumn("dr", dr)
+        .withColumn("df", F.max("dr").over(wgh))
         .filter(F.col("df") >= 2)
-        .select("gh")
+        .select("doc_id", "n_chars", "pos")
     )
-    hits = grams.join(crossdoc, "gh").select("doc_id", "n_chars", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = hits.withColumn(
         "new_island",

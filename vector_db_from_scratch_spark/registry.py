@@ -710,6 +710,14 @@ def build() -> dict[str, Entry]:
     reg["dedup_exact_normalized"] = (d.exact_dedup_normalized, d.exact_dedup_normalized_oracle())
     reg["pipeline_corpus_prep"] = (corpus.corpus_prep, corpus.corpus_prep_oracle())
     reg["pipeline_sample_split"] = (corpus.corpus_sample_split, corpus.corpus_sample_split_oracle())
+    # dedup-aware split: near-dup CLUSTERS assigned to splits atomically
+    # (split keyed on the cluster rep), gated with both leakage audits --
+    # cluster-keyed violations (0 by construction) next to the doc-keyed
+    # count it prevents
+    reg["pipeline_leakage_safe_split"] = (
+        corpus.leakage_safe_split,
+        corpus.leakage_safe_split_oracle(),
+    )
     reg["pipeline_stratified_sample"] = (corpus.corpus_stratified_sample, corpus.corpus_stratified_sample_oracle())
     reg["pipeline_decontaminate"] = (corpus.corpus_decontaminate, corpus.corpus_decontaminate_oracle())
     reg["pipeline_pack_sequences"] = (corpus.corpus_pack_sequences, corpus.corpus_pack_sequences_oracle())
