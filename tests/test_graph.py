@@ -14,9 +14,9 @@ import pytest
 from vector_db_from_scratch_spark.operators import graph
 
 
-def _py_reference(sf_dir: str, iters: int):
-    """Brute-force NumPy replica of _rank_chain: returns list of
-    {vec_id: rank_micros} dicts, one per iteration (0..iters)."""
+def _py_reference(sf_dir: str, iters: int, seed_mod: int | None = None):
+    """Brute-force NumPy replica of _rank_chain (plain or personalized):
+    returns list of {vec_id: rank_micros} dicts, one per iteration."""
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
     ids, vecs = [], []
     for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
@@ -52,14 +52,16 @@ def _py_reference(sf_dir: str, iters: int):
     def halfup(a: int, b: int) -> int:
         return (2 * a + b) // (2 * b)
 
-    rank = {v: halfup(graph.MICRO, n) for v in ids}
+    is_seed = {v: seed_mod is None or v % seed_mod == 0 for v in ids}
+    ns = sum(is_seed.values())
+    rank = {v: halfup(graph.MICRO, ns) if is_seed[v] else 0 for v in ids}
     chain = [dict(rank)]
     for _ in range(iters):
         sums = {v: 0 for v in ids}
         for src, dst in edges:
             sums[dst] += halfup(rank[src], graph.PR_K)
         rank = {
-            v: halfup(15 * graph.MICRO, graph.DAMP_DEN * n)
+            v: (halfup(15 * graph.MICRO, graph.DAMP_DEN * ns) if is_seed[v] else 0)
             + halfup(graph.DAMP_NUM * sums[v], graph.DAMP_DEN)
             for v in ids
         }
@@ -119,3 +121,36 @@ def test_mass_approximately_conserved(py_chain):
     for it, ranks in enumerate(py_chain):
         drift = abs(sum(ranks.values()) - graph.MICRO)
         assert drift <= 2 * n * (it + 1), (it, drift)
+
+
+def test_ppr_matches_python_reference(spark, sf_dir):
+    rows = graph.ppr_topn(spark, sf_dir).collect()
+    final = _py_reference(sf_dir, graph.PR_ITERS, graph.PPR_SEED_MOD)[-1]
+    expected = sorted(final.items(), key=lambda kv: (-kv[1], kv[0]))[: graph.PR_TOPN]
+    assert [(r["vec_id"], r["rank_micros"]) for r in rows] == expected
+
+
+def test_ppr_all_seeds_degenerates_to_pagerank(spark, sf_dir):
+    """seed_mod=1 makes every node a teleport target -- personalized
+    PageRank must then equal the plain chain bit for bit."""
+    plain = graph.pagerank_topn(spark, sf_dir).collect()
+    degenerate = graph.ppr_topn(spark, sf_dir, seed_mod=1).collect()
+    assert [tuple(r) for r in degenerate] == [tuple(r) for r in plain]
+
+
+def test_ppr_non_seeds_carry_only_damped_inflow(spark, sf_dir):
+    """A non-seed with no in-edges must sit at exactly 0 teleport + 0
+    inflow; every seed is at least the teleport base."""
+    final = _py_reference(sf_dir, graph.PR_ITERS, graph.PPR_SEED_MOD)[-1]
+    seeds = {v for v in final if v % graph.PPR_SEED_MOD == 0}
+    ns = len(seeds)
+    base = (2 * 15 * graph.MICRO + graph.DAMP_DEN * ns) // (2 * graph.DAMP_DEN * ns)
+    assert all(final[v] >= base for v in seeds)
+    assert all(final[v] >= 0 for v in final)
+
+
+def test_degree_histogram_conserves_nodes_and_edges(spark, sf_dir):
+    rows = graph.degree_histogram(spark, sf_dir).collect()
+    n_nodes = graph._nodes(spark, sf_dir).count()
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    assert sum(r["in_degree"] * r["n_nodes"] for r in rows) == graph.PR_K * n_nodes

@@ -93,21 +93,44 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHAIN_MEMO: dict[tuple, list[DataFrame]] = _memo.register({})
 
+PPR_SEED_MOD = 50  # personalized teleport set: vec_id % PPR_SEED_MOD == 0
 
-def _rank_chain(spark: SparkSession, sf_dir: str, iters: int) -> list[DataFrame]:
-    """[r0, r1, ..., r_iters] rank tables (vec_id, rank, n) composed as one
-    lazy plan; memoized per (application, sf_dir, iters) and eagerly
-    localCheckpointed like the other quantized chains so the trajectory
-    gate and the top-N gate share one execution."""
-    key = (spark.sparkContext.applicationId, sf_dir, iters)
+
+def _rank_chain(
+    spark: SparkSession, sf_dir: str, iters: int, seed_mod: int | None = None
+) -> list[DataFrame]:
+    """[r0, r1, ..., r_iters] rank tables (vec_id, rank, n, seed) composed
+    as one lazy plan; memoized per (application, sf_dir, iters, seed_mod)
+    and eagerly localCheckpointed like the other quantized chains so the
+    trajectory gate and the top-N gate share one execution.
+
+    ``seed_mod`` = None is plain PageRank (every node is a teleport
+    target); an integer restricts the teleport set to vec_id % seed_mod
+    == 0 -- personalized PageRank (Haveliwala 2002), where the teleport
+    denominator becomes the SEED count and non-seeds receive only damped
+    in-flow. The two cases share one arithmetic path: the None case is
+    the all-seeds degeneracy."""
+    key = (spark.sparkContext.applicationId, sf_dir, iters, seed_mod)
     if key in _CHAIN_MEMO:
         return _CHAIN_MEMO[key]
     nodes = _nodes(spark, sf_dir).select("vec_id")
-    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    if seed_mod is None:
+        nodes = nodes.withColumn("seed", F.lit(True))
+    else:
+        nodes = nodes.withColumn("seed", F.col("vec_id") % seed_mod == 0)
+    n_df = nodes.filter("seed").agg(F.count(F.lit(1)).alias("n"))
     edges = _edges(spark, sf_dir)
+    zero = F.lit(0).cast("long")
     r = (
         nodes.crossJoin(F.broadcast(n_df))
-        .select("vec_id", _halfup(F.lit(MICRO), F.col("n")).alias("rank"), "n")
+        .select(
+            "vec_id",
+            F.when(F.col("seed"), _halfup(F.lit(MICRO), F.col("n")))
+            .otherwise(zero)
+            .alias("rank"),
+            "n",
+            "seed",
+        )
         .localCheckpoint()  # eager, per-iteration: truncates the loop
         # lineage so each iteration executes exactly once (ivf.py:330
         # discipline) and downstream gates share the materialized states
@@ -125,13 +148,17 @@ def _rank_chain(spark: SparkSession, sf_dir: str, iters: int) -> list[DataFrame]
             .select(
                 "vec_id",
                 (
-                    _halfup(F.lit(15 * MICRO), F.lit(DAMP_DEN) * F.col("n"))
+                    F.when(
+                        F.col("seed"),
+                        _halfup(F.lit(15 * MICRO), F.lit(DAMP_DEN) * F.col("n")),
+                    ).otherwise(zero)
                     + _halfup(
                         F.lit(DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0)),
                         F.lit(DAMP_DEN),
                     )
                 ).alias("rank"),
                 "n",
+                "seed",
             )
             .localCheckpoint()
         )
@@ -170,20 +197,22 @@ def pagerank_trajectory(spark: SparkSession, sf_dir: str, iters: int = PR_ITERS)
     return out.orderBy("iter")
 
 
-def _chain_sql(iters: int) -> list[str]:
+def _chain_sql(iters: int, seed_mod: int | None = None) -> list[str]:
     """DuckDB CTE chain mirroring :func:`_rank_chain`: nodes, nn, pairs,
     edges, r0, (c1, r1) ... (c_iters, r_iters)."""
     d = oracle_distance_sql("cosine", "a.v", "b.v")
+    seed = "TRUE" if seed_mod is None else f"(vec_id % {seed_mod} = 0)"
     ctes = [
-        f"""nodes AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE vec_id % {PR_SUBSET_MOD} = 0)""",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"""nodes AS (SELECT vec_id, embedding::DOUBLE[] AS v, {seed} AS seed
+           FROM embeddings WHERE vec_id % {PR_SUBSET_MOD} = 0)""",
+        "nn AS (SELECT count(*) AS n FROM nodes WHERE seed)",
         f"""pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst, {d} AS d
            FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id)""",
         f"""edges AS (SELECT src, dst FROM (
              SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
              FROM pairs) WHERE rn <= {PR_K})""",
-        f"""r0 AS (SELECT vec_id, (2 * {MICRO} + n) // (2 * n) AS rank
+        f"""r0 AS (SELECT vec_id, CASE WHEN seed
+                  THEN (2 * {MICRO} + n) // (2 * n) ELSE 0 END AS rank
            FROM nodes CROSS JOIN nn)""",
     ]
     for it in range(1, iters + 1):
@@ -193,7 +222,9 @@ def _chain_sql(iters: int) -> list[str]:
         )
         ctes.append(
             f"""r{it} AS (SELECT nodes.vec_id,
-                  ((2 * {15 * MICRO} + {DAMP_DEN} * n) // (2 * {DAMP_DEN} * n)
+                  (CASE WHEN seed
+                     THEN (2 * {15 * MICRO} + {DAMP_DEN} * n) // (2 * {DAMP_DEN} * n)
+                     ELSE 0 END
                    + (2 * {DAMP_NUM} * coalesce(c.s, 0) + {DAMP_DEN}) // (2 * {DAMP_DEN})) AS rank
            FROM nodes CROSS JOIN nn LEFT JOIN c{it} c ON c.dst = nodes.vec_id)"""
         )
@@ -207,6 +238,67 @@ def pagerank_topn_oracle(iters: int = PR_ITERS) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT vec_id, rank::BIGINT AS rank_micros FROM r{iters}"
         + f"\nORDER BY rank_micros DESC, vec_id LIMIT {PR_TOPN}"
+    )
+
+
+def ppr_topn(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = PR_ITERS,
+    seed_mod: int = PPR_SEED_MOD,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restricted to the seed set
+    (vec_id % seed_mod == 0) -- rank becomes proximity TO the seeds
+    through the similarity graph, the relevance-propagation primitive
+    behind seed-based retrieval expansion. Same quantized chain, same
+    gate; only the teleport term changes."""
+    r = _rank_chain(spark, sf_dir, iters, seed_mod)[-1]
+    return (
+        r.select("vec_id", F.col("rank").alias("rank_micros"))
+        .orderBy(F.col("rank_micros").desc(), "vec_id")
+        .limit(PR_TOPN)
+    )
+
+
+def ppr_topn_oracle(iters: int = PR_ITERS, seed_mod: int = PPR_SEED_MOD) -> str:
+    ctes = _chain_sql(iters, seed_mod)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, rank::BIGINT AS rank_micros FROM r{iters}"
+        + f"\nORDER BY rank_micros DESC, vec_id LIMIT {PR_TOPN}"
+    )
+
+
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(in_degree, n_nodes) distribution of the k-NN graph -- the
+    hub-structure diagnostic (out-degree is K by construction; in-degree
+    concentration is what makes a similarity graph skewed). Two bounded
+    aggregations; output rows <= max in-degree."""
+    nodes = _nodes(spark, sf_dir).select("vec_id")
+    indeg = _edges(spark, sf_dir).groupBy(F.col("dst").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        nodes.join(indeg, "vec_id", "left")
+        .select(F.coalesce("in_degree", F.lit(0)).alias("in_degree"))
+        .groupBy("in_degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("in_degree")
+    )
+
+
+def degree_histogram_oracle() -> str:
+    ctes = _chain_sql(0)[:4]  # nodes, nn, pairs, edges
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT in_degree, count(*) AS n_nodes FROM (
+  SELECT coalesce(i.in_degree, 0) AS in_degree
+  FROM nodes LEFT JOIN (SELECT dst, count(*) AS in_degree FROM edges GROUP BY dst) i
+    ON i.dst = nodes.vec_id)
+GROUP BY in_degree ORDER BY in_degree"""
     )
 
 

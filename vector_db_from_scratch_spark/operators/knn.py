@@ -595,6 +595,11 @@ def knn_mmr_rerank(
             "rel",
             (F.lit(lam) * F.col("rel")).alias("score"),
         )
+        # each greedy step references the selection three times (anti-join,
+        # penalty join, union); checkpointing per iteration keeps the plan
+        # linear in K instead of ~3^K subtrees (ivf.py:330 discipline) --
+        # each checkpoint is a <= K-row local job over the cached shortlist
+        .localCheckpoint()
     )
     for i in range(2, k + 1):
         chosen = sel.select("vec_id")
@@ -616,7 +621,7 @@ def knn_mmr_rerank(
             .limit(1)
             .select(F.lit(i).alias("rank"), "vec_id", "rel", "score")
         )
-        sel = sel.unionAll(pick)
+        sel = sel.unionAll(pick).localCheckpoint()
     return sel.select(
         F.col("rank").cast("long").alias("rank"),
         "vec_id",

@@ -629,6 +629,13 @@ def build() -> dict[str, Entry]:
         graph.pagerank_trajectory,
         graph.pagerank_trajectory_oracle(),
     )
+    # personalized PageRank (teleport restricted to a seed set -- rank =
+    # proximity to the seeds) and the in-degree histogram diagnostic
+    reg["graph_ppr_topn"] = (graph.ppr_topn, graph.ppr_topn_oracle())
+    reg["graph_degree_histogram"] = (
+        graph.degree_histogram,
+        graph.degree_histogram_oracle(),
+    )
     # the sketch driving the engine's own layout planning: range-partition
     # boundaries interpolated from the cumulative histogram (the
     # deterministic twin of repartitionByRange's sampling), balance audited
