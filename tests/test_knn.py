@@ -137,3 +137,43 @@ def test_mmr_rerank_greedy_matches_python_and_lambda1_degenerates(spark, sf_dir)
         )
         sel.append(best)
     assert picked == sel
+
+
+def test_hard_negatives_are_cross_label_and_truly_nearest(spark, sf_dir):
+    """Every mined negative has a different label from its anchor, and for
+    one spot-checked anchor the distances equal the brute-force nearest
+    other-label distances (ties broken by vec_id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from vector_db_from_scratch_spark.operators.knn import (
+        HN_ANCHOR_MOD,
+        HN_K,
+        hard_negatives,
+    )
+
+    rows = hard_negatives(spark, sf_dir).collect()
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    label = dict(zip(tbl["vec_id"], tbl["label"]))
+    vecs = {v: np.asarray(e, dtype=np.float64) for v, e in zip(tbl["vec_id"], tbl["embedding"])}
+    assert rows
+    assert all(r["anchor_id"] % HN_ANCHOR_MOD == 0 for r in rows)
+    assert all(label[r["vec_id"]] != label[r["anchor_id"]] for r in rows)
+    by_anchor: dict[int, list] = {}
+    for r in rows:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert all(len(v) == HN_K for v in by_anchor.values())
+
+    anchor = min(by_anchor)
+    av = vecs[anchor]
+
+    def dist(v):
+        d = 1.0 - float(av @ vecs[v]) / (np.linalg.norm(av) * np.linalg.norm(vecs[v]))
+        return float(Decimal(d).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    brute = sorted(
+        ((dist(v), v) for v in vecs if label[v] != label[anchor]),
+    )[:HN_K]
+    got = [(r["distance"], r["vec_id"]) for r in sorted(by_anchor[anchor], key=lambda r: r["rank"])]
+    assert got == brute

@@ -403,3 +403,20 @@ def test_knn_strategy_auto_branches_match_direct_paths(spark, sf_dir):
         ).collect()
     ]
     assert [r["vec_id"] for r in sorted(by_probe[2], key=lambda r: r["rank"])] == direct_exact
+
+
+def test_centroid_confusion_partitions_corpus_and_is_diagonal_heavy(spark, sf_dir):
+    """Confusion rows partition the corpus (every vector assigned exactly
+    once) and nearest-centroid accuracy beats chance by a wide margin --
+    the labels are Gaussian clusters, so the diagonal should dominate."""
+    import pyarrow.parquet as pq
+
+    from vector_db_from_scratch_spark.operators.ivf import centroid_confusion
+
+    rows = centroid_confusion(spark, sf_dir).collect()
+    meta = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["label"]).to_pydict()
+    n = len(meta["label"])
+    n_labels = len(set(meta["label"]))
+    assert sum(r["n"] for r in rows) == n
+    correct = sum(r["n"] for r in rows if r["label"] == r["assigned_label"])
+    assert correct / n > 3.0 / n_labels, (correct, n, n_labels)

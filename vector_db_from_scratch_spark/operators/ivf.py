@@ -1711,3 +1711,79 @@ SELECT r.probe, d3.n_total,
 FROM ranked r JOIN dec3 d3 USING (probe)
 ORDER BY r.probe, r.rank
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Nearest-centroid confusion matrix: assign every embedding to the nearest
+# per-label centroid and cross-tabulate true label x assigned label -- the
+# eval-side twin of agg_embedding_drift (how separable the label clusters
+# actually are; the diagonal is nearest-centroid classification accuracy).
+# Portable because the centroids are the EXACT micro-unit means of
+# label_centroids (identical doubles in both engines), distances carry the
+# shared round-6dp contract, and the argmin tie-breaks on (distance,
+# label). Costs one broadcast of the (labels x dim) centroid table against
+# one embedding scan; the per-vector argmin window holds exactly
+# n_labels rows. Output bounded by n_labels^2.
+# --------------------------------------------------------------------------
+
+
+def centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..functions.vector import distance_expr
+
+    lc = label_centroids(spark, sf_dir)
+    carr = (
+        lc.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("s"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("s", lambda x: x["c"]).alias("cv"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    scored = emb.join(F.broadcast(carr)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        distance_expr("euclidean", F.col("v"), F.col("cv")).alias("distance"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy("distance", "clabel")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "assigned_label")
+    )
+
+
+def centroid_confusion_oracle() -> str:
+    from ..functions.vector import oracle_distance_sql
+    from .relational import MICRO
+
+    d = oracle_distance_sql("euclidean", "e.v", "c.cv")
+    return f"""
+WITH cent AS (
+  SELECT label, i AS pos,
+         (sum(round(embedding[i]::DOUBLE * {MICRO}.0)::BIGINT)::DOUBLE
+          / {MICRO}.0 / count(*)::DOUBLE) AS c
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i),
+carr AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv
+         FROM cent GROUP BY label),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+scored AS (SELECT e.vec_id, e.label, c.clabel, {d} AS distance
+           FROM e CROSS JOIN carr c),
+a AS (SELECT vec_id, label, clabel,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY distance, clabel) AS rn
+      FROM scored)
+SELECT label, clabel AS assigned_label, count(*) AS n
+FROM a WHERE rn = 1
+GROUP BY label, clabel
+ORDER BY label, assigned_label
+""".strip()

@@ -675,3 +675,72 @@ SELECT rank::BIGINT AS rank, vec_id,
 FROM all{k}
 ORDER BY rank
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining: for each anchor vector, the nearest neighbours whose
+# label DIFFERS -- the contrastive-training data op (most-confusable
+# negatives are the ones worth training on). Anchor set is a deterministic
+# subset so the output stays bounded; per-anchor work is the same bounded
+# window as knn_per_label. At 100 TB anchors ride broadcast (they are the
+# small side by construction) and the candidate scan is one pass.
+# --------------------------------------------------------------------------
+
+HN_ANCHOR_MOD = 25  # anchors: vec_id % HN_ANCHOR_MOD == 0
+HN_K = 5
+
+
+def hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = HN_K,
+    anchor_mod: int = HN_ANCHOR_MOD,
+) -> DataFrame:
+    """(anchor_id, rank, vec_id, distance): per anchor, the k nearest
+    OTHER-label vectors by round-6dp cosine with the (distance, vec_id)
+    tie-break."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, EMB).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    anchors = emb.filter(F.col("vec_id") % anchor_mod == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("label").alias("alabel"),
+    )
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("label") != F.col("alabel"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            distance_expr("cosine", F.col("v"), F.col("av")).alias("distance"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("anchor_id").orderBy("distance", "vec_id")
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", F.col("rank").cast("long").alias("rank"), "vec_id", "distance")
+        .orderBy("anchor_id", "rank")
+    )
+
+
+def hard_negatives_oracle(k: int = HN_K, anchor_mod: int = HN_ANCHOR_MOD) -> str:
+    d = oracle_distance_sql("cosine", "e.v", "a.av")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+a AS (SELECT vec_id AS anchor_id, v AS av, label AS alabel FROM e
+      WHERE vec_id % {anchor_mod} = 0),
+scored AS (SELECT a.anchor_id, e.vec_id, {d} AS distance
+           FROM e JOIN a ON e.label <> a.alabel),
+ranked AS (SELECT anchor_id, vec_id, distance,
+                  row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY distance, vec_id) AS rank
+           FROM scored)
+SELECT anchor_id, rank::BIGINT AS rank, vec_id, distance
+FROM ranked WHERE rank <= {k}
+ORDER BY anchor_id, rank
+""".strip()

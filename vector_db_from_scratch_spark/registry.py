@@ -377,6 +377,12 @@ def build() -> dict[str, Entry]:
     # single-pass vector aggregate: quantize-to-6dp + exact decimal sums
     # make the centroid hash-checkable (unlike the iterative kmeans below)
     reg["agg_label_centroids"] = (ivf.label_centroids, ivf.label_centroids_oracle())
+    # nearest-centroid confusion matrix over the exact micro-unit centroids
+    # (true label x assigned label -- cluster-separability eval)
+    reg["agg_centroid_confusion"] = (
+        ivf.centroid_confusion,
+        ivf.centroid_confusion_oracle(),
+    )
     # embedding distribution drift between corpus halves, per label
     reg["agg_embedding_drift"] = (ivf.embedding_drift, ivf.embedding_drift_oracle())
     # iterative k-means IVF training: rows-only (float centroid means are
@@ -632,6 +638,9 @@ def build() -> dict[str, Entry]:
     # personalized PageRank (teleport restricted to a seed set -- rank =
     # proximity to the seeds) and the in-degree histogram diagnostic
     reg["graph_ppr_topn"] = (graph.ppr_topn, graph.ppr_topn_oracle())
+    # hard-negative mining: per anchor, the k nearest OTHER-label vectors
+    # (the contrastive-training negatives worth training on)
+    reg["knn_hard_negatives"] = (knn.hard_negatives, knn.hard_negatives_oracle())
     reg["graph_degree_histogram"] = (
         graph.degree_histogram,
         graph.degree_histogram_oracle(),
