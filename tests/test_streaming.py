@@ -803,3 +803,36 @@ def test_streaming_column_stats_equal_batch_recount(spark, sf_dir):
             assert row["min_num"] is None and row["max_num"] is None
             assert row["min_str"] is not None and row["max_str"] is not None
             assert row["min_str"] <= row["max_str"]
+
+
+def test_dedup_restart_exercises_cross_phase_keys(spark, sf_dir):
+    """stream_dedup_restart_drained is only a recovery gate if some
+    (user_id, event_type) key occurs in BOTH timeline halves -- a lost
+    state row would then re-emit in phase 2. Pin that overlap, and pin
+    the drained result equal to the batch distinct counts."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.sources.tables import load_table
+    from vector_db_from_scratch_spark.streaming import sinks
+
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.withColumn("half", F.ntile(2).over(W.orderBy("ts", "event_id")))
+    keys = (
+        halves.groupBy("user_id", "event_type")
+        .agg(F.count_distinct("half").alias("n_halves"))
+    )
+    overlap = keys.filter(F.col("n_halves") == 2).count()
+    assert overlap > 0, "no dedup key spans the phase boundary"
+
+    res = {
+        r["user_id"]: r["n_event_types"]
+        for r in sinks.dedup_restart_drained(spark, sf_dir).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    assert res == exact

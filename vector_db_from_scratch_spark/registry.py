@@ -1170,6 +1170,14 @@ def build() -> dict[str, Entry]:
         stream_sinks.session_restart_drained,
         stream_sinks.session_restart_drained_oracle(),
     )
+    # ... and dropDuplicates KEY state across a restart: each key emits at
+    # most once across the whole stream only if the seen-key state
+    # survived (a lost row re-emits in phase 2 and flips the per-user
+    # distinct-count reduction)
+    reg["stream_dedup_restart_drained"] = (
+        stream_sinks.dedup_restart_drained,
+        stream_sinks.dedup_restart_drained_oracle(),
+    )
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins

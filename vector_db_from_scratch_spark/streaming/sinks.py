@@ -415,3 +415,76 @@ def session_restart_drained_oracle() -> str:
     from .windows import session_stats_drained_oracle
 
     return session_stats_drained_oracle()
+
+
+@memoize_drain
+def dedup_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery for dropDuplicates KEY state -- the fourth
+    state type under a mid-stream restart (tumbling_restart: fixed window
+    buckets; session_restart: merging sessions; upsert_restart: source
+    offsets + foreachBatch). Phase 1 drains the first time slice and
+    stops; phase 2 restarts from the SAME checkpoint over the remainder.
+    dropDuplicates emits each (user_id, event_type) key at most once
+    ACROSS the whole stream only if the seen-key state survived the
+    restart: a lost state row re-emits its key in phase 2, the
+    union-of-phases then counts that event_type twice for its user, and
+    the per-user distinct-count reduction (shared verbatim with
+    dedup_drained's oracle) hash-mismatches. Late-drop hazards don't
+    apply: replay slices are contiguous time-ordered, so no phase-2 row
+    is behind the recovered watermark."""
+    import glob
+
+    from ..sources.artifacts import scratch_dir
+    from .windows import drain_conf, events_stream_from, replay_events_dir
+
+    replay = scratch_dir("dedup-restart-replay-")
+    replay_events_dir(spark, sf_dir, replay, n_files=2)
+    files = sorted(glob.glob(os.path.join(replay, "part-*.parquet")))
+    assert len(files) >= 2, files
+    stream_dir = scratch_dir("dedup-restart-stream-")
+    ckpt = scratch_dir("dedup-restart-ckpt-")
+    # append-mode memory sinks refuse checkpoint recovery, so the emission
+    # goes through the real FILE sink: its _spark_metadata commit log is
+    # what makes the output exactly-once across the restart, which is
+    # itself part of what this gate verifies
+    out_dir = scratch_dir("dedup-restart-out-")
+
+    def run_phase(new_files: list[str]) -> None:
+        for f in new_files:
+            shutil.copy(f, os.path.join(stream_dir, os.path.basename(f)))
+        deduped = (
+            events_stream_from(spark, stream_dir, files_per_trigger=1)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        with drain_conf(spark):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+    half = len(files) // 2
+    run_phase(files[:half])
+    run_phase(files[half:])
+    # the manifest-governed read sees both phases' emissions exactly once;
+    # exactly-once-per-key across the restart makes the per-user row count
+    # equal the batch distinct count
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_event_types"))
+        .orderBy("user_id")
+    )
+
+
+def dedup_restart_drained_oracle() -> str:
+    from .windows import dedup_drained_oracle
+
+    return dedup_drained_oracle()
