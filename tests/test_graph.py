@@ -154,3 +154,72 @@ def test_degree_histogram_conserves_nodes_and_edges(spark, sf_dir):
     n_nodes = graph._nodes(spark, sf_dir).count()
     assert sum(r["n_nodes"] for r in rows) == n_nodes
     assert sum(r["in_degree"] * r["n_nodes"] for r in rows) == graph.PR_K * n_nodes
+
+
+def _py_hits(sf_dir: str, iters: int):
+    """Exact-integer replica of _hits_chain built on _py_reference's edges."""
+    # reuse the edge construction from the pagerank reference
+    chain_edges = _py_edges(sf_dir)
+    ids = sorted({s for s, _ in chain_edges} | {d for _, d in chain_edges})
+    n = len(ids)
+
+    def halfup(a: int, b: int) -> int:
+        return (2 * a + b) // (2 * b)
+
+    auth = {v: halfup(graph.MICRO, n) for v in ids}
+    hub = dict(auth)
+    for _ in range(iters):
+        raw = {v: 0 for v in ids}
+        for s, d in chain_edges:
+            raw[d] += hub[s]
+        tot = sum(raw.values())
+        auth = {v: halfup(raw[v] * graph.MICRO, tot) for v in ids}
+        raw = {v: 0 for v in ids}
+        for s, d in chain_edges:
+            raw[s] += auth[d]
+        tot = sum(raw.values())
+        hub = {v: halfup(raw[v] * graph.MICRO, tot) for v in ids}
+    return auth, hub
+
+
+def _py_edges(sf_dir: str):
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids, vecs = [], []
+    for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
+        if vid % graph.PR_SUBSET_MOD == 0:
+            ids.append(vid)
+            vecs.append(np.asarray(emb, dtype=np.float64))
+    order = np.argsort(ids)
+    ids = [ids[i] for i in order]
+    vecs = np.stack([vecs[i] for i in order])
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    sims = vecs @ vecs.T
+    edges = []
+    for i in range(len(ids)):
+        cands = []
+        for j in range(len(ids)):
+            if i == j:
+                continue
+            denom = norms[i] * norms[j]
+            d = float("inf") if denom == 0 else 1.0 - sims[i, j] / denom
+            if d != float("inf"):
+                d = float(Decimal(d).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+            cands.append((d, ids[j]))
+        cands.sort()
+        edges.extend((ids[i], dst) for _, dst in cands[: graph.PR_K])
+    return edges
+
+
+def test_hits_matches_python_reference(spark, sf_dir):
+    auth, hub = _py_hits(sf_dir, graph.HITS_ITERS)
+    expected = sorted(auth.items(), key=lambda kv: (-kv[1], kv[0]))[: graph.PR_TOPN]
+    rows = graph.hits_topn(spark, sf_dir).collect()
+    assert [(r["vec_id"], r["authority_micros"]) for r in rows] == expected
+    assert all(r["hub_micros"] == hub[r["vec_id"]] for r in rows)
+
+
+def test_hits_l1_mass_is_micro_up_to_quantization(sf_dir):
+    auth, hub = _py_hits(sf_dir, graph.HITS_ITERS)
+    n = len(auth)
+    assert abs(sum(auth.values()) - graph.MICRO) <= n
+    assert abs(sum(hub.values()) - graph.MICRO) <= n

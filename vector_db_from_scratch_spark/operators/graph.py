@@ -310,3 +310,120 @@ def pagerank_trajectory_oracle(iters: int = PR_ITERS) -> str:
         for it in range(iters + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY iter"
+
+
+# --------------------------------------------------------------------------
+# HITS (Kleinberg 1999): hubs point at good authorities, authorities are
+# pointed at by good hubs. The float algorithm L2-normalizes per
+# iteration; sqrt is not portable, so this form normalizes L1 in exact
+# integer arithmetic -- score'_v = halfup(raw_v * MICRO, sum(raw)) -- which
+# preserves the ranking (scores are non-negative) and keeps every
+# iteration bit-identical across engines. Same per-iteration shape as
+# PageRank: one equi-join + one groupBy per score table, per-iteration
+# localCheckpoint, unrolled-CTE oracle.
+# --------------------------------------------------------------------------
+
+HITS_ITERS = 2
+
+
+def _hits_chain(spark: SparkSession, sf_dir: str, iters: int) -> tuple[DataFrame, DataFrame]:
+    """(authority, hub) tables (vec_id, score) after ``iters`` quantized
+    HITS iterations; memoized like the rank chain."""
+    key = (spark.sparkContext.applicationId, sf_dir, "hits", iters)
+    if key in _CHAIN_MEMO:
+        return _CHAIN_MEMO[key]
+    nodes = _nodes(spark, sf_dir).select("vec_id")
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    edges = _edges(spark, sf_dir)
+    init = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("vec_id", _halfup(F.lit(MICRO), F.col("n")).alias("score"))
+        .localCheckpoint()
+    )
+    auth, hub = init, init
+
+    def _normalized(raw: DataFrame) -> DataFrame:
+        # raw: (vec_id, raw); L1-normalize to MICRO total in exact integers
+        total = raw.agg(F.sum("raw").alias("tot"))
+        return (
+            raw.crossJoin(F.broadcast(total))
+            .select(
+                "vec_id",
+                _halfup(F.col("raw") * F.lit(MICRO), F.col("tot")).alias("score"),
+            )
+            .localCheckpoint()
+        )
+
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hub.select(F.col("vec_id").alias("src"), "score"), "src")
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        a_raw = nodes.join(a_raw, "vec_id", "left").select(
+            "vec_id", F.coalesce("raw", F.lit(0)).alias("raw")
+        )
+        auth = _normalized(a_raw)
+        h_raw = (
+            edges.join(auth.select(F.col("vec_id").alias("dst"), "score"), "dst")
+            .groupBy(F.col("src").alias("vec_id"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        h_raw = nodes.join(h_raw, "vec_id", "left").select(
+            "vec_id", F.coalesce("raw", F.lit(0)).alias("raw")
+        )
+        hub = _normalized(h_raw)
+    _CHAIN_MEMO[key] = (auth, hub)
+    return auth, hub
+
+
+def hits_topn(spark: SparkSession, sf_dir: str, iters: int = HITS_ITERS) -> DataFrame:
+    """(vec_id, authority_micros, hub_micros): top PR_TOPN by authority
+    (tie-break vec_id) after ``iters`` quantized HITS iterations."""
+    auth, hub = _hits_chain(spark, sf_dir, iters)
+    return (
+        auth.select("vec_id", F.col("score").alias("authority_micros"))
+        .join(hub.select("vec_id", F.col("score").alias("hub_micros")), "vec_id")
+        .orderBy(F.col("authority_micros").desc(), "vec_id")
+        .limit(PR_TOPN)
+    )
+
+
+def hits_topn_oracle(iters: int = HITS_ITERS) -> str:
+    ctes = _chain_sql(0)[:4]  # nodes, nn, pairs, edges (nn counts all: seed=TRUE)
+    ctes.append(
+        f"""a0 AS (SELECT vec_id, (2 * {MICRO} + n) // (2 * n) AS score
+           FROM nodes CROSS JOIN nn)"""
+    )
+    ctes.append("h0 AS (SELECT vec_id, score FROM a0)")
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""ar{it} AS (SELECT nodes.vec_id, coalesce(sum(h.score), 0) AS raw
+           FROM nodes LEFT JOIN edges e ON e.dst = nodes.vec_id
+                      LEFT JOIN h{it - 1} h ON h.vec_id = e.src
+           GROUP BY nodes.vec_id)"""
+        )
+        ctes.append(
+            f"""a{it} AS (SELECT vec_id,
+                  (2 * raw * {MICRO} + tot) // (2 * tot) AS score
+           FROM ar{it} CROSS JOIN (SELECT sum(raw) AS tot FROM ar{it}))"""
+        )
+        ctes.append(
+            f"""hr{it} AS (SELECT nodes.vec_id, coalesce(sum(a.score), 0) AS raw
+           FROM nodes LEFT JOIN edges e ON e.src = nodes.vec_id
+                      LEFT JOIN a{it} a ON a.vec_id = e.dst
+           GROUP BY nodes.vec_id)"""
+        )
+        ctes.append(
+            f"""h{it} AS (SELECT vec_id,
+                  (2 * raw * {MICRO} + tot) // (2 * tot) AS score
+           FROM hr{it} CROSS JOIN (SELECT sum(raw) AS tot FROM hr{it}))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id, a.score::BIGINT AS authority_micros, h.score::BIGINT AS hub_micros
+FROM a{iters} a JOIN h{iters} h ON a.vec_id = h.vec_id
+ORDER BY authority_micros DESC, a.vec_id LIMIT {PR_TOPN}"""
+    )

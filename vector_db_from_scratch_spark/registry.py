@@ -638,6 +638,9 @@ def build() -> dict[str, Entry]:
     # personalized PageRank (teleport restricted to a seed set -- rank =
     # proximity to the seeds) and the in-degree histogram diagnostic
     reg["graph_ppr_topn"] = (graph.ppr_topn, graph.ppr_topn_oracle())
+    # quantized HITS (hubs/authorities; L1 normalization in exact integers
+    # replaces the non-portable L2 sqrt)
+    reg["graph_hits_topn"] = (graph.hits_topn, graph.hits_topn_oracle())
     # hard-negative mining: per anchor, the k nearest OTHER-label vectors
     # (the contrastive-training negatives worth training on)
     reg["knn_hard_negatives"] = (knn.hard_negatives, knn.hard_negatives_oracle())
