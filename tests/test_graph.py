@@ -223,3 +223,43 @@ def test_hits_l1_mass_is_micro_up_to_quantization(sf_dir):
     n = len(auth)
     assert abs(sum(auth.values()) - graph.MICRO) <= n
     assert abs(sum(hub.values()) - graph.MICRO) <= n
+
+
+def test_triangle_counts_match_python_brute_force(spark, sf_dir):
+    """Oriented triangle count == a driver-side brute force over the SAME
+    edge set: collect the (bounded) subset graph, enumerate all a<b<c
+    combinations with set lookups, compare total, per-node counts, and
+    the clustering coefficient of every emitted row."""
+    from itertools import combinations
+
+    edges = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in graph._edges(spark, sf_dir).collect()
+    }
+    nodes = sorted({v for e in edges for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri_per_node = {v: 0 for v in nodes}
+    total = 0
+    for a, b in sorted(edges):
+        for c in sorted(adj[a] & adj[b]):
+            if c > b:  # each triangle once: a < b < c with all three edges
+                total += 1
+                for v in (a, b, c):
+                    tri_per_node[v] += 1
+
+    rows = graph.triangle_counts(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert total > 0, "test graph must actually contain triangles"
+    for r in rows:
+        assert r["total_triangles"] == total
+        assert r["triangles"] == tri_per_node[r["vec_id"]], r["vec_id"]
+        assert r["degree"] == len(adj[r["vec_id"]])
+        d = r["degree"]
+        expect_cc = round(2.0 * r["triangles"] / (d * (d - 1)), 6)
+        assert abs(r["clustering_coeff"] - expect_cc) < 1e-12
+    # rows are the top-N by (triangles DESC, vec_id)
+    tri_sorted = sorted(rows, key=lambda r: (-r["triangles"], r["vec_id"]))
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in tri_sorted]

@@ -244,3 +244,45 @@ def test_join_strategy_auto_decisions_and_forced_plan_shapes(spark, sf_dir):
     assert rows[2]["n_join"] == orders.join(
         li, orders.o_orderkey == li.l_orderkey
     ).count()
+
+
+def test_constraint_audit_non_vacuous_and_consistent(spark, sf_dir):
+    """The audit must (a) fire its tolerance checks on this corpus
+    (non-zero violations, passed=False) so the counting arithmetic is
+    exercised, (b) report zero violations with passed=True for the
+    invariants the generator guarantees, and (c) agree with direct
+    recounts for one zero and one non-zero check."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.operators.maintenance import (
+        AUDIT_MAX_PRICE,
+        constraint_audit,
+    )
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = {r["check_name"]: r for r in constraint_audit(spark, sf_dir).collect()}
+    assert len(rows) == 19
+
+    # tolerance checks fire on the test corpus
+    fired = rows["orders_price_le_cap"]
+    assert fired["violations"] > 0 and not fired["passed"]
+    assert rows["documents_text_min_chars"]["violations"] > 0
+
+    # generator-guaranteed invariants hold
+    for name in (
+        "orders_pk_unique",
+        "orders_fk_customer",
+        "lineitem_fk_orders",
+        "customer_fk_nation",
+        "embeddings_dim_consistent",
+        "documents_nchars_consistent",
+    ):
+        assert rows[name]["violations"] == 0 and rows[name]["passed"], name
+
+    # counts agree with direct recounts
+    orders = load_table(spark, sf_dir, "orders")
+    assert (
+        rows["orders_price_le_cap"]["violations"]
+        == orders.filter(F.col("o_totalprice") > AUDIT_MAX_PRICE).count()
+    )
+    assert rows["orders_pk_unique"]["checked"] == orders.count()

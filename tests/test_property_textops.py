@@ -227,3 +227,56 @@ def test_tokenize_trained_bpe_composition(spark, tmp_path):
     expect = {i: {"llll": 2, "xel": 1, "hello": 3}[t] for i, t in enumerate(texts)}
     assert {r["doc_id"]: r["n_tokens"] for r in rows} == expect
     assert all(r["n_words"] == 1 for r in rows)
+
+
+def test_bigram_lm_matches_python_reference(spark, tmp_path):
+    """Add-one bigram LM scores == a driver-side Python reference using
+    the same micro-unit contract (round(ln p, 6) -> round-to-nearest
+    BIGINT micros, integer per-doc sums, one final division). The corpus
+    mixes repeated fluent docs with one word-salad doc so ordering is
+    meaningful: the salad's unseen-context bigrams are heavily smoothed
+    and it must rank at the bottom."""
+    from vector_db_from_scratch_spark.operators.textops import bigram_lm_scores
+
+    texts = (
+        ["the cat sat on the mat"] * 6
+        + ["the dog sat on the rug"] * 5
+        + ["the cat saw the dog"] * 4
+        + ["rug mat saw dog the"]  # salad: real words, unseen transitions
+    )
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(path)
+
+    # Python reference
+    bigrams: Counter = Counter()
+    ctx: Counter = Counter()
+    vocab = set()
+    for t in texts:
+        ws = t.split(" ")
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] += 1
+            ctx[a] += 1
+    V = len(vocab)
+    logp_u = {
+        bg: round(round(math.log((c + 1) / (ctx[bg[0]] + V)), 6) * 1_000_000)
+        for bg, c in bigrams.items()
+    }
+    expect = {}
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        us = [logp_u[(a, b)] for a, b in zip(ws, ws[1:])]
+        expect[i] = (len(us), (sum(us) / 1_000_000) / len(us))
+
+    rows = bigram_lm_scores(spark, str(tmp_path), k=len(texts)).collect()
+    got = {r["doc_id"]: (r["n_big"], r["avg_logp"]) for r in rows}
+    assert set(got) == set(expect)
+    for i in expect:
+        assert got[i][0] == expect[i][0]
+        assert got[i][1] == expect[i][1], (i, got[i], expect[i])
+    # the word-salad doc scores strictly worst
+    worst = min(expect, key=lambda i: expect[i][1])
+    assert worst == len(texts) - 1
+    assert rows[0]["doc_id"] == worst  # bottom-k ordering surfaces it first

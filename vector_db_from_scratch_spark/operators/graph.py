@@ -427,3 +427,134 @@ SELECT a.vec_id, a.score::BIGINT AS authority_micros, h.score::BIGINT AS hub_mic
 FROM a{iters} a JOIN h{iters} h ON a.vec_id = h.vec_id
 ORDER BY authority_micros DESC, a.vec_id LIMIT {PR_TOPN}"""
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting / local clustering coefficient over the same k-NN
+# similarity graph -- the cluster-cohesion diagnostic of a near-dup graph
+# (boilerplate families triangulate densely; random neighbour noise does
+# not). Public algorithm: degree-ordered orientation ("compact-forward",
+# Latapy 2008; Suri & Vassilvitskii 2011 for the MapReduce form).
+# --------------------------------------------------------------------------
+
+TRI_TOPN = 20
+
+
+def _oriented(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(deg, orient): undirected degree per node, and each undirected edge
+    directed from its lower-(degree, id) endpoint to the higher one. The
+    orientation is the scale device: every triangle is counted exactly
+    once, and wedge fan-out is bounded by the oriented out-degree
+    (O(sqrt(m)) max, vs the raw max degree for the naive a<b<c join)."""
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    j = und.join(da, "a").join(db, "b")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    orient = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+    )
+    return deg, orient
+
+
+def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TRI_TOPN nodes by triangle participation: (vec_id, degree,
+    triangles, clustering_coeff, total_triangles).
+
+    Plan: symmetrize + orient (two node-keyed aggregates/joins), wedge =
+    orient self-join on the middle vertex, close = LEFT SEMI join of the
+    wedge's (low, high) endpoints back to orient -- three equi-joins and
+    two aggregates, no window, no global sort before the bounded top-k.
+    The per-node count unions the three corner projections of the closed
+    triangle set (each corner participates once per triangle). The local
+    clustering coefficient 2T/(d(d-1)) is two exact integer products and
+    one IEEE division, identical in both engines; round-6dp is the house
+    display contract.
+    """
+    deg, orient = _oriented(spark, sf_dir)
+    o1 = orient.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    o2 = orient.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    wedges = o1.join(o2, "y")
+    tri = wedges.join(
+        orient.select(F.col("s").alias("x"), F.col("t").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    pern = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    total = tri.agg(F.count(F.lit(1)).alias("total_triangles"))
+    cc = F.round(
+        (F.lit(2.0) * F.col("triangles").cast("double"))
+        / (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double"),
+        6,
+    ) + F.lit(0.0)
+    return (
+        deg.join(pern, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("deg").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        )
+        .filter(F.col("degree") >= 2)
+        .withColumn("clustering_coeff", cc.alias("clustering_coeff"))
+        .crossJoin(F.broadcast(total))
+        .orderBy(F.desc("triangles"), "vec_id")
+        .limit(TRI_TOPN)
+    )
+
+
+def triangle_counts_oracle() -> str:
+    ctes = _chain_sql(0)[:4]  # nodes, nn, pairs, edges
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        GROUP BY node),
+orient AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS s,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS t
+  FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+tri AS (
+  SELECT o1.s AS x, o1.t AS y, o2.t AS z
+  FROM orient o1 JOIN orient o2 ON o1.t = o2.s
+  WHERE EXISTS (SELECT 1 FROM orient o3 WHERE o3.s = o1.s AND o3.t = o2.t)),
+pern AS (SELECT node, count(*) AS triangles FROM (
+           SELECT x AS node FROM tri
+           UNION ALL SELECT y AS node FROM tri
+           UNION ALL SELECT z AS node FROM tri)
+         GROUP BY node),
+tot AS (SELECT count(*) AS total_triangles FROM tri)
+SELECT d.node AS vec_id, d.deg AS degree,
+       coalesce(p.triangles, 0)::BIGINT AS triangles,
+       round((2.0 * coalesce(p.triangles, 0)::DOUBLE)
+             / (d.deg * (d.deg - 1))::DOUBLE, 6) + 0.0 AS clustering_coeff,
+       (SELECT total_triangles FROM tot)::BIGINT AS total_triangles
+FROM deg d LEFT JOIN pern p ON p.node = d.node
+WHERE d.deg >= 2
+ORDER BY triangles DESC, vec_id LIMIT {TRI_TOPN}"""
+    )

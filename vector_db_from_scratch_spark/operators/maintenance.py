@@ -667,3 +667,247 @@ SELECT d.probe, d.build_side, d.n_build_rows,
 FROM dec2 d JOIN joins j USING (probe)
 ORDER BY d.probe
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality constraint audit (the Deequ-style validation
+# suite a 100 TB ingest runs before promoting a batch): uniqueness,
+# referential integrity, domain membership, null checks, range/tolerance
+# checks -- each emitted as one (check_name, tbl, checked, violations,
+# passed) row. Two tolerance checks are deliberately tight enough to FIRE
+# on the test corpus (non-zero violations), so the gate verifies the
+# violation-counting arithmetic, not just a column of zeros.
+# --------------------------------------------------------------------------
+
+AUDIT_DOC_MIN_CHARS = 80
+AUDIT_MAX_PRICE = 300_000.0
+
+
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-table constraint suite.
+
+    Shape at scale: every check over a table is fused into a SINGLE
+    aggregate over one scan (stack() unpivots the 1-row aggregate into
+    per-check rows, so adding a check adds an expression, not a pass).
+    FK checks left-join the parent key set BEFORE the aggregate: small
+    dims (customer, nation) broadcast; lineitem->orders shuffles on the
+    join key at scale (AQE broadcasts it at bench SF) -- either way the
+    violation count rides the same fused aggregate. Output is one bounded
+    row per check; nothing corpus-sized leaves the executors.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    def viol(cond) -> object:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def unpivot(agg_df: DataFrame, tbl: str, checks: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{c}', {c}" for c in checks)
+        return agg_df.selectExpr(
+            f"stack({len(checks)}, {pairs}) AS (check_name, violations)",
+            "n AS checked",
+        ).select(
+            "check_name",
+            F.lit(tbl).alias("tbl"),
+            F.col("checked").cast("long"),
+            F.col("violations").cast("long"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    documents = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    embeddings = load_table(spark, sf_dir, "embeddings")
+
+    o = orders.join(
+        F.broadcast(customer.select(F.col("c_custkey").alias("ck"))),
+        orders["o_custkey"] == F.col("ck"),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("orders_pk_unique"),
+        viol(F.col("ck").isNull()).alias("orders_fk_customer"),
+        viol(F.col("o_totalprice") < 0).alias("orders_price_nonneg"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("orders_status_domain"),
+        viol(F.col("o_totalprice") > AUDIT_MAX_PRICE).alias("orders_price_le_cap"),
+    )
+    o_rows = unpivot(
+        o,
+        "orders",
+        [
+            "orders_pk_unique",
+            "orders_fk_customer",
+            "orders_price_nonneg",
+            "orders_status_domain",
+            "orders_price_le_cap",
+        ],
+    )
+
+    li = lineitem.join(
+        orders.select(F.col("o_orderkey").alias("ok")),
+        lineitem["l_orderkey"] == F.col("ok"),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")
+        ).alias("lineitem_pk_unique"),
+        viol(F.col("ok").isNull()).alias("lineitem_fk_orders"),
+        viol(~F.col("l_quantity").between(1.0, 50.0)).alias("lineitem_qty_1_50"),
+        viol(~F.col("l_discount").between(0.0, 1.0)).alias("lineitem_discount_0_1"),
+    )
+    li_rows = unpivot(
+        li,
+        "lineitem",
+        [
+            "lineitem_pk_unique",
+            "lineitem_fk_orders",
+            "lineitem_qty_1_50",
+            "lineitem_discount_0_1",
+        ],
+    )
+
+    c = customer.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("nk"))),
+        customer["c_nationkey"] == F.col("nk"),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("nk").isNull()).alias("customer_fk_nation"),
+        viol(F.col("c_name").isNull() | (F.col("c_name") == "")).alias(
+            "customer_name_nonempty"
+        ),
+    )
+    c_rows = unpivot(c, "customer", ["customer_fk_nation", "customer_name_nonempty"])
+
+    d = documents.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id")).alias("documents_pk_unique"),
+        viol(
+            F.col("text").isNull() | (F.length("text") < AUDIT_DOC_MIN_CHARS)
+        ).alias("documents_text_min_chars"),
+        viol(F.col("n_chars") != F.length("text")).alias("documents_nchars_consistent"),
+    )
+    d_rows = unpivot(
+        d,
+        "documents",
+        ["documents_pk_unique", "documents_text_min_chars", "documents_nchars_consistent"],
+    )
+
+    e = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("events_pk_unique"),
+        viol(F.col("ts").isNull()).alias("events_ts_nonnull"),
+        viol(F.col("value") < 0).alias("events_value_nonneg"),
+    )
+    e_rows = unpivot(
+        e, "events", ["events_pk_unique", "events_ts_nonnull", "events_value_nonneg"]
+    )
+
+    dim = embeddings.agg(F.max(F.size("embedding")).alias("expected_dim"))
+    em = embeddings.crossJoin(F.broadcast(dim)).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("vec_id")).alias("embeddings_pk_unique"),
+        viol(F.size("embedding") != F.col("expected_dim")).alias(
+            "embeddings_dim_consistent"
+        ),
+    )
+    em_rows = unpivot(
+        em, "embeddings", ["embeddings_pk_unique", "embeddings_dim_consistent"]
+    )
+
+    out = o_rows
+    for part in (li_rows, c_rows, d_rows, e_rows, em_rows):
+        out = out.unionByName(part)
+    return out.withColumn("passed", F.col("violations") == 0).orderBy("check_name")
+
+
+def constraint_audit_oracle() -> str:
+    return f"""
+WITH checks AS (
+  SELECT 'orders_pk_unique' AS check_name, 'orders' AS tbl,
+         count(*)::BIGINT AS checked,
+         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders_fk_customer', 'orders', count(*)::BIGINT,
+         sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'orders_price_nonneg', 'orders', count(*)::BIGINT,
+         sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'orders_status_domain', 'orders', count(*)::BIGINT,
+         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'orders_price_le_cap', 'orders', count(*)::BIGINT,
+         sum(CASE WHEN o_totalprice > {AUDIT_MAX_PRICE} THEN 1 ELSE 0 END)::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_pk_unique', 'lineitem', count(*)::BIGINT,
+         (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_fk_orders', 'lineitem', count(*)::BIGINT,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'lineitem_qty_1_50', 'lineitem', count(*)::BIGINT,
+         sum(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END)::BIGINT
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_0_1', 'lineitem', count(*)::BIGINT,
+         sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0 THEN 1 ELSE 0 END)::BIGINT
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer_fk_nation', 'customer', count(*)::BIGINT,
+         sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'customer_name_nonempty', 'customer', count(*)::BIGINT,
+         sum(CASE WHEN c_name IS NULL OR c_name = '' THEN 1 ELSE 0 END)::BIGINT
+  FROM customer
+  UNION ALL
+  SELECT 'documents_pk_unique', 'documents', count(*)::BIGINT,
+         (count(*) - count(DISTINCT doc_id))::BIGINT
+  FROM documents
+  UNION ALL
+  SELECT 'documents_text_min_chars', 'documents', count(*)::BIGINT,
+         sum(CASE WHEN text IS NULL OR length(text) < {AUDIT_DOC_MIN_CHARS}
+             THEN 1 ELSE 0 END)::BIGINT
+  FROM documents
+  UNION ALL
+  SELECT 'documents_nchars_consistent', 'documents', count(*)::BIGINT,
+         sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)::BIGINT
+  FROM documents
+  UNION ALL
+  SELECT 'events_pk_unique', 'events', count(*)::BIGINT,
+         (count(*) - count(DISTINCT event_id))::BIGINT
+  FROM events
+  UNION ALL
+  SELECT 'events_ts_nonnull', 'events', count(*)::BIGINT,
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM events
+  UNION ALL
+  SELECT 'events_value_nonneg', 'events', count(*)::BIGINT,
+         sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT
+  FROM events
+  UNION ALL
+  SELECT 'embeddings_pk_unique', 'embeddings', count(*)::BIGINT,
+         (count(*) - count(DISTINCT vec_id))::BIGINT
+  FROM embeddings
+  UNION ALL
+  SELECT 'embeddings_dim_consistent', 'embeddings', count(*)::BIGINT,
+         sum(CASE WHEN len(embedding) !=
+             (SELECT max(len(embedding)) FROM embeddings)
+             THEN 1 ELSE 0 END)::BIGINT
+  FROM embeddings
+)
+SELECT check_name, tbl, checked, violations, violations = 0 AS passed
+FROM checks ORDER BY check_name
+""".strip()

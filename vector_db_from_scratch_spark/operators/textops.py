@@ -967,8 +967,15 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFram
         .crossJoin(F.broadcast(total))
         .select(
             "t",
-            (F.round(F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6)
-             * F.lit(LM_MICRO)).cast("long").alias("logp_u"),
+            # round AGAIN after the micro-unit scale: the product of a
+            # round-6dp double and 1e6 can land a few ulp BELOW its
+            # integer, and Spark's cast-to-long truncates while DuckDB's
+            # ::BIGINT rounds (one bigram hit this at sf0.01; the unigram
+            # table had the same latent skew)
+            F.round(
+                F.round(F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6)
+                * F.lit(LM_MICRO)
+            ).cast("long").alias("logp_u"),
         )
     )
     return (
@@ -997,6 +1004,117 @@ scored AS (SELECT doc_id, count(*) AS n_tok, sum(logp_u)::BIGINT AS sum_u
            FROM tok JOIN vocab USING (t) GROUP BY doc_id)
 SELECT doc_id, n_tok,
        (sum_u::DOUBLE / {LM_MICRO}.0) / n_tok::DOUBLE AS avg_logp
+FROM scored
+ORDER BY avg_logp, doc_id
+LIMIT {k}
+""".strip()
+
+
+def bigram_lm_scores(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Bottom-k documents by average add-one-smoothed bigram conditional
+    log-probability -- the CCNet/KenLM-style perplexity quality filter one
+    order up from :func:`unigram_lm_scores` (context-conditional, so
+    word-salad documents score low even when their unigram mix is normal).
+
+    Model: p(w2 | w1) = (c(w1 w2) + 1) / (c_ctx(w1) + V) where c_ctx is
+    w1's CONTEXT count (occurrences as a bigram's first element, so the
+    conditional normalizes over the add-one event space) and V is the
+    corpus-wide distinct-token count. Train and score share one exploded
+    bigram table.
+
+    Determinism contract (house rule, same as unigram): each bigram's
+    ln p is rounded to 6dp ONCE in the model table, scaled to BIGINT
+    micro-units, and per-doc aggregation sums integers -- order-free. The
+    ln argument is one IEEE division of two exactly-representable
+    integers, identical in both engines; round-6dp absorbs libm ulp skew.
+
+    Scale notes: the bigram model is |bigram vocab| rows -- usually too
+    big to broadcast at 100 TB, so the scoring join is written as a plain
+    equi-join on the gram key (balanced, high-cardinality; AQE broadcasts
+    it when it happens to fit, as at bench SF). Everything else is
+    partial-aggregated groupBys; no window, no global sort before the
+    bounded top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", T.tokens(F.col("text")).alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    big = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1), "
+                "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    vsz = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t").alias("vsz"))
+    )
+    ctx = (
+        big.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    model = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "bg",
+            # outer round-to-nearest before the long cast: see the
+            # unigram vocabulary note (cast truncates, ::BIGINT rounds)
+            F.round(
+                F.round(
+                    F.log(
+                        (F.col("cb") + F.lit(1)).cast("double")
+                        / (F.col("cu") + F.col("vsz")).cast("double")
+                    ),
+                    6,
+                )
+                * F.lit(LM_MICRO)
+            ).cast("long").alias("logp_u"),
+        )
+    )
+    return (
+        big.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_big"), F.sum("logp_u").alias("sum_u"))
+        .select(
+            "doc_id",
+            "n_big",
+            ((F.col("sum_u").cast("double") / F.lit(float(LM_MICRO))) / F.col("n_big").cast("double"))
+            .alias("avg_logp"),
+        )
+        .orderBy("avg_logp", "doc_id")
+        .limit(k)
+    )
+
+
+def bigram_lm_scores_oracle(k: int = 20) -> str:
+    return f"""
+WITH d2 AS (SELECT doc_id, str_split(text, ' ') AS arr FROM documents
+            WHERE len(str_split(text, ' ')) >= 2),
+big AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(arr)),
+                                     i -> arr[i::INT] || ' ' || arr[(i + 1)::INT])) AS bg
+        FROM d2),
+vsz AS (SELECT count(DISTINCT t) AS vsz
+        FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)),
+ctx AS (SELECT str_split(bg, ' ')[1] AS w1, count(*) AS cu FROM big GROUP BY 1),
+model AS (SELECT bg, (round(ln((cb + 1)::DOUBLE /
+                                (cu + (SELECT vsz FROM vsz))::DOUBLE), 6)
+                      * {LM_MICRO})::BIGINT AS logp_u
+          FROM (SELECT bg, count(*) AS cb, str_split(bg, ' ')[1] AS w1
+                FROM big GROUP BY bg) b
+          JOIN ctx USING (w1)),
+scored AS (SELECT doc_id, count(*) AS n_big, sum(logp_u)::BIGINT AS sum_u
+           FROM big JOIN model USING (bg) GROUP BY doc_id)
+SELECT doc_id, n_big,
+       (sum_u::DOUBLE / {LM_MICRO}.0) / n_big::DOUBLE AS avg_logp
 FROM scored
 ORDER BY avg_logp, doc_id
 LIMIT {k}

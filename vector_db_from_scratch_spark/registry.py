@@ -373,6 +373,14 @@ def build() -> dict[str, Entry]:
         maintenance.column_stats_merge,
         maintenance.column_stats_merge_oracle(),
     )
+    # Deequ-style declarative data-quality suite: uniqueness / FK /
+    # domain / null / tolerance checks fused into one aggregate per table
+    # (two tolerance checks fire on the test corpus, so the violation
+    # arithmetic is gated non-vacuously)
+    reg["maintenance_constraint_audit"] = (
+        maintenance.constraint_audit,
+        maintenance.constraint_audit_oracle(),
+    )
 
     # single-pass vector aggregate: quantize-to-6dp + exact decimal sums
     # make the centroid hash-checkable (unlike the iterative kmeans below)
@@ -648,6 +656,13 @@ def build() -> dict[str, Entry]:
         graph.degree_histogram,
         graph.degree_histogram_oracle(),
     )
+    # triangle participation + local clustering coefficient via
+    # degree-ordered orientation (compact-forward): cluster-cohesion
+    # diagnostic of the near-dup similarity graph
+    reg["graph_triangle_counts"] = (
+        graph.triangle_counts,
+        graph.triangle_counts_oracle(),
+    )
     # the sketch driving the engine's own layout planning: range-partition
     # boundaries interpolated from the cumulative histogram (the
     # deterministic twin of repartitionByRange's sampling), balance audited
@@ -684,6 +699,8 @@ def build() -> dict[str, Entry]:
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
     reg["text_repetition_metrics"] = (t.repetition_metrics, t.repetition_metrics_oracle())
     reg["text_unigram_lm_scores"] = (t.unigram_lm_scores, t.unigram_lm_scores_oracle())
+    # context-conditional LM quality filter (add-one bigram, CCNet-style)
+    reg["text_bigram_lm_scores"] = (t.bigram_lm_scores, t.bigram_lm_scores_oracle())
     reg["text_vocab_growth"] = (t.vocab_growth, t.vocab_growth_oracle())
     reg["text_ngram_topk"] = (t.ngram_topk, t.ngram_topk_oracle())
     # cross-document boilerplate fraction over the shared shingle artifacts
