@@ -404,3 +404,46 @@ def test_leakage_safe_split_properties(spark, sf_dir):
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     assert sum(r["n_docs"] for r in rows) == n_docs
     assert all(r["n_clusters"] <= r["n_docs"] for r in rows)
+
+
+def test_canonical_select_policy_and_partition(spark, sf_dir):
+    """The canonical pick is the (n_chars DESC, doc_id) argmax of its own
+    cluster; cluster sizes partition the clustered-doc set; every keep
+    doc belongs to the cluster it represents."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.operators.dedup import (
+        canonical_select,
+        minhash_lsh_pairs,
+        _clusters_cached,
+    )
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = canonical_select(spark, sf_dir).collect()
+    assert rows
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    labels = {
+        r["node"]: r["cluster_rep"]
+        for r in _clusters_cached(spark, sf_dir, 0.3, "minhash", pairs).collect()
+    }
+    nchars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for d, c in labels.items():
+        by_cluster.setdefault(c, []).append(d)
+    assert sum(r["cluster_size"] for r in rows) == len(labels)
+    assert {r["cluster_rep"] for r in rows} == set(by_cluster)
+    for r in rows:
+        members = by_cluster[r["cluster_rep"]]
+        assert r["cluster_size"] == len(members)
+        assert r["dropped"] == len(members) - 1
+        best = min(members, key=lambda d: (-nchars[d], d))
+        assert r["keep_doc_id"] == best
+        assert r["keep_n_chars"] == nchars[best]
+    # the quality policy must actually differ from keep-lowest-id
+    # somewhere, or the test is vacuous against that simpler rule
+    assert any(
+        r["keep_doc_id"] != min(by_cluster[r["cluster_rep"]]) for r in rows
+    )

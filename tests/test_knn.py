@@ -177,3 +177,114 @@ def test_hard_negatives_are_cross_label_and_truly_nearest(spark, sf_dir):
     )[:HN_K]
     got = [(r["distance"], r["vec_id"]) for r in sorted(by_anchor[anchor], key=lambda r: r["rank"])]
     assert got == brute
+
+
+def test_retrieval_mrr_matches_python_brute_force(spark, sf_dir):
+    """Per-label MRR@k == a NumPy brute force replicating the full
+    contract: round-6dp cosine, (distance, vec_id) tie-break, self
+    excluded, half-up micro-unit reciprocal ranks, per-label means."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from vector_db_from_scratch_spark.operators.knn import (
+        MRR_K,
+        MRR_QMOD,
+        retrieval_mrr,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    label = dict(zip(tbl["vec_id"], tbl["label"]))
+    vecs = {
+        v: np.asarray(e, dtype=np.float64)
+        for v, e in zip(tbl["vec_id"], tbl["embedding"])
+    }
+
+    def dist(a, b):
+        d = 1.0 - float(vecs[a] @ vecs[b]) / (
+            np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])
+        )
+        return float(Decimal(d).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    per_label: dict[int, list[int]] = {}
+    for q in sorted(vecs):
+        if q % MRR_QMOD != 0:
+            continue
+        ranked = sorted((dist(q, v), v) for v in vecs if v != q)[:MRR_K]
+        rr_u = 0
+        for rank, (_, v) in enumerate(ranked, start=1):
+            if label[v] == label[q]:
+                rr_u = (2 * 1_000_000 + rank) // (2 * rank)
+                break
+        per_label.setdefault(label[q], []).append(rr_u)
+
+    rows = {r["label"]: r for r in retrieval_mrr(spark, sf_dir).collect()}
+    assert set(rows) == set(per_label)
+    for lab, rrs in per_label.items():
+        r = rows[lab]
+        assert r["n_queries"] == len(rrs)
+        assert r["hits"] == sum(1 for x in rrs if x > 0)
+        assert r["mrr"] == (sum(rrs) / 1_000_000) / len(rrs)
+        assert r["hit_rate"] == r["hits"] / r["n_queries"]
+    # embeddings are label-clustered: retrieval should mostly succeed
+    total_hits = sum(r["hits"] for r in rows.values())
+    total_q = sum(r["n_queries"] for r in rows.values())
+    assert total_hits / total_q > 0.5
+
+
+def test_retrieval_ndcg_matches_python_brute_force(spark, sf_dir):
+    """Per-label nDCG@k == a NumPy brute force replicating the contract:
+    literal discount table, half-up micro nDCG per query, integer-sum
+    per-label means; also bounds: 0 <= mean_ndcg <= 1."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from vector_db_from_scratch_spark.operators.knn import (
+        MRR_K,
+        MRR_QMOD,
+        _dcg_discount_rows,
+        retrieval_ndcg,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    label = dict(zip(tbl["vec_id"], tbl["label"]))
+    vecs = {
+        v: np.asarray(e, dtype=np.float64)
+        for v, e in zip(tbl["vec_id"], tbl["embedding"])
+    }
+    disc = {r: (du, cu) for r, du, cu in _dcg_discount_rows(MRR_K)}
+    from collections import Counter
+
+    lab_count = Counter(label.values())
+
+    def dist(a, b):
+        d = 1.0 - float(vecs[a] @ vecs[b]) / (
+            np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])
+        )
+        return float(Decimal(d).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    per_label: dict[int, list[int]] = {}
+    for q in sorted(vecs):
+        if q % MRR_QMOD != 0:
+            continue
+        m = min(lab_count[label[q]] - 1, MRR_K)
+        if m < 1:
+            continue
+        ranked = sorted((dist(q, v), v) for v in vecs if v != q)[:MRR_K]
+        dcg_u = sum(
+            disc[i][0]
+            for i, (_, v) in enumerate(ranked, start=1)
+            if label[v] == label[q]
+        )
+        idcg_u = disc[m][1]
+        ndcg_u = (2 * 1_000_000 * dcg_u + idcg_u) // (2 * idcg_u)
+        per_label.setdefault(label[q], []).append(ndcg_u)
+
+    rows = {r["label"]: r for r in retrieval_ndcg(spark, sf_dir).collect()}
+    assert set(rows) == set(per_label)
+    for lab, us in per_label.items():
+        r = rows[lab]
+        assert r["n_queries"] == len(us)
+        assert r["mean_ndcg"] == (sum(us) / 1_000_000) / len(us)
+        assert 0.0 <= r["mean_ndcg"] <= 1.0

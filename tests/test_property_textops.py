@@ -280,3 +280,70 @@ def test_bigram_lm_matches_python_reference(spark, tmp_path):
     worst = min(expect, key=lambda i: expect[i][1])
     assert worst == len(texts) - 1
     assert rows[0]["doc_id"] == worst  # bottom-k ordering surfaces it first
+
+
+def test_bpe_fertility_consistent_with_tokenize(spark, sf_dir):
+    """The per-language rollup and the per-document tokenization apply
+    the same trained vocab: corpus-total words and tokens must agree,
+    and both ratios must be > 0 with chars_per_token >= 1 (a BPE symbol
+    holds at least one char)."""
+    from vector_db_from_scratch_spark.operators.textops import (
+        bpe_fertility,
+        tokenize_trained_bpe,
+    )
+
+    fert = bpe_fertility(spark, sf_dir).collect()
+    tok = tokenize_trained_bpe(spark, sf_dir).collect()
+    assert sum(r["n_words"] for r in fert) == sum(r["n_words"] for r in tok)
+    assert sum(r["n_tokens"] for r in fert) == sum(r["n_tokens"] for r in tok)
+    for r in fert:
+        assert r["tokens_per_word"] > 0
+        assert r["chars_per_token"] >= 1.0, r["lang"]
+
+
+def test_source_kl_matches_python_and_is_nonnegative(spark, tmp_path):
+    """Per-source KL == a Python reference using the same micro-unit
+    contract on a constructed corpus with one on-blend and one
+    drifted source; KL >= 0 up to quantization (error bound: one
+    micro-unit per token position)."""
+    from vector_db_from_scratch_spark.operators.textops import source_kl_divergence
+
+    rows_in = (
+        [("the cat sat", "web")] * 8
+        + [("the dog ran", "web")] * 8
+        + [("zz qq zz qq", "spam")] * 4  # drifted vocabulary
+    )
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows_in)],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.parquet(path)
+
+    from collections import Counter
+
+    tok_by_source: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for t, s in rows_in:
+        for w in t.split(" "):
+            tok_by_source.setdefault(s, Counter())[w] += 1
+            corpus[w] += 1
+    total_c = sum(corpus.values())
+
+    def u(c, tot):
+        return round(round(math.log(c / tot), 6) * 1_000_000)
+
+    expect = {}
+    for s, cnts in tok_by_source.items():
+        total_s = sum(cnts.values())
+        sum_u = sum(
+            c * (u(c, total_s) - u(corpus[w], total_c)) for w, c in cnts.items()
+        )
+        expect[s] = (total_s, (sum_u / 1_000_000) / total_s)
+
+    got = {r["source"]: (r["n_tokens"], r["kl_nats"]) for r in
+           source_kl_divergence(spark, str(tmp_path)).collect()}
+    assert got == expect
+    for s, (_, kl) in got.items():
+        assert kl >= -1e-6, s  # non-negative up to micro-unit quantization
+    # the drifted source diverges more than the on-blend one
+    assert got["spam"][1] > got["web"][1]

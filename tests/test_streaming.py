@@ -836,3 +836,28 @@ def test_dedup_restart_exercises_cross_phase_keys(spark, sf_dir):
         .collect()
     }
     assert res == exact
+
+
+def test_stream_audit_fires_and_matches_batch_recount(spark, sf_dir):
+    """The drained streaming audit's tolerance check must FIRE (non-zero
+    violations) and every counter must equal a direct batch recount."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.sources.tables import load_table
+    from vector_db_from_scratch_spark.streaming.windows import (
+        AUDIT_EVENT_VALUE_CAP,
+        audit_ingest_drained,
+    )
+
+    rows = {r["check_name"]: r for r in audit_ingest_drained(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    fired = rows["events_value_le_cap"]
+    assert fired["checked"] == n
+    assert fired["violations"] == ev.filter(
+        F.col("value") > AUDIT_EVENT_VALUE_CAP
+    ).count()
+    assert fired["violations"] > 0 and not fired["passed"]
+    for name in ("events_ts_nonnull", "events_value_nonneg", "events_user_id_nonneg"):
+        assert rows[name]["violations"] == 0 and rows[name]["passed"], name

@@ -1990,3 +1990,72 @@ WHERE levenshtein(substr(a.text, 1, {EDIT_PREFIX_LEN}),
                   substr(b.text, 1, {EDIT_PREFIX_LEN})) <= {EDIT_MAX}
 ORDER BY d1, d2
 """.strip()
+
+
+def canonical_select(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """The KEEP policy that completes a dedup pipeline: per MinHash
+    near-dup cluster, select the canonical representative by quality
+    (longest text wins, ties to the lower doc_id) and report what gets
+    dropped -- (cluster_rep, cluster_size, keep_doc_id, keep_n_chars,
+    dropped). pipeline_corpus_prep's keep-lowest-id rule is the cheap
+    default; this is the quality-aware form (RefinedWeb/FineWeb keep the
+    longest member so boilerplate-trimmed variants lose to the full
+    document).
+
+    Plan: the memoized cluster-label table (one row per near-dup doc)
+    joins documents for the quality column; selection is a row_number
+    window PARTITIONED BY cluster (near-dup components are tiny, so
+    bounded groups -- never a global sort). Output: one row per cluster.
+    """
+    from pyspark.sql import Window
+
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("d1", "d2")
+    labels = _clusters_cached(spark, sf_dir, threshold, "minhash", pairs).select(
+        F.col("node").alias("doc_id"), "cluster_rep"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_rep")
+    rn = F.row_number().over(w.orderBy(F.desc("n_chars"), "doc_id"))
+    return (
+        j.withColumn("rn", rn)
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            (F.col("cluster_size") - 1).cast("long").alias("dropped"),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
+def canonical_select_oracle(
+    threshold: float = 0.3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> str:
+    ctes, final = _minhash_pairs_cte(threshold, num_hashes, band_size)
+    return f"""WITH RECURSIVE {ctes},
+pairs AS ({final}),
+cedges AS (SELECT d1 AS a, d2 AS b FROM pairs
+           UNION ALL SELECT d2, d1 FROM pairs),
+reach(a, b) AS (SELECT a, b FROM cedges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a),
+labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+           FROM reach GROUP BY a),
+lj AS (SELECT l.cluster_rep, l.doc_id, d.n_chars
+       FROM labels l JOIN documents d USING (doc_id)),
+rr AS (SELECT *,
+              row_number() OVER (PARTITION BY cluster_rep
+                                 ORDER BY n_chars DESC, doc_id) AS rn,
+              count(*) OVER (PARTITION BY cluster_rep) AS csize
+       FROM lj)
+SELECT cluster_rep, csize::BIGINT AS cluster_size, doc_id AS keep_doc_id,
+       n_chars AS keep_n_chars, (csize - 1)::BIGINT AS dropped
+FROM rr WHERE rn = 1 ORDER BY cluster_rep"""

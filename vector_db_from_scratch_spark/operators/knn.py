@@ -744,3 +744,260 @@ SELECT anchor_id, rank::BIGINT AS rank, vec_id, distance
 FROM ranked WHERE rank <= {k}
 ORDER BY anchor_id, rank
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Retrieval-quality evaluation: per-label MRR@k / hit-rate@k of cosine
+# retrieval against a label-derived relevance judgment (same label =
+# relevant) -- the eval harness a training-data pipeline runs after every
+# embedding refresh. Reciprocal ranks are exact rationals quantized to
+# half-up micro-units so the metric itself hash-gates.
+# --------------------------------------------------------------------------
+
+MRR_K = 10
+MRR_QMOD = 25  # queries: vec_id % MRR_QMOD == 0 (HN anchor discipline)
+
+
+def retrieval_mrr(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = MRR_K,
+    query_mod: int = MRR_QMOD,
+) -> DataFrame:
+    """(label, n_queries, hits, hit_rate, mrr): mean reciprocal rank at k
+    of exact cosine retrieval, judged by label agreement, grouped by the
+    query's label.
+
+    rr(q) = round_half_up(1e6 / rank of first same-label hit) micro-units
+    (0 when no hit in the top k, self excluded); MRR and hit-rate are one
+    IEEE division each on exact integer operands.
+
+    Plan: bounded query set broadcast against the corpus (the
+    hard_negatives shape), per-query window over <= |corpus| rows
+    partitioned by query id, then two bounded aggregations -- output is
+    one row per label. At 100 TB the scored join swaps to the IVF/LSH
+    probe path; the judgment and metric pipeline is unchanged.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, EMB).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "qlabel",
+        "vec_id",
+        "label",
+        distance_expr("cosine", F.col("v"), F.col("qv")).alias("distance"),
+    )
+    rn = F.row_number().over(Window.partitionBy("qid").orderBy("distance", "vec_id"))
+    first_rel = (
+        scored.withColumn("rank", rn)
+        .filter((F.col("rank") <= k) & (F.col("label") == F.col("qlabel")))
+        .groupBy("qid")
+        .agg(F.min("rank").cast("long").alias("r"))
+    )
+    # half-up micro-unit reciprocal rank: (2e6 + r) div (2r), exact ints
+    rr_u = (
+        (F.lit(2 * 1_000_000) + F.col("r"))
+        - F.pmod(F.lit(2 * 1_000_000) + F.col("r"), F.lit(2) * F.col("r"))
+    ) / (F.lit(2) * F.col("r"))
+    per_q = (
+        queries.join(first_rel, "qid", "left")
+        .select(
+            "qlabel",
+            F.coalesce(rr_u.cast("long"), F.lit(0)).alias("rr_u"),
+            F.when(F.col("r").isNotNull(), 1).otherwise(0).alias("hit"),
+        )
+    )
+    return (
+        per_q.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("hit").cast("long").alias("hits"),
+            F.sum("rr_u").cast("long").alias("sum_rr_u"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "hits",
+            (F.col("hits").cast("double") / F.col("n_queries").cast("double")).alias(
+                "hit_rate"
+            ),
+            (
+                (F.col("sum_rr_u").cast("double") / F.lit(1_000_000.0))
+                / F.col("n_queries").cast("double")
+            ).alias("mrr"),
+        )
+        .orderBy("label")
+    )
+
+
+def retrieval_mrr_oracle(k: int = MRR_K, query_mod: int = MRR_QMOD) -> str:
+    d = oracle_distance_sql("cosine", "e.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e
+      WHERE vec_id % {query_mod} = 0),
+scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label, {d} AS distance
+           FROM e JOIN q ON e.vec_id <> q.qid),
+ranked AS (SELECT qid, qlabel, label, distance,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY distance, vec_id) AS rank
+           FROM scored),
+first_rel AS (SELECT qid, min(rank)::BIGINT AS r FROM ranked
+              WHERE rank <= {k} AND label = qlabel GROUP BY qid),
+per_q AS (SELECT q.qlabel,
+                 coalesce((2000000 + f.r) // (2 * f.r), 0)::BIGINT AS rr_u,
+                 CASE WHEN f.r IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM q LEFT JOIN first_rel f ON f.qid = q.qid)
+SELECT qlabel AS label, count(*)::BIGINT AS n_queries,
+       sum(hit)::BIGINT AS hits,
+       (sum(hit)::BIGINT::DOUBLE / count(*)::DOUBLE) AS hit_rate,
+       ((sum(rr_u)::BIGINT::DOUBLE / 1000000.0) / count(*)::DOUBLE) AS mrr
+FROM per_q GROUP BY qlabel ORDER BY qlabel
+""".strip()
+
+
+def _dcg_discount_rows(k: int) -> list[tuple[int, int, int]]:
+    """(rank, disc_u, cum_u) for ranks 1..k: disc = 1/log2(rank+1) rounded
+    to 6dp then scaled to exact micro-unit ints, cum = prefix sum (the
+    IDCG of an all-relevant prefix of that length). Computed ONCE driver-
+    side and embedded as literals in BOTH engines' plans -- the metric's
+    constant table, so no cross-engine libm call exists at all."""
+    import math
+
+    rows, cum = [], 0
+    for r in range(1, k + 1):
+        disc = round(round(math.log(2) / math.log(r + 1), 6) * 1_000_000)
+        cum += disc
+        rows.append((r, disc, cum))
+    return rows
+
+
+def retrieval_ndcg(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = MRR_K,
+    query_mod: int = MRR_QMOD,
+) -> DataFrame:
+    """(label, n_queries, mean_ndcg): binary-relevance nDCG@k of exact
+    cosine retrieval judged by label agreement, per query-label.
+
+    DCG sums the literal discount table over same-label positions in the
+    top k; IDCG is the prefix-sum entry at min(R, k) where R = corpus
+    same-label count minus self (labels with a single member contribute
+    no query). Per-query nDCG is quantized half-up to micro-units BEFORE
+    the per-label mean, so every aggregation is an integer sum and the
+    metric hash-gates. Same bounded plan shape as :func:`retrieval_mrr`.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, EMB).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    queries = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    disc = spark.createDataFrame(
+        _dcg_discount_rows(k), "rank long, disc_u long, cum_u long"
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "qlabel",
+        "label",
+        distance_expr("cosine", F.col("v"), F.col("qv")).alias("distance"),
+        "vec_id",
+    )
+    rn = F.row_number().over(Window.partitionBy("qid").orderBy("distance", "vec_id"))
+    dcg = (
+        scored.withColumn("rank", rn.cast("long"))
+        .filter((F.col("rank") <= k) & (F.col("label") == F.col("qlabel")))
+        .join(F.broadcast(disc.select("rank", "disc_u")), "rank")
+        .groupBy("qid")
+        .agg(F.sum("disc_u").alias("dcg_u"))
+    )
+    labcnt = emb.groupBy(F.col("label").alias("qlabel")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ideal = (
+        queries.join(F.broadcast(labcnt), "qlabel")
+        .select(
+            "qid",
+            "qlabel",
+            F.least(F.col("c") - F.lit(1), F.lit(k)).cast("long").alias("m"),
+        )
+        .filter(F.col("m") >= 1)
+        .join(
+            F.broadcast(disc.select(F.col("rank").alias("m"), "cum_u")), "m"
+        )
+        .select("qid", "qlabel", F.col("cum_u").alias("idcg_u"))
+    )
+    # half-up micro nDCG: (2 * 1e6 * dcg + idcg) div (2 * idcg), exact ints
+    num = F.lit(2) * F.lit(1_000_000) * F.col("dcg_u") + F.col("idcg_u")
+    den = F.lit(2) * F.col("idcg_u")
+    ndcg_u = ((num - F.pmod(num, den)) / den).cast("long")
+    per_q = (
+        ideal.join(dcg, "qid", "left")
+        .select(
+            "qlabel",
+            F.coalesce(ndcg_u, F.lit(0)).alias("ndcg_u"),
+        )
+    )
+    return (
+        per_q.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("ndcg_u").cast("long").alias("sum_u"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            (
+                (F.col("sum_u").cast("double") / F.lit(1_000_000.0))
+                / F.col("n_queries").cast("double")
+            ).alias("mean_ndcg"),
+        )
+        .orderBy("label")
+    )
+
+
+def retrieval_ndcg_oracle(k: int = MRR_K, query_mod: int = MRR_QMOD) -> str:
+    d = oracle_distance_sql("cosine", "e.v", "q.qv")
+    disc_vals = ", ".join(
+        f"({r}, {du}, {cu})" for r, du, cu in _dcg_discount_rows(k)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e
+      WHERE vec_id % {query_mod} = 0),
+disc(rank, disc_u, cum_u) AS (VALUES {disc_vals}),
+scored AS (SELECT q.qid, q.qlabel, e.label, {d} AS distance, e.vec_id
+           FROM e JOIN q ON e.vec_id <> q.qid),
+ranked AS (SELECT qid, qlabel, label,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY distance, vec_id) AS rank
+           FROM scored),
+dcg AS (SELECT qid, sum(disc_u)::BIGINT AS dcg_u
+        FROM ranked JOIN disc USING (rank)
+        WHERE rank <= {k} AND label = qlabel GROUP BY qid),
+labcnt AS (SELECT label AS qlabel, count(*) AS c FROM e GROUP BY label),
+ideal AS (SELECT qid, q.qlabel, cum_u AS idcg_u
+          FROM q JOIN labcnt USING (qlabel)
+          JOIN disc ON disc.rank = least(c - 1, {k})
+          WHERE least(c - 1, {k}) >= 1),
+per_q AS (SELECT qlabel,
+                 coalesce((2 * 1000000 * d.dcg_u + i.idcg_u)
+                          // (2 * i.idcg_u), 0)::BIGINT AS ndcg_u
+          FROM ideal i LEFT JOIN dcg d USING (qid))
+SELECT qlabel AS label, count(*)::BIGINT AS n_queries,
+       ((sum(ndcg_u)::BIGINT::DOUBLE / 1000000.0) / count(*)::DOUBLE) AS mean_ndcg
+FROM per_q GROUP BY qlabel ORDER BY qlabel
+""".strip()

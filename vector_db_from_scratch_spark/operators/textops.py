@@ -1444,6 +1444,27 @@ def tokenize_trained_bpe(
     dwords = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
+    counts = _trained_bpe_vocab(spark, sf_dir, dwords, n_merges)
+    # explicit broadcast: the checkpointed vocab carries no size stats,
+    # so without the hint the bounded-artifact join degrades to SMJ
+    return (
+        dwords.join(F.broadcast(counts), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce("n_sym", F.lit(1))).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _trained_bpe_vocab(
+    spark: SparkSession, sf_dir: str, dwords: DataFrame, n_merges: int
+) -> DataFrame:
+    """The trained (word, n_sym) vocabulary, memoized per (application,
+    sf_dir, n_merges): the full n_merges training loop composed lazily on
+    first call, a localCheckpoint artifact afterwards. Shared by the
+    tokenize and fertility consumers so they apply ONE vocabulary."""
     memo_key = (spark.sparkContext.applicationId, sf_dir, n_merges)
     if memo_key not in _BPE_VOCAB_MEMO:
         eligible = dwords.filter(
@@ -1478,17 +1499,72 @@ def tokenize_trained_bpe(
         _BPE_VOCAB_MEMO[memo_key] = sym.select(
             "word", F.size(F.split(F.rtrim(F.col("s")), " ")).alias("n_sym")
         ).localCheckpoint()
-    counts = _BPE_VOCAB_MEMO[memo_key]
-    # explicit broadcast: the checkpointed vocab carries no size stats,
-    # so without the hint the bounded-artifact join degrades to SMJ
+    return _BPE_VOCAB_MEMO[memo_key]
+
+
+def bpe_fertility(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_TRAIN_MERGES
+) -> DataFrame:
+    """Per-language tokenizer fertility of the trained BPE vocabulary:
+    (lang, n_words, n_tokens, n_word_chars, tokens_per_word,
+    chars_per_token) -- the tokenizer-fairness dashboard (a vocab trained
+    on a skewed language mix inflates tokens-per-word for the minority
+    languages, which directly inflates their training/serving cost).
+    Shares the memoized trained vocab with :func:`tokenize_trained_bpe`;
+    both ratios are single IEEE divisions on exact integer operands."""
+    docs = load_table(spark, sf_dir, "documents")
+    dwords = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = _trained_bpe_vocab(spark, sf_dir, dwords, n_merges)
+    lwords = docs.select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
     return (
-        dwords.join(F.broadcast(counts), "word", "left")
-        .groupBy("doc_id")
+        lwords.join(F.broadcast(counts), "word", "left")
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.coalesce("n_sym", F.lit(1))).alias("n_tokens"),
+            F.sum(F.coalesce("n_sym", F.lit(1))).cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_word_chars"),
         )
-        .orderBy("doc_id")
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_word_chars",
+            (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+                "tokens_per_word"
+            ),
+            (
+                F.col("n_word_chars").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def bpe_fertility_oracle(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    base = tokenize_trained_bpe_oracle(n_merges)
+    # reuse the tokenize oracle's CTE chain (dwords .. counts), swap the
+    # final projection for the per-language rollup
+    chain = base[: base.rindex("\nSELECT doc_id")]
+    return (
+        chain
+        + r""",
+lwords AS (
+  SELECT lang, w AS word
+  FROM (SELECT lang, unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+  WHERE w <> '')
+SELECT lang, count(*) AS n_words,
+       sum(coalesce(n_sym, 1))::BIGINT AS n_tokens,
+       sum(length(word))::BIGINT AS n_word_chars,
+       (sum(coalesce(n_sym, 1))::BIGINT::DOUBLE / count(*)::DOUBLE) AS tokens_per_word,
+       (sum(length(word))::BIGINT::DOUBLE
+        / sum(coalesce(n_sym, 1))::BIGINT::DOUBLE) AS chars_per_token
+FROM lwords LEFT JOIN counts USING (word)
+GROUP BY lang
+ORDER BY lang"""
     )
 
 
@@ -1542,3 +1618,84 @@ FROM dwords LEFT JOIN counts USING (word)
 GROUP BY doc_id
 ORDER BY doc_id"""
     )
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution:
+    (source, n_tokens, kl_nats) -- the domain-shift / mixture diagnostic
+    (a source whose token distribution drifts from the blend is exactly
+    what a data-mixing schedule needs to see; support(P_source) is a
+    subset of support(P_corpus) by construction so KL is finite).
+
+    Exactness contract: KL = sum_t p_st * (ln p_st - ln p_ct) is
+    computed as sum_t cnt_st * (lnps_u - lnpc_u) -- an INTEGER product
+    per (source, token) over micro-unit 6dp-rounded logs -- so the big
+    sum is order-free; the two final divisions (by total_s and 1e6) are
+    single IEEE ops on identical operands in both engines.
+
+    Scale: two wordcount aggregates (token and (source, token) keys,
+    partial-aggregated) and one join on the gram key; output is one row
+    per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
+    totals = tok.groupBy("source").agg(F.count(F.lit(1)).alias("total_s"))
+    corpus_total = tok.agg(F.count(F.lit(1)).alias("total_c"))
+    cnt_st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    cnt_ct = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c_ct"))
+
+    def logp_u(cnt, total):
+        return F.round(
+            F.round(F.log(cnt.cast("double") / total.cast("double")), 6)
+            * F.lit(LM_MICRO)
+        ).cast("long")
+
+    joined = (
+        cnt_st.join(F.broadcast(totals), "source")
+        .join(cnt_ct, "t")
+        .crossJoin(F.broadcast(corpus_total))
+        .select(
+            "source",
+            "total_s",
+            (
+                F.col("c_st")
+                * (
+                    logp_u(F.col("c_st"), F.col("total_s"))
+                    - logp_u(F.col("c_ct"), F.col("total_c"))
+                )
+            ).alias("term_u"),
+        )
+    )
+    return (
+        joined.groupBy("source", "total_s")
+        .agg(F.sum("term_u").alias("sum_u"))
+        .select(
+            "source",
+            F.col("total_s").alias("n_tokens"),
+            (
+                (F.col("sum_u").cast("double") / F.lit(float(LM_MICRO)))
+                / F.col("total_s").cast("double")
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_kl_divergence_oracle() -> str:
+    return f"""
+WITH tok AS (SELECT source, unnest(str_split(text, ' ')) AS t FROM documents),
+totals AS (SELECT source, count(*) AS total_s FROM tok GROUP BY source),
+ct AS (SELECT count(*) AS total_c FROM tok),
+cnt_st AS (SELECT source, t, count(*) AS c_st FROM tok GROUP BY source, t),
+cnt_ct AS (SELECT t, count(*) AS c_ct FROM tok GROUP BY t),
+terms AS (
+  SELECT s.source, totals.total_s,
+         s.c_st * (
+           round(round(ln(s.c_st::DOUBLE / totals.total_s::DOUBLE), 6) * {LM_MICRO})::BIGINT
+           - round(round(ln(c.c_ct::DOUBLE / (SELECT total_c FROM ct)::DOUBLE), 6) * {LM_MICRO})::BIGINT
+         ) AS term_u
+  FROM cnt_st s JOIN totals USING (source) JOIN cnt_ct c USING (t))
+SELECT source, total_s AS n_tokens,
+       ((sum(term_u)::BIGINT::DOUBLE / {LM_MICRO}.0) / total_s::DOUBLE) AS kl_nats
+FROM terms GROUP BY source, total_s ORDER BY source
+""".strip()

@@ -652,6 +652,13 @@ def build() -> dict[str, Entry]:
     # hard-negative mining: per anchor, the k nearest OTHER-label vectors
     # (the contrastive-training negatives worth training on)
     reg["knn_hard_negatives"] = (knn.hard_negatives, knn.hard_negatives_oracle())
+    # retrieval-quality eval: per-label MRR@k / hit-rate@k of cosine
+    # retrieval judged by label agreement, reciprocal ranks in exact
+    # half-up micro-units so the metric hash-gates
+    reg["knn_retrieval_mrr"] = (knn.retrieval_mrr, knn.retrieval_mrr_oracle())
+    # ... and binary-relevance nDCG@k over the same judgment, discount
+    # table embedded as identical literals in both engines
+    reg["knn_retrieval_ndcg"] = (knn.retrieval_ndcg, knn.retrieval_ndcg_oracle())
     reg["graph_degree_histogram"] = (
         graph.degree_histogram,
         graph.degree_histogram_oracle(),
@@ -696,11 +703,20 @@ def build() -> dict[str, Entry]:
         t.tokenize_trained_bpe,
         t.tokenize_trained_bpe_oracle(),
     )
+    # per-language fertility of the SAME trained vocab (tokenizer-fairness
+    # report: tokens/word and chars/token by lang)
+    reg["text_bpe_fertility"] = (t.bpe_fertility, t.bpe_fertility_oracle())
     reg["text_winnow_fingerprints"] = (t.winnow_fingerprints, t.winnow_fingerprints_oracle())
     reg["text_repetition_metrics"] = (t.repetition_metrics, t.repetition_metrics_oracle())
     reg["text_unigram_lm_scores"] = (t.unigram_lm_scores, t.unigram_lm_scores_oracle())
     # context-conditional LM quality filter (add-one bigram, CCNet-style)
     reg["text_bigram_lm_scores"] = (t.bigram_lm_scores, t.bigram_lm_scores_oracle())
+    # domain-shift diagnostic: per-source KL from the corpus unigram mix
+    # (integer micro-unit terms keep the big sum order-free)
+    reg["text_source_kl_divergence"] = (
+        t.source_kl_divergence,
+        t.source_kl_divergence_oracle(),
+    )
     reg["text_vocab_growth"] = (t.vocab_growth, t.vocab_growth_oracle())
     reg["text_ngram_topk"] = (t.ngram_topk, t.ngram_topk_oracle())
     # cross-document boilerplate fraction over the shared shingle artifacts
@@ -830,6 +846,9 @@ def build() -> dict[str, Entry]:
     # backend, under the SAME oracle (identical labelings by construction)
     reg["dedup_cluster_star"] = (d.neardup_clusters_star, d.neardup_clusters_oracle())
     reg["dedup_cluster_minhash"] = (d.neardup_clusters_minhash, d.neardup_clusters_minhash_oracle())
+    # the KEEP policy that completes the pipeline: quality-aware canonical
+    # representative per cluster (longest text, tie lower doc_id)
+    reg["dedup_canonical_select"] = (d.canonical_select, d.canonical_select_oracle())
     # LSH-bucket-blocked pairs at the label-blocked entry's 0.4 threshold:
     # the label-blocked all-pairs twin (embedding_neardup) is demoted to a
     # test-only oracle -- a skewed label would re-create the cartesian, so
@@ -1138,6 +1157,14 @@ def build() -> dict[str, Entry]:
     reg["stream_stats_ingest_drained"] = (
         w.stats_ingest_drained,
         w.events_stats_oracle(),
+    )
+    # ingest-time slice of the Deequ-style constraint audit: the pure-
+    # aggregation checks maintained continuously (uniqueness stays batch
+    # -- exact distinct state is outside the single-aggregation
+    # constraint); tolerance check fires non-vacuously
+    reg["stream_audit_ingest_drained"] = (
+        w.audit_ingest_drained,
+        w.events_audit_oracle(),
     )
     # KMV is NOT a pure aggregation (bottom-k has no built-in streaming
     # agg): applyInPandasWithState holds each shard's k smallest hashes

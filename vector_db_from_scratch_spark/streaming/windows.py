@@ -950,3 +950,69 @@ FROM events"""
         )
     body = "\nUNION ALL\n".join(parts)
     return f"SELECT * FROM (\n{body}\n) ORDER BY col"
+
+
+# --------------------------------------------------------------------------
+# Streaming constraint audit: the ingest-time slice of the Deequ-style
+# validation suite (maintenance.constraint_audit) maintained continuously
+# over the event stream. Only pure-aggregation checks stream (uniqueness
+# needs exact distinct state, which structured streaming's single-
+# aggregation constraint excludes -- the batch audit covers it); the
+# tolerance check fires on this corpus so the violation arithmetic is
+# gated non-vacuously here too. State: one row per check, bounded.
+# --------------------------------------------------------------------------
+
+AUDIT_EVENT_VALUE_CAP = 99.0
+
+_EVENT_AUDIT_CHECKS: list[tuple[str, str]] = [
+    # (check_name, SQL predicate marking a VIOLATION) -- shared verbatim
+    # with the DuckDB oracle
+    ("events_props_nonnull", "props IS NULL"),
+    ("events_ts_nonnull", "ts IS NULL"),
+    ("events_type_nonempty", "event_type IS NULL OR event_type = ''"),
+    ("events_user_id_nonneg", "user_id < 0"),  # 0 is a legitimate id here
+    ("events_value_le_cap", f"value > {AUDIT_EVENT_VALUE_CAP}"),
+    ("events_value_nonneg", "value < 0"),
+]
+
+
+def audit_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    entries = [
+        F.struct(
+            F.lit(name).alias("check_name"),
+            F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END").alias("viol"),
+        )
+        for name, pred in _EVENT_AUDIT_CHECKS
+    ]
+    ex = ev.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+    return ex.groupBy("check_name").agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum("viol").alias("violations"),
+    )
+
+
+@memoize_drain
+def audit_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming audit == the batch audit of the same checks."""
+    res = run_stream_once(audit_ingest_stream(spark, sf_dir), "t_gate_audit_ingest")
+    return res.select(
+        "check_name",
+        "checked",
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+def events_audit_oracle() -> str:
+    parts = [
+        f"""SELECT '{name}' AS check_name, count(*) AS checked,
+       sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS violations
+FROM events"""
+        for name, pred in _EVENT_AUDIT_CHECKS
+    ]
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        f"SELECT check_name, checked, violations, violations = 0 AS passed\n"
+        f"FROM (\n{body}\n) ORDER BY check_name"
+    )
