@@ -469,7 +469,11 @@ def _oriented(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
     )
-    return deg, orient
+    # orient is referenced THREE times downstream (both wedge sides + the
+    # closure semi-join) and deg twice; without truncation the window-
+    # ranked edge build inlines into every reference (191 static shuffles
+    # observed). Both tables are bounded (<= |edges| rows).
+    return deg.localCheckpoint(), orient.localCheckpoint()
 
 
 def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,4 +561,253 @@ SELECT d.node AS vec_id, d.deg AS degree,
 FROM deg d LEFT JOIN pern p ON p.node = d.node
 WHERE d.deg >= 2
 ORDER BY triangles DESC, vec_id LIMIT {TRI_TOPN}"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Label propagation over the k-NN graph (Zhu & Ghahramani 2002, the
+# clamped-seed form): hold out a deterministic subset's labels, propagate
+# majority votes from out-neighbours for LP_ITERS rounds, grade the
+# held-out predictions -- the pseudo-labeling / semi-supervised eval a
+# training pipeline runs before trusting propagated labels. Votes are
+# exact integer counts with an (count DESC, label ASC) argmax, so the
+# whole trajectory is engine-independent without any quantization device.
+# --------------------------------------------------------------------------
+
+LP_ITERS = 2
+LP_HOLDOUT_MOD = 4  # held out: vec_id % LP_HOLDOUT_MOD == 0
+
+
+def _lp_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % PR_SUBSET_MOD == 0)
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("true_label"),
+            F.when(F.col("vec_id") % LP_HOLDOUT_MOD == 0, F.lit(None))
+            .otherwise(F.col("label"))
+            .cast("long")
+            .alias("lab"),
+        )
+    )
+
+
+def label_propagation(
+    spark: SparkSession, sf_dir: str, iters: int = LP_ITERS
+) -> DataFrame:
+    """(vec_id, true_label, predicted_label, correct) for every held-out
+    node, ordered by vec_id (predicted_label NULL when no labelled
+    neighbour was reachable within ``iters`` rounds).
+
+    Each round: every currently-held-out node takes the argmax
+    (votes DESC, label ASC) over its out-neighbours' previous-round
+    labels; seed nodes are clamped. One equi-join + one bounded groupBy +
+    one per-node window per round -- the PageRank shuffle shape with a
+    vote argmax instead of a sum, composed as one lazy plan over the
+    same swappable edge builder.
+    """
+    from pyspark.sql import Window
+
+    edges = _edges(spark, sf_dir)
+    cur = _lp_labels(spark, sf_dir)
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                cur.select(F.col("vec_id").alias("dst"), F.col("lab").alias("nlab")),
+                "dst",
+            )
+            .filter(F.col("nlab").isNotNull())
+            .groupBy(F.col("src"), F.col("nlab"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("src").orderBy(F.desc("n"), "nlab")
+        )
+        winner = (
+            votes.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("vec_id"), F.col("nlab").alias("wlab"))
+        )
+        cur = (
+            cur.join(winner, "vec_id", "left")
+            .select(
+                "vec_id",
+                "true_label",
+                # clamp: seeds keep their label; held-out nodes re-vote
+                # every round on the previous round's assignments
+                F.when(
+                    F.col("vec_id") % LP_HOLDOUT_MOD == 0, F.col("wlab")
+                ).otherwise(F.col("lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        cur.filter(F.col("vec_id") % LP_HOLDOUT_MOD == 0)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("lab").alias("predicted_label"),
+            (F.col("lab") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def label_propagation_oracle(iters: int = LP_ITERS) -> str:
+    ctes = _chain_sql(0)[:4]  # nodes, nn, pairs, edges
+    ctes.append(
+        f"""lab0 AS (SELECT n.vec_id, e.label::BIGINT AS true_label,
+                CASE WHEN n.vec_id % {LP_HOLDOUT_MOD} = 0 THEN NULL
+                     ELSE e.label::BIGINT END AS lab
+         FROM nodes n JOIN embeddings e ON e.vec_id = n.vec_id)"""
+    )
+    for it in range(1, iters + 1):
+        prev = f"lab{it - 1}"
+        ctes.append(
+            f"""v{it} AS (SELECT src, nlab, count(*) AS n FROM (
+             SELECT e.src, l.lab AS nlab FROM edges e
+             JOIN {prev} l ON l.vec_id = e.dst WHERE l.lab IS NOT NULL)
+           GROUP BY src, nlab)"""
+        )
+        ctes.append(
+            f"""w{it} AS (SELECT src AS vec_id, nlab AS wlab FROM (
+             SELECT src, nlab,
+                    row_number() OVER (PARTITION BY src
+                                       ORDER BY n DESC, nlab) AS rn
+             FROM v{it}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""lab{it} AS (SELECT p.vec_id, p.true_label,
+                CASE WHEN p.vec_id % {LP_HOLDOUT_MOD} = 0 THEN w.wlab
+                     ELSE p.lab END AS lab
+           FROM {prev} p LEFT JOIN w{it} w ON w.vec_id = p.vec_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, true_label, lab AS predicted_label,
+       lab = true_label AS correct
+FROM lab{iters} WHERE vec_id % {LP_HOLDOUT_MOD} = 0 ORDER BY vec_id"""
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity-WEIGHTED PageRank: the same quantized chain with each edge's
+# contribution proportional to its cosine similarity instead of uniform
+# 1/K -- the form that matters on a k-NN graph, where the 4th neighbour
+# is often much farther than the 1st. Weights are integer micros
+# w = 1 + max(0, 1e6 - distance_micros) (the +1 keeps every out-weight
+# sum positive even for all-antipodal neighbours), contributions are
+# halfup(rank * w, sum_w) -- products stay < 2^53.
+# --------------------------------------------------------------------------
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w, sumw): the PR_K-NN edges with micro-unit similarity
+    weights and each source's total out-weight."""
+    nodes = _nodes(spark, sf_dir)
+    a = nodes.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = nodes.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        distance_expr("cosine", F.col("va"), F.col("vb")).alias("d"),
+    )
+    rn = F.row_number().over(Window.partitionBy("src").orderBy("d", "dst"))
+    kept = pairs.withColumn("rn", rn).filter(F.col("rn") <= PR_K)
+    # round-to-nearest before the long cast: d is round-6dp, so d*1e6 is
+    # within ulps of its integer -- Spark's bare cast truncates where
+    # DuckDB rounds (the LM-vocabulary lesson)
+    w = F.lit(1) + F.greatest(
+        F.lit(0).cast("long"),
+        F.lit(MICRO) - F.round(F.col("d") * F.lit(MICRO)).cast("long"),
+    )
+    wedges = kept.select("src", "dst", w.alias("w"))
+    sums = wedges.groupBy("src").agg(F.sum("w").alias("sumw"))
+    return wedges.join(sums, "src")
+
+
+def pagerank_weighted_topn(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """Top-PR_TOPN final ranks of the similarity-weighted chain --
+    same teleport/damping arithmetic as the plain chain, contribution
+    halfup(rank * w, sumw) instead of halfup(rank, K)."""
+    nodes = _nodes(spark, sf_dir).select("vec_id")
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    edges = _weighted_edges(spark, sf_dir)
+    r = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("vec_id", _halfup(F.lit(MICRO), F.col("n")).alias("rank"), "n")
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(r.select(F.col("vec_id").alias("src"), "rank"), "src")
+            .select(
+                "dst",
+                _halfup(F.col("rank") * F.col("w"), F.col("sumw")).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(sums, nodes["vec_id"] == sums["dst"], "left")
+            .select(
+                "vec_id",
+                (
+                    _halfup(F.lit(15 * MICRO), F.lit(DAMP_DEN) * F.col("n"))
+                    + _halfup(
+                        F.lit(DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0)),
+                        F.lit(DAMP_DEN),
+                    )
+                ).alias("rank"),
+                "n",
+            )
+            .localCheckpoint()
+        )
+    return (
+        r.select("vec_id", F.col("rank").alias("rank_micros"))
+        .orderBy(F.desc("rank_micros"), "vec_id")
+        .limit(PR_TOPN)
+    )
+
+
+def pagerank_weighted_topn_oracle(iters: int = PR_ITERS) -> str:
+    d = oracle_distance_sql("cosine", "a.v", "b.v")
+    ctes = [
+        f"""nodes AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id % {PR_SUBSET_MOD} = 0)""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"""pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst, {d} AS d
+           FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id)""",
+        f"""kept AS (SELECT src, dst, d FROM (
+             SELECT src, dst, d, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+             FROM pairs) WHERE rn <= {PR_K})""",
+        f"""wedges AS (SELECT src, dst,
+             1 + greatest(0, {MICRO} - round(d * {MICRO})::BIGINT) AS w
+           FROM kept)""",
+        """edges AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS sumw
+           FROM wedges)""",
+        f"""r0 AS (SELECT vec_id, (2 * {MICRO} + n) // (2 * n) AS rank
+           FROM nodes CROSS JOIN nn)""",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""c{it} AS (SELECT e.dst, sum((2 * r.rank * e.w + e.sumw) // (2 * e.sumw)) AS s
+           FROM edges e JOIN r{it - 1} r ON e.src = r.vec_id GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{it} AS (SELECT nodes.vec_id,
+                  ((2 * {15 * MICRO} + {DAMP_DEN} * n) // (2 * {DAMP_DEN} * n)
+                   + (2 * {DAMP_NUM} * coalesce(c.s, 0) + {DAMP_DEN}) // (2 * {DAMP_DEN})) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c{it} c ON c.dst = nodes.vec_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, rank::BIGINT AS rank_micros FROM r{iters}"
+        + f"\nORDER BY rank_micros DESC, vec_id LIMIT {PR_TOPN}"
     )

@@ -670,6 +670,19 @@ def build() -> dict[str, Entry]:
         graph.triangle_counts,
         graph.triangle_counts_oracle(),
     )
+    # clamped-seed label propagation: held-out nodes take the
+    # (votes DESC, label ASC) argmax of their out-neighbours per round --
+    # the pseudo-labeling eval, exact integer votes need no quantization
+    reg["graph_label_propagation"] = (
+        graph.label_propagation,
+        graph.label_propagation_oracle(),
+    )
+    # similarity-weighted rank chain: contribution proportional to edge
+    # weight (integer micros) instead of uniform 1/K
+    reg["graph_pagerank_weighted"] = (
+        graph.pagerank_weighted_topn,
+        graph.pagerank_weighted_topn_oracle(),
+    )
     # the sketch driving the engine's own layout planning: range-partition
     # boundaries interpolated from the cumulative histogram (the
     # deterministic twin of repartitionByRange's sampling), balance audited
