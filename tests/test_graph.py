@@ -14,9 +14,9 @@ import pytest
 from vector_db_from_scratch_spark.operators import graph
 
 
-def _py_reference(sf_dir: str, iters: int, seed_mod: int | None = None):
-    """Brute-force NumPy replica of _rank_chain (plain or personalized):
-    returns list of {vec_id: rank_micros} dicts, one per iteration."""
+def _py_edges(sf_dir: str) -> tuple[list[int], list[tuple[int, int]]]:
+    """Brute-force NumPy replica of the _edges build: (node ids, directed
+    (src, dst) k-NN edges) under the house round-6dp distance contract."""
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
     ids, vecs = [], []
     for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
@@ -48,6 +48,13 @@ def _py_reference(sf_dir: str, iters: int, seed_mod: int | None = None):
             cands.append((d, ids[j]))
         cands.sort()
         edges.extend((ids[i], dst) for _, dst in cands[: graph.PR_K])
+    return ids, edges
+
+
+def _py_reference(sf_dir: str, iters: int, seed_mod: int | None = None):
+    """Brute-force NumPy replica of _rank_chain (plain or personalized):
+    returns list of {vec_id: rank_micros} dicts, one per iteration."""
+    ids, edges = _py_edges(sf_dir)
 
     def halfup(a: int, b: int) -> int:
         return (2 * a + b) // (2 * b)
@@ -159,8 +166,7 @@ def test_degree_histogram_conserves_nodes_and_edges(spark, sf_dir):
 def _py_hits(sf_dir: str, iters: int):
     """Exact-integer replica of _hits_chain built on _py_reference's edges."""
     # reuse the edge construction from the pagerank reference
-    chain_edges = _py_edges(sf_dir)
-    ids = sorted({s for s, _ in chain_edges} | {d for _, d in chain_edges})
+    ids, chain_edges = _py_edges(sf_dir)
     n = len(ids)
 
     def halfup(a: int, b: int) -> int:
@@ -180,34 +186,6 @@ def _py_hits(sf_dir: str, iters: int):
         tot = sum(raw.values())
         hub = {v: halfup(raw[v] * graph.MICRO, tot) for v in ids}
     return auth, hub
-
-
-def _py_edges(sf_dir: str):
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
-    ids, vecs = [], []
-    for vid, emb in zip(tbl["vec_id"], tbl["embedding"]):
-        if vid % graph.PR_SUBSET_MOD == 0:
-            ids.append(vid)
-            vecs.append(np.asarray(emb, dtype=np.float64))
-    order = np.argsort(ids)
-    ids = [ids[i] for i in order]
-    vecs = np.stack([vecs[i] for i in order])
-    norms = np.sqrt((vecs * vecs).sum(axis=1))
-    sims = vecs @ vecs.T
-    edges = []
-    for i in range(len(ids)):
-        cands = []
-        for j in range(len(ids)):
-            if i == j:
-                continue
-            denom = norms[i] * norms[j]
-            d = float("inf") if denom == 0 else 1.0 - sims[i, j] / denom
-            if d != float("inf"):
-                d = float(Decimal(d).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
-            cands.append((d, ids[j]))
-        cands.sort()
-        edges.extend((ids[i], dst) for _, dst in cands[: graph.PR_K])
-    return edges
 
 
 def test_hits_matches_python_reference(spark, sf_dir):
@@ -348,3 +326,67 @@ def test_weighted_pagerank_matches_python_reference(spark, sf_dir):
 
     plain = [r["vec_id"] for r in graph.pagerank_topn(spark, sf_dir).collect()]
     assert [r["vec_id"] for r in got] != plain
+
+
+def _py_und(sf_dir):
+    _, edges = _py_edges(sf_dir)
+    return {(min(s, d), max(s, d)) for s, d in edges}
+
+
+def test_kcore_matches_python_peel(spark, sf_dir):
+    ids, _ = _py_edges(sf_dir)
+    nodes, und = set(ids), _py_und(sf_dir)
+    expect = [(0, len(nodes), len(und))]
+    for r in range(1, graph.KC_ITERS + 1):
+        deg: dict[int, int] = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nodes = {v for v in nodes if deg.get(v, 0) >= graph.KC_K}
+        und = {(a, b) for a, b in und if a in nodes and b in nodes}
+        expect.append((r, len(nodes), len(und)))
+    rows = graph.kcore_trajectory(spark, sf_dir).collect()
+    got = [(r["iter"], r["core_nodes"], r["core_edges"]) for r in rows]
+    assert got == expect
+
+
+def test_kcore_peel_nonvacuous_and_monotone(spark, sf_dir):
+    rows = graph.kcore_trajectory(spark, sf_dir).collect()
+    nodes = [r["core_nodes"] for r in rows]
+    edges = [r["core_edges"] for r in rows]
+    # the cascade must actually remove something in round 1 on this corpus
+    # (min undirected degree is PR_K=4 by construction, KC_K=5 bites)
+    assert nodes[1] < nodes[0]
+    assert all(a >= b for a, b in zip(nodes, nodes[1:]))
+    assert all(a >= b for a, b in zip(edges, edges[1:]))
+
+
+def test_link_prediction_matches_python(spark, sf_dir):
+    und = _py_und(sf_dir)
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scored = []
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for z in nodes[i + 1:]:
+            if (x, z) in und:
+                continue
+            common = len(adj[x] & adj[z])
+            if common == 0:
+                continue
+            union = len(adj[x]) + len(adj[z]) - common
+            jac = (2 * common * graph.MICRO + union) // (2 * union)
+            scored.append((-common, -jac, x, z))
+    scored.sort()
+    expect = [
+        (x, z, -c, -j) for c, j, x, z in scored[: graph.LPRED_TOPN]
+    ]
+    rows = graph.link_prediction(spark, sf_dir).collect()
+    got = [
+        (r["x"], r["z"], r["common_neighbors"], r["jaccard_micros"]) for r in rows
+    ]
+    assert got == expect
+    # non-vacuous on this corpus: some pair shares >= 2 neighbours
+    assert rows[0]["common_neighbors"] >= 2

@@ -179,6 +179,19 @@ def test_hard_negatives_are_cross_label_and_truly_nearest(spark, sf_dir):
     assert got == brute
 
 
+def test_hard_negatives_fast_equals_expression_twin(spark, sf_dir):
+    """The Arrow GEMM kernel (the registered path) must equal the
+    declarative expression twin bit for bit -- same rows, same order."""
+    from vector_db_from_scratch_spark.operators.knn import (
+        hard_negatives,
+        hard_negatives_fast,
+    )
+
+    expr = hard_negatives(spark, sf_dir).collect()
+    fast = hard_negatives_fast(spark, sf_dir).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in expr]
+
+
 def test_retrieval_mrr_matches_python_brute_force(spark, sf_dir):
     """Per-label MRR@k == a NumPy brute force replicating the full
     contract: round-6dp cosine, (distance, vec_id) tie-break, self

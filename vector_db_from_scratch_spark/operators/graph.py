@@ -446,13 +446,7 @@ def _oriented(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     orientation is the scale device: every triangle is counted exactly
     once, and wedge fan-out is bounded by the oriented out-degree
     (O(sqrt(m)) max, vs the raw max degree for the naive a<b<c join)."""
-    edges = _edges(spark, sf_dir)
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
+    und = _undirected(spark, sf_dir)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -772,6 +766,207 @@ def pagerank_weighted_topn(
         r.select("vec_id", F.col("rank").alias("rank_micros"))
         .orderBy(F.desc("rank_micros"), "vec_id")
         .limit(PR_TOPN)
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative peel; Seidman 1983, the distributed
+# peel of Montresor et al. 2013): repeatedly delete nodes of undirected
+# degree < k until fixpoint -- the graph-curation filter that separates a
+# cohesive near-dup / topic core from peripheral noise. Every quantity is
+# an exact integer count, so the whole peel trajectory gates with no
+# quantization device. On THIS corpus the 5-core is empty (out-degree is
+# exactly PR_K=4, so the 4-core is the whole graph and k=5 cascades to
+# empty within 3 rounds) -- the gate hashes the full cascade, which is the
+# interesting object; an all-survive or all-dead single round would be
+# vacuous. At 100 TB each round is one groupBy(node) degree count plus
+# two semi-joins on a table that only shrinks -- the same
+# monotone-shrinking-frontier shape as the star-contraction components.
+# --------------------------------------------------------------------------
+
+KC_K = 5
+KC_ITERS = 3
+
+
+def _undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized edge set as (a < b) pairs -- one row per undirected
+    edge of the k-NN graph. Memoized + localCheckpointed per
+    (application, sf_dir): triangles, k-core, and link prediction all
+    consume it, and the upstream window-ranked edge build would otherwise
+    inline into every reference (the _oriented lesson)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "und")
+    if key in _CHAIN_MEMO:
+        return _CHAIN_MEMO[key]
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    _CHAIN_MEMO[key] = und
+    return und
+
+
+def kcore_trajectory(
+    spark: SparkSession, sf_dir: str, k: int = KC_K, iters: int = KC_ITERS
+) -> DataFrame:
+    """(iter, core_nodes, core_edges) for iter 0..``iters``: the peel
+    trajectory of the k-core computation. Round r keeps the nodes whose
+    degree over round r-1's surviving edges is >= k, then keeps the edges
+    with both endpoints surviving. Per-round localCheckpoint truncates the
+    loop lineage (the rank-chain discipline); every per-round table is
+    bounded by the original node/edge counts and only shrinks."""
+    key = (spark.sparkContext.applicationId, sf_dir, "kcore", k, iters)
+    if key in _CHAIN_MEMO:
+        states = _CHAIN_MEMO[key]
+    else:
+        nodes = _nodes(spark, sf_dir).select("vec_id").localCheckpoint()
+        edges = _undirected(spark, sf_dir)
+        states = [(nodes, edges)]
+        for _ in range(iters):
+            keep = (
+                edges.select(F.col("a").alias("node"))
+                .unionAll(edges.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("node")
+            )
+            nodes = (
+                nodes.join(keep, nodes["vec_id"] == keep["node"], "left_semi")
+                .localCheckpoint()
+            )
+            na = nodes.select(F.col("vec_id").alias("a"))
+            nb = nodes.select(F.col("vec_id").alias("b"))
+            edges = (
+                edges.join(na, "a", "left_semi")
+                .join(nb, "b", "left_semi")
+                .localCheckpoint()
+            )
+            states.append((nodes, edges))
+        _CHAIN_MEMO[key] = states
+    stats = [
+        n.agg(F.lit(i).alias("iter"), F.count(F.lit(1)).alias("core_nodes"))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("core_edges"))))
+        for i, (n, e) in enumerate(states)
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("iter")
+
+
+def kcore_trajectory_oracle(k: int = KC_K, iters: int = KC_ITERS) -> str:
+    ctes = _chain_sql(0)[:4]  # nodes, nn, pairs, edges
+    ctes.append("s0 AS (SELECT vec_id FROM nodes)")
+    ctes.append(
+        "e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)"
+    )
+    for it in range(1, iters + 1):
+        p = it - 1
+        ctes.append(
+            f"""d{it} AS (SELECT node, count(*) AS deg FROM (
+             SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p})
+           GROUP BY node)"""
+        )
+        ctes.append(
+            f"""s{it} AS (SELECT s.vec_id FROM s{p} s
+           JOIN d{it} d ON d.node = s.vec_id WHERE d.deg >= {k})"""
+        )
+        ctes.append(
+            f"""e{it} AS (SELECT e.a, e.b FROM e{p} e
+           WHERE EXISTS (SELECT 1 FROM s{it} x WHERE x.vec_id = e.a)
+             AND EXISTS (SELECT 1 FROM s{it} y WHERE y.vec_id = e.b))"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT {it} AS iter,
+       (SELECT count(*) FROM s{it})::BIGINT AS core_nodes,
+       (SELECT count(*) FROM e{it})::BIGINT AS core_edges"""
+        for it in range(iters + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY iter"
+
+
+# --------------------------------------------------------------------------
+# Link prediction by common neighbours / Jaccard over the undirected k-NN
+# graph (Liben-Nowell & Kleinberg 2003): for every non-adjacent pair that
+# shares at least one neighbour, score = |N(x) ∩ N(z)| and the Jaccard
+# form |∩| / (|N(x)| + |N(z)| - |∩|) in half-up integer micros -- the
+# "these two documents should probably be duplicates/related but the k-NN
+# cutoff missed the edge" candidate generator. Wedge fan-out through a
+# middle vertex is deg(y)^2 with deg bounded by K + in-degree on a k-NN
+# graph; a hub-heavy graph would orient wedges by degree exactly as
+# triangle_counts does -- this form keeps the symmetric join because both
+# directions of each candidate pair are needed for the degree terms.
+# --------------------------------------------------------------------------
+
+LPRED_TOPN = 20
+
+
+def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-LPRED_TOPN non-adjacent pairs (x < z) by (common_neighbors
+    DESC, jaccard_micros DESC, x, z): (x, z, common_neighbors,
+    jaccard_micros). Three equi-joins + one bounded groupBy; candidates
+    exist only where a wedge exists, never all pairs."""
+    und = _undirected(spark, sf_dir)
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    a1 = adj.select(F.col("u").alias("x"), "w")
+    a2 = adj.select(F.col("u").alias("z"), "w")
+    cand = (
+        a1.join(a2, "w")
+        .filter(F.col("x") < F.col("z"))
+        .groupBy("x", "z")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .join(und, (F.col("x") == und["a"]) & (F.col("z") == und["b"]), "left_anti")
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("degx"))
+    dz = deg.select(F.col("node").alias("z"), F.col("deg").alias("degz"))
+    union_size = F.col("degx") + F.col("degz") - F.col("common_neighbors")
+    return (
+        cand.join(dx, "x")
+        .join(dz, "z")
+        .select(
+            "x",
+            "z",
+            "common_neighbors",
+            _halfup(
+                F.col("common_neighbors") * F.lit(MICRO), union_size
+            ).alias("jaccard_micros"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("jaccard_micros"), "x", "z"
+        )
+        .limit(LPRED_TOPN)
+    )
+
+
+def link_prediction_oracle() -> str:
+    ctes = _chain_sql(0)[:4]  # nodes, nn, pairs, edges
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+adj AS (SELECT a AS u, b AS w FROM und UNION ALL SELECT b AS u, a AS w FROM und),
+deg AS (SELECT u AS node, count(*) AS deg FROM adj GROUP BY u),
+cand AS (
+  SELECT a1.u AS x, a2.u AS z, count(*) AS common_neighbors
+  FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.u < a2.u
+  GROUP BY a1.u, a2.u),
+nonadj AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = c.x AND e.b = c.z))
+SELECT c.x, c.z, c.common_neighbors::BIGINT AS common_neighbors,
+       ((2 * c.common_neighbors * {MICRO}
+         + (dx.deg + dz.deg - c.common_neighbors))
+        // (2 * (dx.deg + dz.deg - c.common_neighbors)))::BIGINT AS jaccard_micros
+FROM nonadj c JOIN deg dx ON dx.node = c.x JOIN deg dz ON dz.node = c.z
+ORDER BY common_neighbors DESC, jaccard_micros DESC, x, z LIMIT {LPRED_TOPN}"""
     )
 
 

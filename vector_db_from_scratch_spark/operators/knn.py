@@ -746,6 +746,91 @@ ORDER BY anchor_id, rank
 """.strip()
 
 
+def hard_negatives_fast(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = HN_K,
+    anchor_mod: int = HN_ANCHOR_MOD,
+) -> DataFrame:
+    """Scale path for :func:`hard_negatives` -- identical semantics and
+    oracle, executed as one BLAS GEMM (``m @ A.T``) per Arrow batch over
+    the bounded anchor matrix (n / anchor_mod rows, collected once and
+    shipped in the task closure), a per-(anchor, batch) NumPy top-k with
+    the same-label mask applied in the kernel, then a global per-anchor
+    window over the <= k * P survivors. The batch_knn_fast discipline:
+    zero-norm rows keep +inf distances (they are legitimate cosine
+    candidates), ties break (distance, vec_id), round-6dp before ranking
+    so quantized ties resolve identically to the expression twin."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, EMB)
+    arows = (
+        emb.filter(F.col("vec_id") % anchor_mod == 0)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    aid = np.asarray([r["vec_id"] for r in arows], dtype=np.int64)
+    alab = np.asarray([r["label"] for r in arows], dtype=np.int64)
+    A = np.asarray(
+        [[float(x) for x in r["embedding"]] for r in arows], dtype=np.float64
+    )
+    anorm = np.linalg.norm(A, axis=1)
+
+    def local_topk(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            labs = pdf["label"].to_numpy()
+            nv = np.linalg.norm(m, axis=1)
+            denom = nv[:, None] * anorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                d = np.where(denom == 0.0, np.inf, 1.0 - (m @ A.T) / denom)
+            d = np.round(d, 6) + 0.0
+            out_a: list[int] = []
+            out_v: list[int] = []
+            out_d: list[float] = []
+            for j in range(len(aid)):
+                mask = labs != alab[j]
+                dj = d[mask, j]
+                vj = ids[mask]
+                if not len(dj):
+                    continue
+                if len(dj) > 4 * k:
+                    # O(n) pre-select, tie-inclusive (batch_knn_fast)
+                    kth = np.partition(dj, k - 1)[k - 1]
+                    sel = np.flatnonzero(dj <= kth)
+                    order = sel[np.lexsort((vj[sel], dj[sel]))][:k]
+                else:
+                    order = np.lexsort((vj, dj))[:k]
+                out_a.extend([int(aid[j])] * len(order))
+                out_v.extend(int(v) for v in vj[order])
+                out_d.extend(float(x) for x in dj[order])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "anchor_id": np.asarray(out_a, dtype=np.int64),
+                        "vec_id": np.asarray(out_v, dtype=np.int64),
+                        "distance": np.asarray(out_d, dtype=np.float64),
+                    }
+                )
+
+    survivors = emb.select("vec_id", "embedding", "label").mapInPandas(
+        local_topk, "anchor_id long, vec_id long, distance double"
+    )
+    w = Window.partitionBy("anchor_id").orderBy("distance", "vec_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "rank", "vec_id", "distance")
+        .orderBy("anchor_id", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # Retrieval-quality evaluation: per-label MRR@k / hit-rate@k of cosine
 # retrieval against a label-derived relevance judgment (same label =

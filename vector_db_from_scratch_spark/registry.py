@@ -651,7 +651,12 @@ def build() -> dict[str, Entry]:
     reg["graph_hits_topn"] = (graph.hits_topn, graph.hits_topn_oracle())
     # hard-negative mining: per anchor, the k nearest OTHER-label vectors
     # (the contrastive-training negatives worth training on)
-    reg["knn_hard_negatives"] = (knn.hard_negatives, knn.hard_negatives_oracle())
+    # routed through the Arrow GEMM kernel (batch_knn_fast discipline);
+    # the expression twin stays pinned bit-equal in tests/test_knn
+    reg["knn_hard_negatives"] = (
+        knn.hard_negatives_fast,
+        knn.hard_negatives_oracle(),
+    )
     # retrieval-quality eval: per-label MRR@k / hit-rate@k of cosine
     # retrieval judged by label agreement, reciprocal ranks in exact
     # half-up micro-units so the metric hash-gates
@@ -682,6 +687,21 @@ def build() -> dict[str, Entry]:
     reg["graph_pagerank_weighted"] = (
         graph.pagerank_weighted_topn,
         graph.pagerank_weighted_topn_oracle(),
+    )
+    # k-core peel trajectory: per-round surviving node/edge counts of the
+    # iterative degree->=k deletion -- exact integer cascade, gates with no
+    # quantization device; on this corpus the 5-core cascades to empty
+    # (out-degree is exactly 4), and the gate hashes the full cascade
+    reg["graph_kcore_trajectory"] = (
+        graph.kcore_trajectory,
+        graph.kcore_trajectory_oracle(),
+    )
+    # common-neighbour / Jaccard link prediction over the undirected k-NN
+    # graph: the "edge the k-NN cutoff missed" candidate generator,
+    # half-up integer-micro Jaccard, wedge-bounded candidate space
+    reg["graph_link_prediction"] = (
+        graph.link_prediction,
+        graph.link_prediction_oracle(),
     )
     # the sketch driving the engine's own layout planning: range-partition
     # boundaries interpolated from the cumulative histogram (the
