@@ -861,3 +861,33 @@ def test_stream_audit_fires_and_matches_batch_recount(spark, sf_dir):
     assert fired["violations"] > 0 and not fired["passed"]
     for name in ("events_ts_nonnull", "events_value_nonneg", "events_user_id_nonneg"):
         assert rows[name]["violations"] == 0 and rows[name]["passed"], name
+
+
+def test_join_restart_exercises_cross_boundary_pairs(spark, sf_dir):
+    """stream_join_restart_drained is only a recovery gate if some emitted
+    pair STRADDLES the phase boundary: the replay splits at the earliest
+    strictly-ordered pair's click (phase 1 ends with it buffered, phase 2
+    delivers its purchase), so that pair exists in the output only
+    because the click's join-buffer row survived the restart."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.sources.tables import load_table
+    from vector_db_from_scratch_spark.streaming import sinks
+    from vector_db_from_scratch_spark.streaming.joins import _join_cond, _sides
+
+    res = sinks.join_restart_drained(spark, sf_dir).collect()
+    assert res
+    ev = load_table(spark, sf_dir, "events")
+    clicks, purchases = _sides(ev)
+    anchor = (
+        clicks.join(purchases, _join_cond())
+        .filter(F.col("click_ts") < F.col("purchase_ts"))
+        .orderBy("purchase_ts", "click_ts", "purchase_id", "click_id")
+        .limit(1)
+        .collect()
+    )
+    boundary = str(anchor[0]["click_ts"])[:19]
+    straddling = [
+        r for r in res if r["click_ts"] <= boundary < r["purchase_ts"]
+    ]
+    assert straddling, f"no join pair straddles the phase boundary {boundary}"

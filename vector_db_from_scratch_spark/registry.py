@@ -1258,6 +1258,14 @@ def build() -> dict[str, Entry]:
         stream_sinks.dedup_restart_drained,
         stream_sinks.dedup_restart_drained_oracle(),
     )
+    # ... and stream-stream JOIN buffer state across a restart (the fifth
+    # recovered state type): a click buffered shortly before the phase
+    # boundary pairs with its phase-2 purchase only if the join buffer
+    # survived -- lost rows drop pairs, re-read files duplicate them
+    reg["stream_join_restart_drained"] = (
+        stream_sinks.join_restart_drained,
+        stream_sinks.join_restart_drained_oracle(),
+    )
     reg["window_sliding_events"] = (w.sliding_counts, w.sliding_counts_oracle())
     reg["window_session_events"] = (w.session_stats, w.session_stats_oracle())
     from .streaming import joins as stream_joins

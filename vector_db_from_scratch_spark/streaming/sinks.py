@@ -213,7 +213,10 @@ def upsert_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = scratch_dir("upsert-restart-replay-")
     replay_events_dir(spark, sf_dir, replay, n_files=2)
-    files = sorted(glob.glob(os.path.join(replay, "part-*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(replay, "part-*.parquet")), key=os.path.getmtime
+    )  # mtime IS the arrival order (sequential writes, 0.1s apart);
+    # lexical sort would order by random part-file uuid
     assert len(files) >= 2, files
     stream_dir = scratch_dir("upsert-restart-stream-")
     ckpt = scratch_dir("upsert-restart-ckpt-")
@@ -316,7 +319,10 @@ def tumbling_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = scratch_dir("tumble-restart-replay-")
     replay_events_dir(spark, sf_dir, replay, n_files=2)
-    files = sorted(glob.glob(os.path.join(replay, "part-*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(replay, "part-*.parquet")), key=os.path.getmtime
+    )  # mtime IS the arrival order (sequential writes, 0.1s apart);
+    # lexical sort would order by random part-file uuid
     assert len(files) >= 2, files
     stream_dir = scratch_dir("tumble-restart-stream-")
     ckpt = scratch_dir("tumble-restart-ckpt-")
@@ -375,7 +381,10 @@ def session_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = scratch_dir("session-restart-replay-")
     replay_events_dir(spark, sf_dir, replay, n_files=2)
-    files = sorted(glob.glob(os.path.join(replay, "part-*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(replay, "part-*.parquet")), key=os.path.getmtime
+    )  # mtime IS the arrival order (sequential writes, 0.1s apart);
+    # lexical sort would order by random part-file uuid
     assert len(files) >= 2, files
     stream_dir = scratch_dir("session-restart-stream-")
     ckpt = scratch_dir("session-restart-ckpt-")
@@ -439,7 +448,10 @@ def dedup_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = scratch_dir("dedup-restart-replay-")
     replay_events_dir(spark, sf_dir, replay, n_files=2)
-    files = sorted(glob.glob(os.path.join(replay, "part-*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(replay, "part-*.parquet")), key=os.path.getmtime
+    )  # mtime IS the arrival order (sequential writes, 0.1s apart);
+    # lexical sort would order by random part-file uuid
     assert len(files) >= 2, files
     stream_dir = scratch_dir("dedup-restart-stream-")
     ckpt = scratch_dir("dedup-restart-ckpt-")
@@ -488,3 +500,113 @@ def dedup_restart_drained_oracle() -> str:
     from .windows import dedup_drained_oracle
 
     return dedup_drained_oracle()
+
+
+@memoize_drain
+def join_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery for stream-stream JOIN buffer state -- the
+    FIFTH recovered state type (tumbling: window buckets; session:
+    merging sessions; dedup: seen keys; upsert: source offsets +
+    foreachBatch sink). The watermarked interval join buffers each side
+    until the watermark passes its join window; splitting the replay in
+    half mid-timeline means every click arriving shortly before the
+    boundary can only pair with a phase-2 purchase if its buffered row
+    SURVIVED the restart. A lost buffer row silently drops those pairs,
+    a re-read phase-1 file duplicates them -- either flips the hash
+    against the batch interval-join oracle (shared verbatim with
+    stream_join_drained). Emission goes through the real parquet file
+    sink (append-mode memory sinks refuse recovery), so its
+    _spark_metadata exactly-once commit log is under the same gate."""
+    import glob
+    import time as _time
+
+    from ..sources.artifacts import scratch_dir
+    from ..sources.tables import load_table
+    from .joins import _join_cond, _sides
+    from .windows import drain_conf, events_stream_from
+
+    # Split the replay AT a join pair, not at the row-count median: the
+    # corpus is sparse enough (1 matched pair at sf0.001) that an
+    # arbitrary split can leave zero pairs straddling the boundary --
+    # which would make the recovery gate vacuous. Anchor the boundary at
+    # the earliest strictly-ordered pair's click: phase 1 ends with that
+    # click buffered, phase 2 delivers its purchase, so >= 1 emitted pair
+    # exists ONLY IF the buffer survived the restart (pinned in tests).
+    ev = load_table(spark, sf_dir, "events")
+    bclicks, bpurchases = _sides(ev)
+    anchor = (
+        bclicks.join(bpurchases, _join_cond())
+        .filter(F.col("click_ts") < F.col("purchase_ts"))
+        .orderBy("purchase_ts", "click_ts", "purchase_id", "click_id")
+        .limit(1)
+        .collect()
+    )
+    if not anchor:
+        raise RuntimeError(
+            "no strictly-ordered click->purchase pair in the corpus: the "
+            "join-restart gate cannot be made non-vacuous at this SF"
+        )
+    boundary = anchor[0]["click_ts"]
+    replay = scratch_dir("ssjoin-restart-replay-")
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") <= F.lit(boundary)),
+         ev.filter(F.col("ts") > F.lit(boundary)))
+    ):
+        part.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(
+            replay
+        )
+        _time.sleep(0.1)  # distinct mtimes -> deterministic arrival order
+    files = sorted(
+        glob.glob(os.path.join(replay, "part-*.parquet")), key=os.path.getmtime
+    )  # mtime IS the arrival order (sequential writes, 0.1s apart);
+    # lexical sort would order by random part-file uuid
+    assert len(files) >= 2, files
+    stream_dir = scratch_dir("ssjoin-restart-stream-")
+    ckpt = scratch_dir("ssjoin-restart-ckpt-")
+    out_dir = scratch_dir("ssjoin-restart-out-")
+
+    def run_phase(new_files: list[str]) -> None:
+        for f in new_files:
+            shutil.copy(f, os.path.join(stream_dir, os.path.basename(f)))
+        ev = events_stream_from(spark, stream_dir, files_per_trigger=1)
+        clicks, purchases = _sides(ev)
+        clicks = clicks.withWatermark("click_ts", "1 hour")
+        purchases = purchases.withWatermark("purchase_ts", "1 hour")
+        j = clicks.join(purchases, _join_cond()).select(
+            F.col("p_user").alias("user_id"), "purchase_id", "click_id",
+            "purchase_ts", "click_ts",
+        )
+        # 2 state partitions: the two-sided join's per-batch state-store
+        # commit dominates the bounded drain (the left-join lesson)
+        with drain_conf(spark, 2):
+            q = (
+                j.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+    half = len(files) // 2
+    run_phase(files[:half])
+    run_phase(files[half:])
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        )
+        .orderBy("user_id", "purchase_id", "click_id")
+    )
+
+
+def join_restart_drained_oracle() -> str:
+    from .joins import click_purchase_join_drained_oracle
+
+    return click_purchase_join_drained_oracle()
