@@ -387,3 +387,28 @@ def test_cm_by_group_merge_all_diffs_zero(spark, sf_dir):
 
     rows = countmin.cm_by_group_merge(spark, sf_dir).collect()
     assert rows and all(r["diff"] == 0 for r in rows)
+
+
+def test_bloom_by_group_rolls_up_to_whole(spark, sf_dir):
+    """Per-year bitmaps share the global m, so OR-ing them word-wise must
+    reproduce the whole-corpus bitmap exactly -- the rollup that lets a
+    partition-local filter fold into the global one without re-reading
+    keys. Also pins that the groups genuinely partition the key set
+    (every word of every group is a subset of the whole word)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.operators import bloom
+
+    per = bloom.bloom_by_group(spark, sf_dir)
+    whole = {
+        r["word_idx"]: r["word"] for r in bloom.bloom_bitmap(spark, sf_dir).collect()
+    }
+    rolled: dict[int, int] = {}
+    for r in per.collect():
+        rolled[r["word_idx"]] = rolled.get(r["word_idx"], 0) | r["word"]
+        # subset: a group can never set a bit the whole filter lacks
+        assert r["word"] & ~whole[r["word_idx"]] == 0
+    assert rolled == whole
+    # non-vacuous: more than one group exists
+    n_groups = per.select("grp_year").distinct().count()
+    assert n_groups >= 2

@@ -319,3 +319,56 @@ SELECT (SELECT count(*) FROM urgent) AS n_keys,
        {osum('l_extendedprice * (1 - l_discount)')} AS revenue_exact
 FROM ex
 """.strip()
+
+
+def bloom_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP Bloom bitmaps on the shared global sizing -- the
+    per-group leg of the sketch matrix for the membership member (KMV /
+    CM / histogram / AMS each have one): one filter per order YEAR over
+    that year's urgent keys, every group using the SAME m as the whole
+    filter. Sharing m is the rollup precondition: OR-ing the per-year
+    bitmaps word-wise reproduces the whole-corpus bitmap exactly
+    (pytest-pinned), so a year-partitioned fact scan can probe its
+    partition's own filter -- the partition-local runtime-filter shape --
+    while the corpus filter remains one fold away. Output is (grp_year,
+    word_idx, word), bounded by groups x m/63."""
+    m_bits, _keys, _bits = _bloom_filter(spark, sf_dir)
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.year("o_orderdate").cast("long").alias("grp_year"), "o_orderkey"
+        )
+    )
+    cells = keys.select(
+        "grp_year",
+        F.explode(
+            F.array(*[_pos_expr(F.col("o_orderkey"), i, m_bits) for i in range(K_HASHES)])
+        ).alias("pos"),
+    )
+    return (
+        cells.select(
+            "grp_year",
+            F.expr(f"pos div {BITS_PER_WORD}").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(pos % {BITS_PER_WORD} as int))").alias("w"),
+        )
+        .groupBy("grp_year", "word_idx")
+        .agg(F.bit_or("w").alias("word"))
+        .orderBy("grp_year", "word_idx")
+    )
+
+
+def bloom_by_group_oracle() -> str:
+    hashes = ", ".join(_pos_sql("o_orderkey", i) for i in range(K_HASHES))
+    return f"""
+WITH {_ORACLE_PARAMS},
+keys AS (SELECT year(o_orderdate) AS grp_year, o_orderkey
+         FROM orders WHERE o_orderpriority = '1-URGENT'),
+cells AS (SELECT grp_year, pos
+          FROM (SELECT grp_year, unnest([{hashes}]) AS pos FROM keys))
+SELECT grp_year::BIGINT AS grp_year, pos // {BITS_PER_WORD} AS word_idx,
+       bit_or(1::BIGINT << (pos % {BITS_PER_WORD})::INT) AS word
+FROM cells
+GROUP BY grp_year, word_idx
+ORDER BY grp_year, word_idx
+""".strip()

@@ -533,6 +533,14 @@ def build() -> dict[str, Entry]:
         bloom.bloom_merge_shards,
         bloom.bloom_merge_shards_oracle(),
     )
+    # per-group (order-year) Bloom bitmaps on the shared global sizing --
+    # the membership member's per-group leg: partition-local runtime
+    # filters whose word-wise OR reproduces the corpus filter exactly
+    # (rollup pinned in tests/test_bloom.py)
+    reg["sketch_bloom_by_group"] = (
+        bloom.bloom_by_group,
+        bloom.bloom_by_group_oracle(),
+    )
     # KMV bottom-k distinct sketch: deterministic on the portable hash, so
     # the estimate itself (and its measured error) is under the hash gate
     from .operators import kmv
