@@ -447,3 +447,31 @@ def test_canonical_select_policy_and_partition(spark, sf_dir):
     assert any(
         r["keep_doc_id"] != min(by_cluster[r["cluster_rep"]]) for r in rows
     )
+
+
+def test_curation_verdict_reconciles_with_pipeline_stages(spark, sf_dir):
+    """The per-document decision table must partition the corpus: exactly
+    one verdict per doc, 'kept' ids exactly the clean-stage survivors,
+    and the reason counts reconcile with the stage DataFrames."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.operators import corpus
+
+    st = corpus._corpus_stages(spark, sf_dir)
+    rows = corpus.curation_verdict(spark, sf_dir).collect()
+    total = st["docs"].count()
+    assert len(rows) == total
+    assert len({r["doc_id"] for r in rows}) == total
+    kept = {r["doc_id"] for r in rows if r["verdict"] == "kept"}
+    clean = {r["doc_id"] for r in st["clean"].select("doc_id").collect()}
+    assert kept == clean
+    by_verdict: dict[str, int] = {}
+    for r in rows:
+        by_verdict[r["verdict"]] = by_verdict.get(r["verdict"], 0) + 1
+    # gate-stage rejections (quality + lang) account for docs - gated
+    gated = st["gated"].count()
+    assert by_verdict.get("quality", 0) + by_verdict.get("lang", 0) == total - gated
+    assert by_verdict.get("exact_dup", 0) == gated - st["survivors"].count()
+    assert by_verdict.get("near_dup", 0) == st["survivors"].count() - len(clean)
+    # non-vacuous on this corpus: at least one rejection reason fires
+    assert sum(v for k, v in by_verdict.items() if k != "kept") > 0

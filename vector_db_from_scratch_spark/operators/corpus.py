@@ -805,3 +805,65 @@ SELECT split, n_docs, n_clusters, safe_violations, naive_violations
 FROM per_split CROSS JOIN viol
 ORDER BY split
 """.strip()
+
+
+def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, verdict): the per-document curation DECISION TABLE
+    -- for every document, either 'kept' or the FIRST pipeline stage that
+    rejected it ('quality' | 'lang' | 'exact_dup' | 'near_dup'), in
+    pipeline order. corpus_prep / corpus_funnel_report answer "how many
+    survived"; this answers "why was THIS document dropped" -- the
+    provenance/audit artifact a production curation run materializes next
+    to the cleaned corpus (every row is attributable to one predicate).
+    Same lazy stage DataFrames, so the shingle index and pair table are
+    the shared memoized artifacts; the verdict itself is two left-semi
+    flags over bounded id sets plus scan-column predicates."""
+    st = _corpus_stages(spark, sf_dir)
+    docs = st["docs"]
+    n_tok = T.token_count(F.col("text"))
+    avg_len = F.length("text").cast("double") / n_tok.cast("double")
+    quality_ok = (
+        (n_tok >= QUALITY_MIN_TOKENS)
+        & (avg_len >= QUALITY_TOKEN_LEN[0])
+        & (avg_len <= QUALITY_TOKEN_LEN[1])
+    )
+    lang_ok = F.col("lang").isin(*ALLOWED_LANGS)
+    surv = st["survivors"].select("doc_id").withColumn("is_surv", F.lit(True))
+    clean = st["clean"].select("doc_id").withColumn("is_clean", F.lit(True))
+    return (
+        docs.select("doc_id", "lang", quality_ok.alias("q"), lang_ok.alias("l"))
+        .join(surv, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(~F.col("q"), F.lit("quality"))
+            .when(~F.col("l"), F.lit("lang"))
+            .when(F.col("is_surv").isNull(), F.lit("exact_dup"))
+            .when(F.col("is_clean").isNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def curation_verdict_oracle() -> str:
+    nt = token_count_sql("text")
+    langs = ", ".join(f"'{l}'" for l in ALLOWED_LANGS)
+    return f"""
+WITH {_corpus_prep_ctes()}
+SELECT doc_id, lang,
+       CASE
+         WHEN NOT ({nt} >= {QUALITY_MIN_TOKENS}
+                   AND (length(text)::DOUBLE / {nt}::DOUBLE) >= {QUALITY_TOKEN_LEN[0]}
+                   AND (length(text)::DOUBLE / {nt}::DOUBLE) <= {QUALITY_TOKEN_LEN[1]})
+           THEN 'quality'
+         WHEN lang NOT IN ({langs}) THEN 'lang'
+         WHEN doc_id NOT IN (SELECT doc_id FROM survivors) THEN 'exact_dup'
+         WHEN doc_id NOT IN (SELECT doc_id FROM clean) THEN 'near_dup'
+         ELSE 'kept'
+       END AS verdict
+FROM documents
+ORDER BY doc_id
+""".strip()

@@ -802,6 +802,13 @@ def build() -> dict[str, Entry]:
     )
     reg["dedup_exact_normalized"] = (d.exact_dedup_normalized, d.exact_dedup_normalized_oracle())
     reg["pipeline_corpus_prep"] = (corpus.corpus_prep, corpus.corpus_prep_oracle())
+    # the per-document curation DECISION TABLE: 'kept' or the first
+    # pipeline stage that rejected it -- the provenance/audit artifact a
+    # production curation run materializes next to the cleaned corpus
+    reg["pipeline_curation_verdict"] = (
+        corpus.curation_verdict,
+        corpus.curation_verdict_oracle(),
+    )
     reg["pipeline_sample_split"] = (corpus.corpus_sample_split, corpus.corpus_sample_split_oracle())
     # dedup-aware split: near-dup CLUSTERS assigned to splits atomically
     # (split keyed on the cluster rep), gated with both leakage audits --
