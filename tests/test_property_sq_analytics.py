@@ -163,3 +163,33 @@ def test_micro_rounding_contract_cross_engine(spark):
         ).fetchone()
         got_duck[i] = m
     assert got_spark == got_duck
+
+
+def test_bootstrap_ci_statistics_are_sane(spark, sf_dir):
+    """Poisson-bootstrap invariants: mean resample weight is ~1 (total
+    n_eff within 10% of B * n_rows), the percentile CI brackets the plain
+    corpus mean, bounds are ordered and constant across rows, and the
+    replicate means actually vary (the weights are not degenerate)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.operators import analytics
+    from vector_db_from_scratch_spark.operators.relational import MICRO
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = analytics.bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) == analytics.B_REPLICATES
+    n = load_table(spark, sf_dir, "orders").count()
+    total_eff = sum(r["n_eff"] for r in rows)
+    assert abs(total_eff - analytics.B_REPLICATES * n) <= 0.1 * analytics.B_REPLICATES * n
+    lo = {r["ci_lo_micros"] for r in rows}
+    hi = {r["ci_hi_micros"] for r in rows}
+    assert len(lo) == 1 and len(hi) == 1
+    lo, hi = lo.pop(), hi.pop()
+    assert lo < hi
+    plain = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert lo <= plain * MICRO <= hi
+    assert len({r["mean_micros"] for r in rows}) > 1

@@ -384,3 +384,129 @@ FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND c.ts <= p.ts
 ORDER BY user_id, purchase_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (Chamandy et al. 2012, "Estimating
+# uncertainty for massive data streams" -- the distributed bootstrap):
+# classic resampling needs n draws per replicate from a global counter;
+# the Poisson form gives every row an INDEPENDENT Poisson(1) resample
+# weight per replicate, so all B replicates compute in one scan with no
+# coordination -- the only bootstrap that works at 100 TB. Determinism +
+# portability: the weight is the inverse-CDF of Poisson(1) applied to a
+# portable-hash uniform (md5-derived, identical in both engines), with
+# the CDF embedded as integer micro-unit literals (driver-computed once,
+# the nDCG-discount-table device) -- no transcendentals in either engine,
+# so every weight, every replicate mean, and the CI bounds hash-gate.
+# --------------------------------------------------------------------------
+
+B_REPLICATES = 40
+# cumulative Poisson(1) CDF in micro-units: weight = #{t : u >= t}
+_POISSON1_CDF_MICROS = (
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999,
+)
+
+
+def _bs_halfup(a, b):
+    """round_half_up(a / b) for non-negative integer columns (exact: the
+    pmod subtraction makes the float division's quotient an integer)."""
+    num = F.lit(2) * a + b
+    den = F.lit(2) * b
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def bootstrap_ci(
+    spark: SparkSession, sf_dir: str, b: int = B_REPLICATES
+) -> DataFrame:
+    """(replicate, n_eff, mean_micros, ci_lo_micros, ci_hi_micros): B
+    Poisson-bootstrap replicate means of o_totalprice in exact micro-units
+    plus the percentile CI (2nd-smallest / 2nd-largest replicate mean at
+    B=40 -- the 2.5th/97.5th percentile analog), constant across rows.
+
+    Plan: one scan of orders crossJoined with the broadcast B-row
+    replicate table, per-(row, replicate) weight from the hashed uniform,
+    one groupBy(replicate) with map-side partial aggregation, then a
+    window over the B bounded replicate rows -- never over the corpus."""
+    from ..functions.hashing import hash60
+    from .relational import MICRO
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * F.lit(float(MICRO)), 0)
+        .cast("long")
+        .alias("p_micros"),
+    )
+    reps = spark.range(b).select(F.col("id").alias("replicate"))
+    u = hash60(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("replicate").cast("string"),
+        )
+    ) % MICRO
+    w = sum(
+        (F.when(u >= F.lit(t), 1).otherwise(0) for t in _POISSON1_CDF_MICROS),
+        F.lit(0),
+    ).cast("long")
+    per_rep = (
+        orders.crossJoin(F.broadcast(reps))
+        .select("replicate", (w * F.col("p_micros")).alias("wp"), w.alias("w"))
+        .groupBy("replicate")
+        .agg(F.sum("wp").alias("num"), F.sum("w").alias("n_eff"))
+        .select(
+            "replicate",
+            "n_eff",
+            _bs_halfup(F.col("num"), F.col("n_eff")).alias("mean_micros"),
+        )
+    )
+    ranked = per_rep.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy("mean_micros", "replicate")
+        ),  # B bounded rows -- never a corpus-sized window
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_micros"))).alias("ci_lo_micros"),
+        F.max(F.when(F.col("rk") == b - 1, F.col("mean_micros"))).alias(
+            "ci_hi_micros"
+        ),
+    )
+    return (
+        per_rep.crossJoin(F.broadcast(ci))
+        .select("replicate", "n_eff", "mean_micros", "ci_lo_micros", "ci_hi_micros")
+        .orderBy("replicate")
+    )
+
+
+def bootstrap_ci_oracle(b: int = B_REPLICATES) -> str:
+    from ..functions.hashing import hash60_sql
+    from .relational import MICRO
+
+    h = hash60_sql("o_orderkey::VARCHAR || ':' || replicate::VARCHAR")
+    w_terms = " + ".join(
+        f"CASE WHEN ({h} % {MICRO}) >= {t} THEN 1 ELSE 0 END"
+        for t in _POISSON1_CDF_MICROS
+    )
+    return f"""
+WITH reps AS (SELECT range AS replicate FROM range({b})),
+weighted AS (
+  SELECT replicate,
+         ({w_terms})::BIGINT AS w,
+         round(o_totalprice * {MICRO}.0)::BIGINT AS p_micros
+  FROM orders CROSS JOIN reps),
+per_rep AS (
+  SELECT replicate, sum(w)::BIGINT AS n_eff,
+         (2 * sum(w * p_micros) + sum(w)) // (2 * sum(w)) AS mean_micros
+  FROM weighted GROUP BY replicate),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY mean_micros, replicate) AS rk
+  FROM per_rep),
+ci AS (
+  SELECT max(CASE WHEN rk = 2 THEN mean_micros END) AS ci_lo_micros,
+         max(CASE WHEN rk = {b - 1} THEN mean_micros END) AS ci_hi_micros
+  FROM ranked)
+SELECT replicate::BIGINT AS replicate, n_eff, mean_micros::BIGINT AS mean_micros,
+       ci_lo_micros::BIGINT AS ci_lo_micros, ci_hi_micros::BIGINT AS ci_hi_micros
+FROM per_rep CROSS JOIN ci
+ORDER BY replicate
+""".strip()

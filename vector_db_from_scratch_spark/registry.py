@@ -1147,6 +1147,14 @@ def build() -> dict[str, Entry]:
 
     # --- event-sequence analytics (funnel, islands, stream-dedup twin) ---
     reg["funnel_view_click_purchase"] = (analytics.funnel_conversion, analytics.funnel_conversion_oracle())
+    # Poisson-bootstrap CI (the distributed bootstrap): B replicate means
+    # in one scan via independent per-(row, replicate) Poisson(1) weights
+    # from the portable hash, CDF embedded as micro-unit literals -- every
+    # weight, replicate mean, and CI bound hash-gates
+    reg["agg_bootstrap_ci"] = (
+        analytics.bootstrap_ci,
+        analytics.bootstrap_ci_oracle(),
+    )
     reg["window_event_islands"] = (analytics.event_islands, analytics.event_islands_oracle())
     reg["stream_first_event_per_key"] = (analytics.first_event_per_key, analytics.first_event_per_key_oracle())
     reg["window_retention_cohorts"] = (analytics.retention_cohorts, analytics.retention_cohorts_oracle())
