@@ -478,3 +478,74 @@ SELECT n_left, n_right, exact_join_size,
          AS rel_err
 FROM exact, med
 """.strip()
+
+def ams_by_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(group, shard) counter vectors merged to each group's whole --
+    the last per-group x mergeability cell of the sketch matrix (KMV, CM,
+    and histogram landed theirs in round 9; AMS had the global merge and
+    the per-group estimate but not their composition). Shards are
+    user_id % N_SHARDS inside each event_type group, same salts, merge =
+    element-wise addition per (grp, j); (grp, j, merged_counter,
+    whole_counter, diff) with every diff gated 0 -- per-source skew
+    statistics roll up shard-locally without the raw keys co-shuffling."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        (F.col("user_id") % N_SHARDS).alias("shard"),
+        "user_id",
+    )
+    shard_counters = _unpivot_counters(
+        _hashed(ev, "user_id", "grp", "shard").groupBy("grp", "shard").agg(
+            *_counter_sums()
+        ),
+        "grp",
+        "shard",
+    )
+    merged = shard_counters.groupBy("grp", "j").agg(
+        F.sum("counter").alias("merged_counter")
+    )
+    whole = _unpivot_counters(
+        _hashed(ev.select("grp", "user_id"), "user_id", "grp")
+        .groupBy("grp")
+        .agg(*_counter_sums()),
+        "grp",
+    ).withColumnRenamed("counter", "whole_counter")
+    return (
+        merged.join(whole, ["grp", "j"], "full_outer")
+        .select(
+            "grp",
+            "j",
+            F.coalesce("merged_counter", F.lit(0)).alias("merged_counter"),
+            F.coalesce("whole_counter", F.lit(0)).alias("whole_counter"),
+            (
+                F.coalesce("merged_counter", F.lit(0))
+                - F.coalesce("whole_counter", F.lit(0))
+            ).alias("diff"),
+        )
+        .orderBy("grp", "j")
+    )
+
+
+def ams_by_group_merge_oracle() -> str:
+    cells = _cells_sql("h")
+    hev = (
+        f"(SELECT event_type AS grp, user_id, "
+        f"{hash60_sql('user_id::VARCHAR')} AS h FROM events)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT grp, user_id % {N_SHARDS} AS shard, c.j AS j, c.s AS s
+  FROM (SELECT grp, user_id, unnest([{cells}]) AS c FROM {hev})),
+shard_counters AS (
+  SELECT grp, shard, j, sum(s) AS counter FROM cells GROUP BY grp, shard, j),
+merged AS (
+  SELECT grp, j, sum(counter) AS merged_counter
+  FROM shard_counters GROUP BY grp, j),
+whole AS (
+  SELECT grp, j, sum(s) AS whole_counter FROM cells GROUP BY grp, j)
+SELECT coalesce(m.grp, w.grp) AS grp, coalesce(m.j, w.j) AS j,
+       coalesce(merged_counter, 0)::BIGINT AS merged_counter,
+       coalesce(whole_counter, 0)::BIGINT AS whole_counter,
+       (coalesce(merged_counter, 0) - coalesce(whole_counter, 0))::BIGINT AS diff
+FROM merged m FULL OUTER JOIN whole w ON m.grp = w.grp AND m.j = w.j
+ORDER BY 1, 2
+""".strip()

@@ -635,6 +635,13 @@ def build() -> dict[str, Entry]:
     # ... and its per-GROUP form (per-event_type F2 / skew monitor),
     # completing the per-group matrix for the fifth member
     reg["sketch_ams_by_group"] = (ams.ams_by_group, ams.ams_by_group_oracle())
+    # ... and its per-(group, shard) merge: the last per-group x
+    # mergeability cell of the sketch matrix, element-wise addition per
+    # (grp, j) with every diff gated 0
+    reg["sketch_ams_by_group_merge"] = (
+        ams.ams_by_group_merge,
+        ams.ams_by_group_merge_oracle(),
+    )
     # the AGMS inner-product JOIN-SIZE estimator: the two relations'
     # tug-of-war vectors (same sign family) multiplied counter-wise,
     # median-of-means -- integer until one division, estimate hash-gated
