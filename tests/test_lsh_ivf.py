@@ -420,3 +420,19 @@ def test_centroid_confusion_partitions_corpus_and_is_diagonal_heavy(spark, sf_di
     assert sum(r["n"] for r in rows) == n
     correct = sum(r["n"] for r in rows if r["label"] == r["assigned_label"])
     assert correct / n > 3.0 / n_labels, (correct, n, n_labels)
+
+
+def test_nprobe_sweep_monotone_and_degenerate_exact(spark, sf_dir):
+    """Recall@k is monotone non-decreasing in nprobe (a growing candidate
+    superset can never displace a true top-k member), and probing every
+    cell (nprobe = NUM_CELLS) is the exact scan: recall exactly 1.0."""
+    from vector_db_from_scratch_spark.operators import ivf
+
+    rows = ivf.ivf_nprobe_sweep(spark, sf_dir).collect()
+    assert [r["nprobe"] for r in rows] == sorted(ivf.SWEEP_PROBES)
+    recalls = [r["recall_at_k"] for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert rows[-1]["nprobe"] == ivf.NUM_CELLS
+    assert recalls[-1] == 1.0
+    # the curve is informative on this corpus: nprobe=1 misses something
+    assert recalls[0] < 1.0

@@ -89,6 +89,7 @@ def ivf_knn(
     query_vec_id: int = 0,
     index_df: DataFrame | None = None,
     label_filter: int | None = None,
+    nprobe: int = NPROBE,
 ) -> DataFrame:
     assigned = index_df if index_df is not None else assign_cells(spark, sf_dir)
     if label_filter is not None:
@@ -105,7 +106,7 @@ def ivf_knn(
         cent.crossJoin(F.broadcast(q))
         .select("cell", distance_expr("euclidean", F.col("cv"), F.col("qv")).alias("qd"))
         .orderBy("qd", "cell")
-        .limit(NPROBE)
+        .limit(nprobe)
         .select("cell")
     )
     pool = assigned.join(F.broadcast(probe_cells), "cell")
@@ -1105,6 +1106,100 @@ approx AS (SELECT p.vec_id FROM assign p JOIN probe USING (cell), q
 m AS (SELECT count(*) AS n_matched FROM flat JOIN approx USING (vec_id))
 SELECT {k} AS k, n_matched, n_matched::DOUBLE / {float(k)!r} AS recall_at_k FROM m
 """.strip()
+
+
+SWEEP_PROBES = (1, 2, 4, 16)  # 16 = NUM_CELLS: the exact-scan degeneracy
+
+
+def ivf_nprobe_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    probes: tuple[int, ...] = SWEEP_PROBES,
+) -> DataFrame:
+    """(nprobe, k, n_matched, recall_at_k) for each probed cell count --
+    the recall-vs-nprobe TUNING CURVE an ANN deployment reads before
+    fixing its latency/recall trade-off. Recall is provably monotone
+    non-decreasing in nprobe (growing the candidate superset can never
+    displace a true top-k member: it has global rank <= k, so fewer than
+    k candidates anywhere are closer), and nprobe = NUM_CELLS probes
+    every cell -- the exact-scan degeneracy, recall exactly 1.0; both
+    pinned in tests. The exact side and the assignment table are shared
+    (memoized) subtrees; each curve point adds only one bounded probe."""
+    from . import knn as knn_mod
+
+    exact = knn_mod.flat_knn(
+        spark, sf_dir, metric, k=k, query_vec_id=query_vec_id
+    ).select("vec_id")
+    out = None
+    for np_ in probes:
+        approx = ivf_knn(
+            spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, nprobe=np_
+        ).select("vec_id")
+        row = (
+            exact.join(approx, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+            .select(
+                F.lit(np_).alias("nprobe"),
+                F.lit(k).alias("k"),
+                "n_matched",
+                (F.col("n_matched").cast("double") / F.lit(float(k))).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")
+
+
+def ivf_nprobe_sweep_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    probes: tuple[int, ...] = SWEEP_PROBES,
+) -> str:
+    eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
+    equ = oracle_distance_sql("euclidean", "c.cv", "q.qv")
+    d = oracle_distance_sql(metric, "p.v", "q.qv")
+    df = oracle_distance_sql(metric, "e.v", "q.qv")
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {NUM_CELLS})""",
+        f"q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id})",
+        f"flat AS (SELECT e.vec_id FROM e, q ORDER BY {df}, e.vec_id LIMIT {k})",
+        f"""assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {eu}, c.cell) AS rn
+    FROM e, cent c)
+  WHERE rn = 1)""",
+    ]
+    selects = []
+    for np_ in probes:
+        ctes.append(
+            f"probe{np_} AS (SELECT cell FROM cent c, q ORDER BY {equ}, cell LIMIT {np_})"
+        )
+        ctes.append(
+            f"""approx{np_} AS (SELECT p.vec_id FROM assign p JOIN probe{np_} USING (cell), q
+           ORDER BY {d}, vec_id LIMIT {k})"""
+        )
+        ctes.append(
+            f"m{np_} AS (SELECT count(*) AS n FROM flat JOIN approx{np_} USING (vec_id))"
+        )
+        selects.append(
+            f"SELECT {np_} AS nprobe, {k} AS k, n AS n_matched,"
+            f" n::DOUBLE / {float(k)!r} AS recall_at_k FROM m{np_}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY nprobe"
+    )
 
 
 RECALL_FLOOR = 0.5

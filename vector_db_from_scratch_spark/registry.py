@@ -1041,6 +1041,13 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: ivf.ivf_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         ivf.ivf_recall_oracle("cosine", k=10, query_vec_id=0),
     )
+    # the recall-vs-nprobe TUNING CURVE: one gated row per probed cell
+    # count; monotone non-decreasing by construction, nprobe=NUM_CELLS is
+    # the exact-scan degeneracy at recall exactly 1.0 (both pinned)
+    reg["ann_nprobe_sweep"] = (
+        ivf.ivf_nprobe_sweep,
+        ivf.ivf_nprobe_sweep_oracle(),
+    )
     # Matryoshka-style truncation quality: prefix-distance top-k vs the
     # full-dimension exact top-k (both deterministic -> fully gated)
     reg["ann_recall_matryoshka"] = (
