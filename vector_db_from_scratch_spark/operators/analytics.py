@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import _memo
 from ..sources.tables import load_table
+
+_BOOT_MEMO: dict[tuple, "DataFrame"] = _memo.register({})
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 FUNNEL_WINDOW = "INTERVAL 1 HOUR"  # each step within 1h of the previous
@@ -426,24 +429,54 @@ def bootstrap_ci(
     Plan: one scan of orders crossJoined with the broadcast B-row
     replicate table, per-(row, replicate) weight from the hashed uniform,
     one groupBy(replicate) with map-side partial aggregation, then a
-    window over the B bounded replicate rows -- never over the corpus."""
-    from ..functions.hashing import hash60
+    window over the B bounded replicate rows -- never over the corpus.
+
+    Hashing cost: ONE md5 per row (hash31), then per-replicate uniforms
+    by Carter-Wegman mixing u_b = ((a_b*h + b_b) mod M31) mod 1e6 with
+    the (a_b, b_b) pairs as COLUMNS of the broadcast replicate table --
+    pure long arithmetic per (row, replicate), overflow-safe (a, h <
+    2^31). The per-(row, replicate) md5 form cost 14s warm at sf0.1 (6M
+    digest evaluations -- the join_bloom_prefiltered lesson); pairwise
+    independence across replicates is sufficient for the bootstrap
+    variance estimate."""
+    from ..functions.hashing import MERSENNE31, hash31, minhash_params
     from .relational import MICRO
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * F.lit(float(MICRO)), 0)
-        .cast("long")
-        .alias("p_micros"),
-    )
-    reps = spark.range(b).select(F.col("id").alias("replicate"))
-    u = hash60(
-        F.concat(
-            F.col("o_orderkey").cast("string"),
-            F.lit(":"),
-            F.col("replicate").cast("string"),
+    key = (spark.sparkContext.applicationId, sf_dir, "bootstrap_hashed")
+    if key in _BOOT_MEMO:
+        orders = _BOOT_MEMO[key]
+    else:
+        # materialize (h, p_micros) BEFORE the replicate crossJoin:
+        # project collapsing would otherwise inline the md5 into every
+        # one of the 9 threshold comparisons x 2 uses of w per
+        # (row, replicate) -- measured 7s warm at sf0.1 vs <1s hashed-once
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                hash31(F.col("o_orderkey").cast("string")).alias("h"),
+                F.round(F.col("o_totalprice") * F.lit(float(MICRO)), 0)
+                .cast("long")
+                .alias("p_micros"),
+            )
+            .localCheckpoint()
         )
-    ) % MICRO
+        _BOOT_MEMO[key] = orders
+    params = minhash_params(b, seed=131)
+    # arrow_local_df, not createDataFrame: tuple-list local relations
+    # re-serialize per ACTION on this build (~4.5s for a handful of rows
+    # -- the round-3 broadcast-centroid lesson)
+    from ..sources.tables import arrow_local_df
+
+    reps = arrow_local_df(
+        spark,
+        {
+            "replicate": list(range(b)),
+            "a": [a for a, _ in params],
+            "b": [bb for _, bb in params],
+        },
+        "replicate long, a long, b long",
+    )
+    u = (F.col("a") * F.col("h") + F.col("b")) % MERSENNE31 % MICRO
     w = sum(
         (F.when(u >= F.lit(t), 1).otherwise(0) for t in _POISSON1_CDF_MICROS),
         F.lit(0),
@@ -479,21 +512,26 @@ def bootstrap_ci(
 
 
 def bootstrap_ci_oracle(b: int = B_REPLICATES) -> str:
-    from ..functions.hashing import hash60_sql
+    from ..functions.hashing import MERSENNE31, hash31_sql, minhash_params
     from .relational import MICRO
 
-    h = hash60_sql("o_orderkey::VARCHAR || ':' || replicate::VARCHAR")
+    params = minhash_params(b, seed=131)
+    rep_rows = ", ".join(f"({i}, {a}, {bb})" for i, (a, bb) in enumerate(params))
+    u = f"(((r.a * o.h + r.b) % {MERSENNE31}) % {MICRO})"
     w_terms = " + ".join(
-        f"CASE WHEN ({h} % {MICRO}) >= {t} THEN 1 ELSE 0 END"
-        for t in _POISSON1_CDF_MICROS
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _POISSON1_CDF_MICROS
     )
     return f"""
-WITH reps AS (SELECT range AS replicate FROM range({b})),
-weighted AS (
-  SELECT replicate,
-         ({w_terms})::BIGINT AS w,
+WITH reps(replicate, a, b) AS (VALUES {rep_rows}),
+hashed AS (
+  SELECT {hash31_sql("o_orderkey::VARCHAR")} AS h,
          round(o_totalprice * {MICRO}.0)::BIGINT AS p_micros
-  FROM orders CROSS JOIN reps),
+  FROM orders),
+weighted AS (
+  SELECT r.replicate,
+         ({w_terms})::BIGINT AS w,
+         o.p_micros
+  FROM hashed o CROSS JOIN reps r),
 per_rep AS (
   SELECT replicate, sum(w)::BIGINT AS n_eff,
          (2 * sum(w * p_micros) + sum(w)) // (2 * sum(w)) AS mean_micros
