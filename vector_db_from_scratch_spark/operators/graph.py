@@ -76,7 +76,13 @@ def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst): each node's PR_K nearest neighbours, round-6dp cosine,
     (distance, dst) tie-break. Self-pairs excluded, so out-degree == PR_K
-    whenever the subset has > PR_K nodes (it does at every SF)."""
+    whenever the subset has > PR_K nodes (it does at every SF).
+    Memoized + localCheckpointed per (application, sf_dir): every graph
+    query consumes this table, and the window-ranked pair build is the
+    expensive part of each of them."""
+    key = (spark.sparkContext.applicationId, sf_dir, "edges")
+    if key in _CHAIN_MEMO:
+        return _CHAIN_MEMO[key]
     nodes = _nodes(spark, sf_dir)
     a = nodes.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
     b = nodes.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
@@ -88,7 +94,14 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(Window.partitionBy("src").orderBy("d", "dst"))
     # the window is partitioned by src (bounded PR_K survivors per node) --
     # never a global No-Partition-Defined sort
-    return pairs.withColumn("rn", rn).filter(F.col("rn") <= PR_K).select("src", "dst")
+    out = (
+        pairs.withColumn("rn", rn)
+        .filter(F.col("rn") <= PR_K)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    _CHAIN_MEMO[key] = out
+    return out
 
 
 _CHAIN_MEMO: dict[tuple, list[DataFrame]] = _memo.register({})
@@ -603,6 +616,9 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
+    key = (spark.sparkContext.applicationId, sf_dir, "lp", iters)
+    if key in _CHAIN_MEMO:
+        return _lp_output(_CHAIN_MEMO[key])
     edges = _edges(spark, sf_dir)
     cur = _lp_labels(spark, sf_dir)
     for _ in range(iters):
@@ -636,6 +652,11 @@ def label_propagation(
             )
             .localCheckpoint()
         )
+    _CHAIN_MEMO[key] = cur
+    return _lp_output(cur)
+
+
+def _lp_output(cur: DataFrame) -> DataFrame:
     return (
         cur.filter(F.col("vec_id") % LP_HOLDOUT_MOD == 0)
         .select(
@@ -709,6 +730,9 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst",
         distance_expr("cosine", F.col("va"), F.col("vb")).alias("d"),
     )
+    key = (spark.sparkContext.applicationId, sf_dir, "wedges")
+    if key in _CHAIN_MEMO:
+        return _CHAIN_MEMO[key]
     rn = F.row_number().over(Window.partitionBy("src").orderBy("d", "dst"))
     kept = pairs.withColumn("rn", rn).filter(F.col("rn") <= PR_K)
     # round-to-nearest before the long cast: d is round-6dp, so d*1e6 is
@@ -720,7 +744,9 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wedges = kept.select("src", "dst", w.alias("w"))
     sums = wedges.groupBy("src").agg(F.sum("w").alias("sumw"))
-    return wedges.join(sums, "src")
+    out = wedges.join(sums, "src").localCheckpoint()
+    _CHAIN_MEMO[key] = out
+    return out
 
 
 def pagerank_weighted_topn(
@@ -729,6 +755,9 @@ def pagerank_weighted_topn(
     """Top-PR_TOPN final ranks of the similarity-weighted chain --
     same teleport/damping arithmetic as the plain chain, contribution
     halfup(rank * w, sumw) instead of halfup(rank, K)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "wrank", iters)
+    if key in _CHAIN_MEMO:
+        return _wrank_output(_CHAIN_MEMO[key])
     nodes = _nodes(spark, sf_dir).select("vec_id")
     n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
     edges = _weighted_edges(spark, sf_dir)
@@ -762,6 +791,11 @@ def pagerank_weighted_topn(
             )
             .localCheckpoint()
         )
+    _CHAIN_MEMO[key] = r
+    return _wrank_output(r)
+
+
+def _wrank_output(r: DataFrame) -> DataFrame:
     return (
         r.select("vec_id", F.col("rank").alias("rank_micros"))
         .orderBy(F.desc("rank_micros"), "vec_id")
