@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, hash60_sql
 from ..sources.tables import load_table
+from . import _memo
 
 AMS_GROUPS = 3  # odd, so the median is one group's value (no averaging)
 AMS_GROUP_SIZE = 16
@@ -122,13 +123,33 @@ def _hashed(df: DataFrame, key: str, *keep: str) -> DataFrame:
     return df.select(*keep, hash60(F.col(key).cast("string")).alias("h"))
 
 
+_EV_MEMO: dict[tuple, DataFrame] = _memo.register({})
+
+
+def _events_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, shard, h): the hashed per-user event stream, memoized +
+    localCheckpointed per (application, sf_dir) -- five AMS queries share
+    it, and the per-row md5 was re-evaluated by each (one full digest
+    pass per query per call)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "ams_events")
+    if key in _EV_MEMO:
+        return _EV_MEMO[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        (F.col("user_id") % N_SHARDS).alias("shard"),
+        hash60(F.col("user_id").cast("string")).alias("h"),
+    ).localCheckpoint()
+    _EV_MEMO[key] = ev
+    return ev
+
+
 def ams_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AMS counter vector over per-user event occurrences as a
     (j, counter) table, hash-gated: a wrong salt, sign convention, or
     counter count flips rows. Build is one shuffled partial-sum aggregate;
     at most AMS_COUNTERS rows leave each partition regardless of corpus
     size."""
-    ev = _hashed(_events_keyed(spark, sf_dir), "user_id")
+    ev = _events_hashed(spark, sf_dir)
     return _unpivot_counters(ev.agg(*_counter_sums())).orderBy("j")
 
 
@@ -230,13 +251,7 @@ def ams_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (j, merged_counter, whole_counter, diff) with every diff gated 0.
     This is the 100 TB rollup: per-shard planning statistics combine into
     the global one without the raw keys ever co-shuffling."""
-    ev = _hashed(
-        _events_keyed(spark, sf_dir).withColumn(
-            "shard", F.col("user_id") % N_SHARDS
-        ),
-        "user_id",
-        "shard",
-    )
+    ev = _events_hashed(spark, sf_dir)
     shard_counters = _unpivot_counters(
         ev.groupBy("shard").agg(*_counter_sums()), "shard"
     )
@@ -294,7 +309,7 @@ def ams_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("grp"), "user_id"
     )
     counters = _unpivot_counters(
-        _hashed(ev, "user_id", "grp").groupBy("grp").agg(*_counter_sums()),
+        _events_hashed(spark, sf_dir).groupBy("grp").agg(*_counter_sums()),
         "grp",
     )
     est = (
@@ -488,15 +503,9 @@ def ams_by_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     element-wise addition per (grp, j); (grp, j, merged_counter,
     whole_counter, diff) with every diff gated 0 -- per-source skew
     statistics roll up shard-locally without the raw keys co-shuffling."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("grp"),
-        (F.col("user_id") % N_SHARDS).alias("shard"),
-        "user_id",
-    )
+    ev = _events_hashed(spark, sf_dir)
     shard_counters = _unpivot_counters(
-        _hashed(ev, "user_id", "grp", "shard").groupBy("grp", "shard").agg(
-            *_counter_sums()
-        ),
+        ev.groupBy("grp", "shard").agg(*_counter_sums()),
         "grp",
         "shard",
     )
@@ -504,9 +513,7 @@ def ams_by_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("counter").alias("merged_counter")
     )
     whole = _unpivot_counters(
-        _hashed(ev.select("grp", "user_id"), "user_id", "grp")
-        .groupBy("grp")
-        .agg(*_counter_sums()),
+        ev.groupBy("grp").agg(*_counter_sums()),
         "grp",
     ).withColumnRenamed("counter", "whole_counter")
     return (
