@@ -844,20 +844,34 @@ def _undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kcore_trajectory(
-    spark: SparkSession, sf_dir: str, k: int = KC_K, iters: int = KC_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KC_K,
+    iters: int = KC_ITERS,
+    nodes_df: DataFrame | None = None,
+    und_df: DataFrame | None = None,
 ) -> DataFrame:
     """(iter, core_nodes, core_edges) for iter 0..``iters``: the peel
     trajectory of the k-core computation. Round r keeps the nodes whose
     degree over round r-1's surviving edges is >= k, then keeps the edges
     with both endpoints surviving. Per-round localCheckpoint truncates the
     loop lineage (the rank-chain discipline); every per-round table is
-    bounded by the original node/edge counts and only shrinks."""
+    bounded by the original node/edge counts and only shrinks.
+
+    ``nodes_df``/``und_df`` override the corpus graph (vec_id / (a, b)
+    columns) -- the property-fuzz hook: the peel semantics are graph-
+    independent, so hypothesis drives THIS code path on random graphs."""
+    override = nodes_df is not None or und_df is not None
     key = (spark.sparkContext.applicationId, sf_dir, "kcore", k, iters)
-    if key in _CHAIN_MEMO:
+    if not override and key in _CHAIN_MEMO:
         states = _CHAIN_MEMO[key]
     else:
-        nodes = _nodes(spark, sf_dir).select("vec_id").localCheckpoint()
-        edges = _undirected(spark, sf_dir)
+        nodes = (
+            nodes_df if nodes_df is not None else _nodes(spark, sf_dir)
+        ).select("vec_id").localCheckpoint()
+        edges = und_df.localCheckpoint() if und_df is not None else _undirected(
+            spark, sf_dir
+        )
         states = [(nodes, edges)]
         for _ in range(iters):
             keep = (
@@ -880,7 +894,8 @@ def kcore_trajectory(
                 .localCheckpoint()
             )
             states.append((nodes, edges))
-        _CHAIN_MEMO[key] = states
+        if not override:
+            _CHAIN_MEMO[key] = states
     stats = [
         n.agg(F.lit(i).alias("iter"), F.count(F.lit(1)).alias("core_nodes"))
         .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("core_edges"))))
@@ -939,12 +954,15 @@ def kcore_trajectory_oracle(k: int = KC_K, iters: int = KC_ITERS) -> str:
 LPRED_TOPN = 20
 
 
-def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def link_prediction(
+    spark: SparkSession, sf_dir: str, und_df: DataFrame | None = None
+) -> DataFrame:
     """Top-LPRED_TOPN non-adjacent pairs (x < z) by (common_neighbors
     DESC, jaccard_micros DESC, x, z): (x, z, common_neighbors,
     jaccard_micros). Three equi-joins + one bounded groupBy; candidates
-    exist only where a wedge exists, never all pairs."""
-    und = _undirected(spark, sf_dir)
+    exist only where a wedge exists, never all pairs. ``und_df``
+    overrides the corpus edge set (the property-fuzz hook)."""
+    und = und_df if und_df is not None else _undirected(spark, sf_dir)
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
         und.select(F.col("b").alias("u"), F.col("a").alias("w"))
     )
