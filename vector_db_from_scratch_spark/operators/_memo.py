@@ -26,13 +26,19 @@ def register(d: dict) -> dict:
 def _unpersist(value: Any) -> None:
     from pyspark.sql import DataFrame
 
-    values = value if isinstance(value, tuple) else (value,)
-    for v in values:
-        if isinstance(v, DataFrame):
-            try:
-                v.unpersist()
-            except Exception:
-                pass  # context already stopped; nothing to release
+    # memo values come in several shapes: bare DataFrames, tuples of them,
+    # LISTS of per-iteration chain states (graph._rank_chain), and lists
+    # of (nodes, edges) tuples (graph.kcore_trajectory) -- walk them all,
+    # else clear() silently leaks the nested checkpointed tables
+    if isinstance(value, (tuple, list)):
+        for v in value:
+            _unpersist(v)
+        return
+    if isinstance(value, DataFrame):
+        try:
+            value.unpersist()
+        except Exception:
+            pass  # context already stopped; nothing to release
 
 
 def clear(app_id: str | None = None) -> int:

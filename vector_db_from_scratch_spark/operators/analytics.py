@@ -410,14 +410,6 @@ _POISSON1_CDF_MICROS = (
 )
 
 
-def _bs_halfup(a, b):
-    """round_half_up(a / b) for non-negative integer columns (exact: the
-    pmod subtraction makes the float division's quotient an integer)."""
-    num = F.lit(2) * a + b
-    den = F.lit(2) * b
-    return ((num - F.pmod(num, den)) / den).cast("long")
-
-
 def bootstrap_ci(
     spark: SparkSession, sf_dir: str, b: int = B_REPLICATES
 ) -> DataFrame:
@@ -489,8 +481,19 @@ def bootstrap_ci(
         .select(
             "replicate",
             "n_eff",
-            _bs_halfup(F.col("num"), F.col("n_eff")).alias("mean_micros"),
+            # exact half-up via Spark's integer ``div`` (long arithmetic
+            # end to end): the (num - pmod)/den float trick used by
+            # graph._intdiv requires operands < 2^53, and this numerator
+            # 2*sum(w*p_micros) is ~1.5e17 at sf0.1 -- past 2^53 the
+            # long->double hop can land the quotient a hair under its
+            # integer and the cast truncates to Q-1 while DuckDB's `//`
+            # says Q
+            F.expr("(2 * num + n_eff) div (2 * n_eff)").alias("mean_micros"),
         )
+        # 40 bounded rows; referenced twice (CI window + final output) --
+        # checkpointing makes the subtree reuse unconditional instead of
+        # plan-shape-dependent ReuseExchange
+        .localCheckpoint()
     )
     ranked = per_rep.withColumn(
         "rk",

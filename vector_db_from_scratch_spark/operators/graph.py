@@ -722,6 +722,9 @@ FROM lab{iters} WHERE vec_id % {LP_HOLDOUT_MOD} = 0 ORDER BY vec_id"""
 def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst, w, sumw): the PR_K-NN edges with micro-unit similarity
     weights and each source's total out-weight."""
+    key = (spark.sparkContext.applicationId, sf_dir, "wedges")
+    if key in _CHAIN_MEMO:
+        return _CHAIN_MEMO[key]
     nodes = _nodes(spark, sf_dir)
     a = nodes.select(F.col("vec_id").alias("src"), F.col("v").alias("va"))
     b = nodes.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
@@ -730,9 +733,6 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst",
         distance_expr("cosine", F.col("va"), F.col("vb")).alias("d"),
     )
-    key = (spark.sparkContext.applicationId, sf_dir, "wedges")
-    if key in _CHAIN_MEMO:
-        return _CHAIN_MEMO[key]
     rn = F.row_number().over(Window.partitionBy("src").orderBy("d", "dst"))
     kept = pairs.withColumn("rn", rn).filter(F.col("rn") <= PR_K)
     # round-to-nearest before the long cast: d is round-6dp, so d*1e6 is
@@ -861,7 +861,13 @@ def kcore_trajectory(
     ``nodes_df``/``und_df`` override the corpus graph (vec_id / (a, b)
     columns) -- the property-fuzz hook: the peel semantics are graph-
     independent, so hypothesis drives THIS code path on random graphs."""
-    override = nodes_df is not None or und_df is not None
+    if (nodes_df is None) != (und_df is None):
+        raise ValueError(
+            "kcore_trajectory: provide BOTH nodes_df and und_df or neither "
+            "-- a partial override would mix a caller graph with the "
+            "corpus k-NN edges"
+        )
+    override = nodes_df is not None
     key = (spark.sparkContext.applicationId, sf_dir, "kcore", k, iters)
     if not override and key in _CHAIN_MEMO:
         states = _CHAIN_MEMO[key]

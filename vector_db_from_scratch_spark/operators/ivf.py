@@ -1130,9 +1130,12 @@ def ivf_nprobe_sweep(
     (memoized) subtrees; each curve point adds only one bounded probe."""
     from . import knn as knn_mod
 
-    exact = knn_mod.flat_knn(
-        spark, sf_dir, metric, k=k, query_vec_id=query_vec_id
-    ).select("vec_id")
+    exact = (
+        knn_mod.flat_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id)
+        .select("vec_id")
+        .localCheckpoint()  # k bounded rows; the unioned curve otherwise
+        # re-executes the full exact scan once PER probe point
+    )
     out = None
     for np_ in probes:
         approx = ivf_knn(

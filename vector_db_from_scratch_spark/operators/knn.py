@@ -790,7 +790,14 @@ def hard_negatives_fast(
             denom = nv[:, None] * anorm[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 d = np.where(denom == 0.0, np.inf, 1.0 - (m @ A.T) / denom)
-            d = np.round(d, 6) + 0.0
+            # explicit half-UP (floor(x*1e6+0.5)), not np.round's
+            # half-to-even: F.round / DuckDB round are HALF_UP on an
+            # exact .5 at the 6th decimal, and this kernel is the
+            # REGISTERED gated path (the Lloyd d^2 lesson, ivf.py
+            # ALGO_VERSION v3->v4); cosine distance is non-negative so
+            # half-up == half-away-from-zero, and floor(inf)=inf keeps
+            # the zero-norm rows' +inf intact
+            d = np.floor(d * 1e6 + 0.5) / 1e6 + 0.0
             out_a: list[int] = []
             out_v: list[int] = []
             out_d: list[float] = []
