@@ -193,3 +193,19 @@ def test_bootstrap_ci_statistics_are_sane(spark, sf_dir):
     )
     assert lo <= plain * MICRO <= hi
     assert len({r["mean_micros"] for r in rows}) > 1
+
+
+def test_resample_hourly_dense_grid_and_conservation(spark, sf_dir):
+    """The resampled grid is dense (hours x types exactly), counts sum to
+    the corpus row count, and the zero-fill is non-vacuous on this corpus
+    (at least one (hour, type) bucket is empty)."""
+    from vector_db_from_scratch_spark.operators import analytics
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = analytics.resample_hourly(spark, sf_dir).collect()
+    hours = {r["hour"] for r in rows}
+    types = {r["event_type"] for r in rows}
+    assert len(rows) == len(hours) * len(types)
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n"] for r in rows) == ev.count()
+    assert any(r["n"] == 0 for r in rows)

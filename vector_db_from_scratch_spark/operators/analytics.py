@@ -551,3 +551,57 @@ SELECT replicate::BIGINT AS replicate, n_eff, mean_micros::BIGINT AS mean_micros
 FROM per_rep CROSS JOIN ci
 ORDER BY replicate
 """.strip()
+
+
+def resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hour, event_type, n): per-type hourly event counts over the FULL
+    dense hour grid -- hours with no events appear as explicit zero rows.
+    Gap-filling onto a regular time grid is the regularization step every
+    time-series / training-telemetry pipeline runs before windowed
+    models; a naive groupBy silently drops empty buckets.
+
+    Plan: the grid is sequence(min_hour, max_hour, 1h) exploded from ONE
+    broadcast bounds row crossJoined with the distinct type set -- grid
+    size = hours x types regardless of corpus size -- then a left join
+    against the per-(hour, type) counts (one shuffle on a bounded key
+    space). Nothing corpus-sized is windowed or collected."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    )
+    bounds = ev.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("hour", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hours.crossJoin(types)
+        .join(counts, ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def resample_hourly_oracle() -> str:
+    return """
+WITH ev AS (SELECT date_trunc('hour', ts) AS hour, event_type FROM events),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM bounds),
+types AS (SELECT DISTINCT event_type FROM ev),
+counts AS (SELECT hour, event_type, count(*) AS n FROM ev GROUP BY hour, event_type)
+SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       t.event_type AS event_type,
+       coalesce(c.n, 0)::BIGINT AS n
+FROM hours h CROSS JOIN types t
+LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type
+ORDER BY hour, event_type
+""".strip()

@@ -1169,6 +1169,13 @@ def build() -> dict[str, Entry]:
         analytics.bootstrap_ci,
         analytics.bootstrap_ci_oracle(),
     )
+    # dense-grid gap-fill: per-type hourly counts with explicit zero rows
+    # via sequence()/explode over one broadcast bounds row -- the
+    # time-series regularization a naive groupBy silently skips
+    reg["window_resample_hourly"] = (
+        analytics.resample_hourly,
+        analytics.resample_hourly_oracle(),
+    )
     reg["window_event_islands"] = (analytics.event_islands, analytics.event_islands_oracle())
     reg["stream_first_event_per_key"] = (analytics.first_event_per_key, analytics.first_event_per_key_oracle())
     reg["window_retention_cohorts"] = (analytics.retention_cohorts, analytics.retention_cohorts_oracle())
