@@ -286,3 +286,29 @@ def test_constraint_audit_non_vacuous_and_consistent(spark, sf_dir):
         == orders.filter(F.col("o_totalprice") > AUDIT_MAX_PRICE).count()
     )
     assert rows["orders_pk_unique"]["checked"] == orders.count()
+
+
+def test_column_correlations_match_numpy(spark, sf_dir):
+    """Pearson r from the exact decimal/HUGEINT integer moments must
+    agree with NumPy's float64 corrcoef to the 6dp display grain, be
+    symmetric-complete (all C(4,2) pairs), and bounded in [-1, 1]."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from vector_db_from_scratch_spark.operators.maintenance import (
+        CORR_COLS,
+        column_correlations,
+    )
+
+    rows = column_correlations(spark, sf_dir).collect()
+    assert len(rows) == len(CORR_COLS) * (len(CORR_COLS) - 1) // 2
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=list(CORR_COLS)
+    ).to_pydict()
+    cents = {
+        c: np.round(np.asarray(tbl[c], dtype=np.float64) * 100.0) for c in CORR_COLS
+    }
+    for r in rows:
+        assert -1.0 <= r["r"] <= 1.0
+        expect = np.corrcoef(cents[r["col_x"]], cents[r["col_y"]])[0, 1]
+        assert abs(r["r"] - expect) < 2e-6, (r, expect)

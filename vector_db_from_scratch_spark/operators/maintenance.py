@@ -911,3 +911,91 @@ WITH checks AS (
 SELECT check_name, tbl, checked, violations, violations = 0 AS passed
 FROM checks ORDER BY check_name
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Pairwise Pearson correlation screen over lineitem's numeric columns --
+# the data-profiling step that flags redundant / derived columns before
+# feature selection. This is ALSO the query that exercises the documented
+# decimal(38,0) fallback for exact integer moments: sum(price_cents^2) is
+# ~6.6e19 at sf0.1 (past int64), so the moments accumulate as
+# decimal(38,0) on Spark and HUGEINT on DuckDB -- bit-exact integers in
+# both -- and only the variance/covariance DIFFERENCES (~1e25, far below
+# the 53-bit ulp at that magnitude relative to r's 6dp grain) cast to
+# double for the one division and the correctly-rounded IEEE sqrt.
+# --------------------------------------------------------------------------
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(col_x, col_y, n, r): Pearson r for every unordered pair of the
+    CORR_COLS, from ONE single-pass aggregate (4 sums + 4 sums of squares
+    + 6 cross sums + count = 15 partial-aggregable expressions); output
+    is 6 bounded rows."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = {
+        c: F.round(F.col(c) * F.lit(100.0), 0).cast("decimal(19,0)")
+        for c in CORR_COLS
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(cents[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(cents[c] * cents[c]).alias(f"ss_{c}"))
+    for i, cx in enumerate(CORR_COLS):
+        for cy in CORR_COLS[i + 1:]:
+            aggs.append(F.sum(cents[cx] * cents[cy]).alias(f"sxy_{cx}_{cy}"))
+    m = li.agg(*aggs)
+    rows = None
+    for i, cx in enumerate(CORR_COLS):
+        for cy in CORR_COLS[i + 1:]:
+            num = (
+                F.col("n") * F.col(f"sxy_{cx}_{cy}")
+                - F.col(f"s_{cx}") * F.col(f"s_{cy}")
+            ).cast("double")
+            varx = (
+                F.col("n") * F.col(f"ss_{cx}") - F.col(f"s_{cx}") * F.col(f"s_{cx}")
+            ).cast("double")
+            vary = (
+                F.col("n") * F.col(f"ss_{cy}") - F.col(f"s_{cy}") * F.col(f"s_{cy}")
+            ).cast("double")
+            row = m.select(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                (F.round(num / F.sqrt(varx * vary), 6) + F.lit(0.0)).alias("r"),
+            )
+            rows = row if rows is None else rows.unionAll(row)
+    return rows.orderBy("col_x", "col_y")
+
+
+def column_correlations_oracle() -> str:
+    sums = ["count(*) AS n"]
+    for c in CORR_COLS:
+        e = f"round({c} * 100.0)::BIGINT"
+        sums.append(f"sum({e}) AS s_{c}")
+        sums.append(f"sum({e} * {e}) AS ss_{c}")
+    for i, cx in enumerate(CORR_COLS):
+        ex = f"round({cx} * 100.0)::BIGINT"
+        for cy in CORR_COLS[i + 1:]:
+            ey = f"round({cy} * 100.0)::BIGINT"
+            sums.append(f"sum({ex} * {ey}) AS sxy_{cx}_{cy}")
+    selects = []
+    for i, cx in enumerate(CORR_COLS):
+        for cy in CORR_COLS[i + 1:]:
+            selects.append(
+                f"""SELECT '{cx}' AS col_x, '{cy}' AS col_y, n::BIGINT AS n,
+       round((n * sxy_{cx}_{cy} - s_{cx} * s_{cy})::DOUBLE
+             / sqrt((n * ss_{cx} - s_{cx} * s_{cx})::DOUBLE
+                    * (n * ss_{cy} - s_{cy} * s_{cy})::DOUBLE), 6) + 0.0 AS r
+FROM m"""
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY col_x, col_y"
+    )

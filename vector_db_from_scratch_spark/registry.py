@@ -362,6 +362,15 @@ def build() -> dict[str, Entry]:
     )
     # ANALYZE-style per-column statistics (row/null counts, exact + KMV
     # NDV, typed min/max) -- the stats table a cost-based optimizer reads
+    # pairwise Pearson screen over lineitem numerics from one single-pass
+    # aggregate -- exact decimal(38,0)/HUGEINT integer moments (the
+    # documented int64-overflow fallback, exercised: sum(price_cents^2)
+    # passes 2^63 at sf0.1), differences cast to double only for the one
+    # division + correctly-rounded IEEE sqrt
+    reg["maintenance_column_correlations"] = (
+        maintenance.column_correlations,
+        maintenance.column_correlations_oracle(),
+    )
     reg["maintenance_column_stats"] = (
         maintenance.column_stats,
         maintenance.column_stats_oracle(),
