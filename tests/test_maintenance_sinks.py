@@ -312,3 +312,16 @@ def test_column_correlations_match_numpy(spark, sf_dir):
         assert -1.0 <= r["r"] <= 1.0
         expect = np.corrcoef(cents[r["col_x"]], cents[r["col_y"]])[0, 1]
         assert abs(r["r"] - expect) < 2e-6, (r, expect)
+
+
+def test_hist2d_conserves_rows_and_bounds_cells(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.quantiles import HIST2D_BINS, hist2d
+    from vector_db_from_scratch_spark.sources.tables import load_table
+
+    rows = hist2d(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_cell"] for r in rows) == n
+    assert len(rows) <= HIST2D_BINS * HIST2D_BINS
+    assert all(
+        0 <= r["bx"] < HIST2D_BINS and 0 <= r["by"] < HIST2D_BINS for r in rows
+    )

@@ -790,3 +790,66 @@ FROM cells
 GROUP BY grp
 ORDER BY grp
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# 2-D histogram: the JOINT distribution grid over a column pair -- the
+# scatter-density profile that shows WHERE a correlation lives (the
+# Pearson screen in maintenance.py says how linear the pair is; this says
+# which region of the plane carries the mass). Same portable binning as
+# the 1-D sketch: floor((x - lo) / w) on identical IEEE inputs, clamped
+# to the last cell, so every cell count hash-gates. Bounded output
+# (<= HIST2D_BINS^2 cells, only non-empty cells emitted); mergeable by
+# cell-wise addition exactly like the 1-D grid.
+# --------------------------------------------------------------------------
+
+HIST2D_BINS = 16
+
+
+def hist2d(spark: SparkSession, sf_dir: str, b: int = HIST2D_BINS) -> DataFrame:
+    """(bx, by, n_cell): joint (l_quantity, l_extendedprice) density on a
+    b x b equi-width grid over the exact per-column min/max -- one bounds
+    pass + one binned aggregate, both single-shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    params = li.agg(
+        F.min("x").alias("lox"),
+        F.max("x").alias("hix"),
+        F.min("y").alias("loy"),
+        F.max("y").alias("hiy"),
+    ).select(
+        "lox",
+        "loy",
+        ((F.col("hix") - F.col("lox")) / b).alias("wx"),
+        ((F.col("hiy") - F.col("loy")) / b).alias("wy"),
+    )
+    bx = F.least(
+        F.floor((F.col("x") - F.col("lox")) / F.col("wx")), F.lit(b - 1)
+    ).cast("int")
+    by = F.least(
+        F.floor((F.col("y") - F.col("loy")) / F.col("wy")), F.lit(b - 1)
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(params))
+        .select(bx.alias("bx"), by.alias("by"))
+        .groupBy("bx", "by")
+        .agg(F.count(F.lit(1)).alias("n_cell"))
+        .orderBy("bx", "by")
+    )
+
+
+def hist2d_oracle(b: int = HIST2D_BINS) -> str:
+    return f"""
+WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+params AS (SELECT min(x) AS lox, min(y) AS loy,
+                  (max(x) - min(x)) / {b} AS wx,
+                  (max(y) - min(y)) / {b} AS wy
+           FROM li)
+SELECT least(floor((x - lox) / wx), {b - 1})::INT AS bx,
+       least(floor((y - loy) / wy), {b - 1})::INT AS by,
+       count(*) AS n_cell
+FROM li, params
+GROUP BY bx, by
+ORDER BY bx, by
+""".strip()

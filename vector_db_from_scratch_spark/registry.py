@@ -733,6 +733,10 @@ def build() -> dict[str, Entry]:
     # with the per-range deviation bound (<= the two boundary bins' mass)
     # as a gated boolean -- the 100 TB scale path of
     # maintenance_range_bounds' exact ntile report
+    # joint-distribution grid over (quantity, price): the scatter-density
+    # profile companion to the Pearson screen -- same portable IEEE
+    # binning as the 1-D sketch, bounded b^2 cells, cell-add mergeable
+    reg["sketch_hist2d"] = (quantiles.hist2d, quantiles.hist2d_oracle())
     reg["sketch_range_bounds"] = (
         quantiles.range_bounds_sketch,
         quantiles.range_bounds_sketch_oracle(),
