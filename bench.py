@@ -73,6 +73,56 @@ HEADLINE = [
 SCALE_BLOCK_BEGIN = "<!-- BEGIN GENERATED: scale10x (bench.py) -->"
 SCALE_BLOCK_END = "<!-- END GENERATED: scale10x -->"
 
+# The driver keeps only the tail of stdout; the emitted line must fit.
+LINE_BUDGET = 1900
+
+
+def shrink_line(line: dict, budget: int = LINE_BUDGET) -> str:
+    """Serialize the bench line, adaptively dropping detail until it fits.
+
+    Round 9's driver bench completed all 290 measurements and then died on
+    ``assert len(out) < 1900`` firing at exactly 1900 chars -- the entire
+    round's bench evidence was lost to its own guard (VERDICT r9 wrong #1).
+    A completed measurement must ALWAYS emit; fidelity degrades in steps
+    instead. Shrink order (cheapest information first):
+
+      1. full line as given
+      2. drop ``scale10x`` (full data is in BENCH_DETAIL.json anyway)
+      3. drop ``warm_med`` / ``warm_spread`` arrays
+      4. truncate ``queries`` to a prefix of the headline dict, re-trying
+         at 20/15/10/5 entries
+      5. last resort: totals-only line (always fits)
+
+    Every step preserves ``metric``/``value``/``value_warm``/``sf`` -- the
+    keys the driver parses. Mutates a COPY; the caller's dict is untouched.
+    """
+    line = dict(line)
+
+    def ser(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    out = ser(line)
+    if len(out) < budget:
+        return out
+    line["scale10x"] = "BENCH_DETAIL.json"
+    out = ser(line)
+    if len(out) < budget:
+        return out
+    line.pop("warm_med", None)
+    line.pop("warm_spread", None)
+    out = ser(line)
+    if len(out) < budget:
+        return out
+    full_queries = line.get("queries", {})
+    for cap in (20, 15, 10, 5):
+        line["queries"] = dict(list(full_queries.items())[:cap])
+        out = ser(line)
+        if len(out) < budget:
+            return out
+    keep = ("metric", "value", "unit", "sf", "n_queries", "value_warm",
+            "builds_sec", "detail")
+    return ser({k: line[k] for k in keep if k in line})
+
 
 def regenerate_scale_block(detail: dict) -> None:
     """Rewrite SCALE.md's generated scale10x section from the recorded
@@ -98,6 +148,7 @@ def regenerate_scale_block(detail: dict) -> None:
         "| query | 1x warm s | 10x warm s | wall ratio | output note |",
         "|---|---|---|---|---|",
     ]
+    flags = detail.get("scale10x_flags", {})
     for name, vals in sorted(detail.get("scale10x", {}).items()):
         if not isinstance(vals, list) or len(vals) < 2:
             continue
@@ -110,6 +161,8 @@ def regenerate_scale_block(detail: dict) -> None:
             note = f"pairs {n1} -> {n10} ({pr}x); sec/pair ratio {spp}"
         else:
             note = "-"
+        if name in flags:
+            note = (note + "; " if note != "-" else "") + f"[{flags[name]}]"
         lines.append(f"| {name} | {t1} | {t10} | {ratio}x | {note} |")
     block = "\n".join(lines) + "\n" + SCALE_BLOCK_END
     pre = src.split(SCALE_BLOCK_BEGIN)[0]
@@ -304,6 +357,8 @@ def main() -> None:
     # ~1000x output is the sublinear-per-result claim, not a regression.
     scale_ratio: dict[str, float] = {}
     scale_detail: dict[str, list[float]] = {}
+    scale_flags: dict[str, str] = {}
+    per_side_spread: list[dict[str, float]] = []
     try:
         from vector_db_from_scratch_spark.operators import _memo
 
@@ -322,13 +377,20 @@ def main() -> None:
         # inflating ratios ~4x (rounds 3-4 recorded 14x for
         # dedup_minhash_lsh; clean warm/warm
         # 2.7x on ~980x more emitted pairs).
+        def timed_run(fn, d: str) -> float:
+            t1 = time.perf_counter()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t1
+
         per_side: list[dict[str, float]] = []
         per_side_rows: list[dict[str, int]] = []
+        per_side_spread: list[dict[str, float]] = []
         for d in (sf_dir, scaled):
             _memo.clear()
             spark.catalog.clearCache()
             side: dict[str, float] = {}
             side_rows: dict[str, int] = {}
+            side_spread: dict[str, float] = {}
             for name in SCALE_QUERIES:
                 fn = all_queries[name]
                 # streaming drains are memoized per (application, input)
@@ -346,16 +408,54 @@ def main() -> None:
                 # minhash wall ratio to 5.5 (isolated: 1.74 at identical
                 # pairs_ratio 978.6)
                 n_scale_samples = 4 if name in SCALE_OUTPUT_NORMALIZED else 3
-                samples = []
-                for _ in range(n_scale_samples):
-                    t1 = time.perf_counter()
-                    fn(spark, d).write.format("noop").mode("overwrite").save()
-                    samples.append(time.perf_counter() - t1)
+                samples = [timed_run(fn, d) for _ in range(n_scale_samples)]
+                # Instability gate (VERDICT r9 wrong #2): a contended or
+                # cache-cold window once recorded 40x wall ratios on
+                # plan-audited flat scans. If the post-build samples still
+                # spread >75% of their min, extend sampling (up to 3 more)
+                # until stable or budget spent; the residual spread over
+                # the last 3 samples is recorded per side so an unsteady
+                # row reads as "unstable", never as a plan regression.
+                def rel_spread(ss):
+                    tail = sorted(ss[-3:])
+                    return (tail[-1] - tail[0]) / tail[0] if tail[0] else 0.0
+
+                extra = 0
+                while rel_spread(samples) > 0.75 and extra < 3:
+                    samples.append(timed_run(fn, d))
+                    extra += 1
                 side[name] = min(samples)
+                side_spread[name] = round(rel_spread(samples), 2)
                 if name in SCALE_OUTPUT_NORMALIZED:
                     side_rows[name] = fn(spark, d).count()  # warm: memo hit
             per_side.append(side)
             per_side_rows.append(side_rows)
+            per_side_spread.append(side_spread)
+        # Suspicion recheck: a >6x wall ratio on a fixed-output query, or
+        # an unstable side, triggers a fresh warm min-of-3 per side (memo
+        # and caches resident, min wins -- can only correct downward). A
+        # ratio that survives the recheck is real and stays; one that
+        # collapses was measurement contention and the recheck replaces it.
+        RECHECK_WALL = 6.0
+        for name in SCALE_QUERIES:
+            t1x, t10 = per_side[0][name], per_side[1][name]
+            wall0 = t10 / t1x if t1x else float("inf")
+            unstable = (per_side_spread[0].get(name, 0) > 0.75
+                        or per_side_spread[1].get(name, 0) > 0.75)
+            fixed_output = name not in SCALE_OUTPUT_NORMALIZED
+            if (wall0 > RECHECK_WALL and fixed_output) or unstable:
+                fn = getattr(all_queries[name], "__wrapped__", all_queries[name])
+                for i, d in enumerate((sf_dir, scaled)):
+                    rs = [timed_run(fn, d) for _ in range(3)]
+                    per_side[i][name] = min(per_side[i][name], min(rs))
+                t1x, t10 = per_side[0][name], per_side[1][name]
+                wall1 = t10 / t1x if t1x else float("inf")
+                if wall1 > RECHECK_WALL and fixed_output:
+                    scale_flags[name] = "high-ratio-confirmed-by-recheck"
+                elif wall0 > RECHECK_WALL and fixed_output:
+                    scale_flags[name] = "recheck-resolved-contended-sample"
+                else:
+                    scale_flags[name] = "unstable-rechecked"
         for name in SCALE_QUERIES:
             t1x, t10 = per_side[0][name], per_side[1][name]
             wall = round(t10 / t1x, 1) if t1x else float("nan")
@@ -398,6 +498,8 @@ def main() -> None:
         "builds_sec": builds_sec,
         "plans": plans,
         "scale10x": scale_detail,
+        "scale10x_flags": scale_flags,
+        "scale10x_spread": per_side_spread,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -422,9 +524,9 @@ def main() -> None:
         "warm_spread": [warm_spread.get(n) for n in HEADLINE if n in timings],
         "detail": "BENCH_DETAIL.json",
     }
-    out = json.dumps(line, separators=(",", ":"))
-    assert len(out) < 1900, f"bench line too long for driver tail capture: {len(out)}"
-    print(out)
+    # NEVER assert on line size after a completed run (round 9 lost its
+    # entire bench record to exactly that) -- shrink adaptively and print.
+    print(shrink_line(line))
     spark.stop()
 
 
