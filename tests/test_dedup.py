@@ -318,6 +318,24 @@ def test_repeated_spans_match_python_reference(spark, sf_dir):
     assert got == expected
 
 
+def test_repeated_spans_arrow_declarative_twins_agree(spark, sf_dir):
+    """The Arrow rolling-hash gram kernel and its declarative
+    xxhash64(substring) twin hash DIFFERENT values but must induce the
+    SAME gram partition -- the full span reports must be identical."""
+    from vector_db_from_scratch_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    arrow = sorted(
+        map(tuple, repeated_substring_spans(spark, sf_dir, use_arrow=True).collect())
+    )
+    decl = sorted(
+        map(tuple, repeated_substring_spans(spark, sf_dir, use_arrow=False).collect())
+    )
+    assert arrow == decl
+    assert arrow, "corpus must contain cross-doc repeats"
+
+
 def test_levenshtein_cross_engine_contract(spark):
     """The edit-distance verifier rests on both engines shipping classic
     unit-cost Levenshtein; pin a constructed matrix of cases equal."""

@@ -37,11 +37,18 @@ def test_rotation_prioritizes_never_verified():
         assert set(rest[start : start + len(rows_only_never)]) == rows_only_never, (
             "never-recorded rows-only entries follow the fresh gated pool"
         )
-    rows_only_seen = [n for n in names if reg[n][1] is None and n in seen]
-    if rows_only_seen:
+    # already-recorded rows-only entries sort last -- EXCEPT stale ones
+    # (recorded >=2 rounds behind the newest recorded round), which
+    # re-enter ahead of the verified gated pool (VERDICT r9 item 6)
+    latest = max(seen.values(), default=0)
+    rows_only_recent = [
+        n for n in names
+        if reg[n][1] is None and n in seen and seen[n] > latest - 2
+    ]
+    if rows_only_recent:
         assert all(
-            reg[n][1] is None for n in names[-len(rows_only_seen):]
-        ), "already-recorded rows-only entries sort last"
+            reg[n][1] is None for n in names[-len(rows_only_recent):]
+        ), "recently-recorded rows-only entries sort last"
 
 
 def test_rotation_interleaves_families():
@@ -114,3 +121,43 @@ def test_rotation_orders_verified_tail_by_staleness():
     assert rounds == sorted(rounds), (
         "verified gated tail must be ordered by oldest green round first"
     )
+
+
+def test_stale_rows_only_reenters_ahead_of_recent_gated(tmp_path, monkeypatch):
+    """VERDICT r9 item 6: over a synthetic history, an r7 rows-only green
+    must outrank r9-verified gated rows in window order (rows-only greens
+    must decay back into the verification pool, not stay 'recorded once in
+    r7' forever)."""
+    import json
+
+    import vector_db_from_scratch_spark.registry as regmod
+
+    root = tmp_path
+    (root / "pkg").mkdir()
+    fake_file = root / "pkg" / "registry.py"
+    fake_file.write_text("")
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    rows_only = {"rows_match": None, "hash_match": None, "err": "no_oracle", "spark_rows": 5}
+    (root / "CORRECTNESS_r07.json").write_text(
+        json.dumps({"stale_rows_only": rows_only, "fresh_rows_only_r9": rows_only})
+    )
+    (root / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"gated_a": green, "gated_b": green, "fresh_rows_only_r9": rows_only})
+    )
+    monkeypatch.setattr(regmod, "__file__", str(fake_file))
+
+    fn = lambda spark, sf: None  # noqa: E731
+    reg = {
+        "gated_a": (fn, "SELECT 1"),
+        "gated_b": (fn, "SELECT 1"),
+        "stale_rows_only": (fn, None),
+        "fresh_rows_only_r9": (fn, None),
+        "never_gated": (fn, "SELECT 1"),
+    }
+    ordered = list(regmod._reorder(reg))
+    # never-recorded gated first, then the stale rows-only re-entry, then
+    # the recently-verified gated pool, then recent rows-only last
+    assert ordered.index("stale_rows_only") < ordered.index("gated_a")
+    assert ordered.index("stale_rows_only") < ordered.index("gated_b")
+    assert ordered.index("never_gated") < ordered.index("stale_rows_only")
+    assert ordered[-1] == "fresh_rows_only_r9"

@@ -1781,13 +1781,15 @@ ORDER BY d.doc_id
 # Their single-node tool is a suffix array; the distributed re-expression
 # is positional k-grams + an interval merge:
 #
-#   1. explode each doc into (doc_id, pos, hash(substr(text, pos, K)))
-#      -- the shuffle moves 8-byte hashes, never the text (exact_dedup
+#   1. expand each doc into (doc_id, pos, hash(window at pos)) -- an
+#      Arrow NumPy rolling-hash kernel, O(K*len) per doc (the declarative
+#      substring twin is O(len^2): Spark seeks UTF8Strings per call); the
+#      shuffle moves 8-byte hashes, never the text (exact_dedup
 #      discipline),
 #   2. keep positions whose gram occurs in >= 2 DISTINCT documents --
-#      computed INSIDE the one gram shuffle (dense_rank + max over the gh
-#      partition = count distinct) so the per-position digest evaluates
-#      once, not once per consumer,
+#      computed INSIDE the one gram shuffle: ">= 2 distinct docs" is
+#      exactly min(doc_id) != max(doc_id), two unordered aggregates in a
+#      single WindowExec whose exchange sorts on gh alone,
 #   3. merge overlapping/adjacent fixed-length intervals per doc with the
 #      gaps-and-islands window (new island when the position gap exceeds
 #      K): per-doc windows are bounded by document length, so the only
@@ -1804,21 +1806,82 @@ ORDER BY d.doc_id
 
 K_SPAN = 20  # characters
 
+# Rolling-hash base for the Arrow gram kernel: FNV-1a's 64-bit prime (odd,
+# good avalanche over mod-2^64 polynomial evaluation).
+_GRAM_HASH_BASE = 1099511628211
 
-def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-    from ..functions.hashing import hash60
 
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text", "n_chars")
-        # a doc shorter than one gram contributes nothing; the guard also
-        # keeps F.sequence ascending (start > stop would DESCEND in Spark)
-        .filter(F.col("n_chars") >= K_SPAN)
-    )
-    grams = docs.select(
+def _positional_grams_arrow(docs: DataFrame) -> DataFrame:
+    """``(doc_id, n_chars, pos, gh)`` for every K_SPAN-char window, via an
+    Arrow ``mapInPandas`` NumPy rolling-polynomial kernel.
+
+    Why not the declarative ``xxhash64(substring(text, pos, K))`` twin
+    (:func:`_positional_grams_declarative`): Spark's ``substring`` seeks
+    the UTF8String from the start on EVERY call (chars != bytes), so
+    exploding one substring per position costs O(len^2) per document --
+    measured 1.74s of the query's 2.7s warm at sf0.1. The kernel decodes
+    each text to a codepoint array once (utf-32-le view, exact char
+    positions) and evaluates all window hashes with K vectorized
+    multiply-adds: O(K*len), 0.67s for the same grams. The hash is a
+    purely INTERNAL grouping key (never output), so only "same substring
+    => same key" matters, not cross-engine hash equality; a mod-2^64
+    polynomial collision between two DIFFERENT 20-char windows requires an
+    exactly compensating digit combination -- not a property natural text
+    has, and tests pin kernel/declarative hit-set equality.
+    """
+    import numpy as np
+    import pandas as pd
+
+    K = K_SPAN
+    B = np.uint64(_GRAM_HASH_BASE)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ncs, poss, hs = [], [], [], []
+            for doc_id, n_chars, text in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["text"]
+            ):
+                if text is None:
+                    continue
+                cp = (
+                    np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+                    .astype(np.uint64)
+                )
+                m = cp.shape[0] - K + 1
+                if m < 1:
+                    continue
+                h = np.zeros(m, dtype=np.uint64)
+                for j in range(K):
+                    h = h * B + cp[j : j + m]
+                ids.append(np.full(m, doc_id, dtype=np.int64))
+                ncs.append(np.full(m, n_chars, dtype=np.int64))
+                poss.append(np.arange(1, m + 1, dtype=np.int64))
+                hs.append(h.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "n_chars": np.concatenate(ncs),
+                        "pos": np.concatenate(poss),
+                        "gh": np.concatenate(hs),
+                    }
+                )
+
+    return docs.mapInPandas(gen, schema="doc_id long, n_chars long, pos long, gh long")
+
+
+def _positional_grams_declarative(docs: DataFrame) -> DataFrame:
+    """Declarative twin of :func:`_positional_grams_arrow` (repo
+    discipline: every Arrow kernel has a built-in-functions twin under the
+    same downstream oracle). Same schema; `gh` values differ (xxhash64 vs
+    rolling polynomial) but the induced gram partition is identical, which
+    is all any consumer uses -- tests/test_dedup.py pins the resulting
+    df>=2 hit sets equal."""
+    return docs.select(
         "doc_id",
         "n_chars",
+        # a doc shorter than one gram contributes nothing upstream; the
+        # n_chars >= K_SPAN filter also keeps F.sequence ascending
         F.explode(
             F.sequence(F.lit(1), F.col("n_chars") - F.lit(K_SPAN - 1))
         ).alias("pos"),
@@ -1827,19 +1890,34 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         "pos",
-        hash60(F.substring(F.col("text"), F.col("pos"), K_SPAN)).alias("gh"),
+        F.xxhash64(F.substring(F.col("text"), F.col("pos"), K_SPAN)).alias("gh"),
     )
-    # single pass over the positional grams: the md5-derived gram hash is
-    # the dominant cost (one digest per character position), so compute it
-    # once and derive the cross-doc document-frequency WITHIN the same
-    # shuffle (dense_rank by doc_id, max over the gh partition == count
-    # distinct) instead of aggregating grams a second time and joining back
+
+
+def repeated_substring_spans(
+    spark: SparkSession, sf_dir: str, use_arrow: bool = True
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .filter(F.col("n_chars") >= K_SPAN)
+    )
+    gram_fn = _positional_grams_arrow if use_arrow else _positional_grams_declarative
+    grams = gram_fn(docs)
+    # single pass over the positional grams: derive the cross-doc
+    # document-frequency test WITHIN the one gh shuffle. "occurs in >= 2
+    # distinct documents" is exactly min(doc_id) != max(doc_id) over the
+    # gh partition -- two UNORDERED window aggregates sharing one
+    # WindowExec, so the exchange sorts on gh alone. (The previous
+    # dense_rank-by-doc_id + max form needed a secondary sort on doc_id
+    # and a second window pass; VERDICT r9 item 4.)
     wgh = Window.partitionBy("gh")
-    dr = F.dense_rank().over(wgh.orderBy("doc_id"))
     hits = (
-        grams.withColumn("dr", dr)
-        .withColumn("df", F.max("dr").over(wgh))
-        .filter(F.col("df") >= 2)
+        grams.withColumn("d_min", F.min("doc_id").over(wgh))
+        .withColumn("d_max", F.max("doc_id").over(wgh))
+        .filter(F.col("d_min") != F.col("d_max"))
         .select("doc_id", "n_chars", "pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1858,7 +1936,7 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").alias("s"),
         (F.max("pos") + F.lit(K_SPAN - 1)).alias("e"),
     )
-    return (
+    out = (
         spans.groupBy("doc_id", "n_chars")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -1879,8 +1957,13 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0)
             ).alias("repeated_frac"),
         )
-        .orderBy("doc_id")
     )
+    # report_sort, not orderBy: the global sort's range-boundary sampling
+    # re-executes the whole gram pipeline (measured +0.74s of a 1.6s warm
+    # chain at sf0.1); the span report is per-affected-doc bounded
+    from ..plans import report_sort
+
+    return report_sort(out, "doc_id")
 
 
 def repeated_substring_spans_oracle() -> str:

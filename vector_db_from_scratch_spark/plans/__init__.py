@@ -6,6 +6,7 @@ from .audit import (
     pushed_filters,
     uses_take_ordered,
 )
+from .report import report_sort
 
 __all__ = [
     "count_shuffles",
@@ -14,4 +15,5 @@ __all__ = [
     "plan_string",
     "pushed_filters",
     "uses_take_ordered",
+    "report_sort",
 ]

@@ -172,6 +172,24 @@ def _reorder(reg: dict[str, Entry]) -> dict[str, Entry]:
     ]
     for n in _interleave_families(fresh_rows_only):
         out[n] = reg[n]
+    # Staleness cap for RECORDED rows-only entries (VERDICT r9 item 6 /
+    # ADVICE r9): unconditionally-last meant a rows-only green recorded in
+    # r7 would never re-enter a driver window. A rows-only green recorded
+    # >= STALE_ROWS_ONLY_ROUNDS behind the newest recorded round (i.e.
+    # ~3 rounds behind the round currently running, since `latest` is the
+    # round BEFORE this one) re-enters here -- ahead of the
+    # recently-confirmed gated pool -- so the weakest check class still
+    # decays back into verification instead of staying "recorded once"
+    # forever.
+    STALE_ROWS_ONLY_ROUNDS = 2
+    latest = max(seen.values(), default=0)
+    stale_rows_only = [
+        n for n, e in reg.items()
+        if n not in out and e[1] is None
+        and seen.get(n, 0) <= latest - STALE_ROWS_ONLY_ROUNDS
+    ]
+    for n in _interleave_families(stale_rows_only):
+        out[n] = reg[n]
     # Staleness-ordered re-verification of the already-verified remainder
     # (VERDICT r7 item 1): with all gated queries green at least once, the
     # tail of each ~50-entry driver window is what keeps old greens honest.
@@ -733,14 +751,14 @@ def build() -> dict[str, Entry]:
     # with the per-range deviation bound (<= the two boundary bins' mass)
     # as a gated boolean -- the 100 TB scale path of
     # maintenance_range_bounds' exact ntile report
-    # joint-distribution grid over (quantity, price): the scatter-density
-    # profile companion to the Pearson screen -- same portable IEEE
-    # binning as the 1-D sketch, bounded b^2 cells, cell-add mergeable
-    reg["sketch_hist2d"] = (quantiles.hist2d, quantiles.hist2d_oracle())
     reg["sketch_range_bounds"] = (
         quantiles.range_bounds_sketch,
         quantiles.range_bounds_sketch_oracle(),
     )
+    # joint-distribution grid over (quantity, price): the scatter-density
+    # profile companion to the Pearson screen -- same portable IEEE
+    # binning as the 1-D sketch, bounded b^2 cells, cell-add mergeable
+    reg["sketch_hist2d"] = (quantiles.hist2d, quantiles.hist2d_oracle())
 
     # --- text analysis over documents (training-data-pipeline surface) ---
     t = textops
