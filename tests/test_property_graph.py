@@ -97,3 +97,19 @@ def test_property_link_prediction_matches_python_on_random_graphs(spark):
         assert got == expect
 
     run()
+
+
+def test_kcore_override_states_registered_for_release(spark):
+    """ADVICE r9: the override path's localCheckpointed per-iteration
+    states must be reachable from the memo registry so _memo.clear() can
+    unpersist them (repeated fuzz calls otherwise accumulate checkpointed
+    RDDs until process exit)."""
+    nodes_df, und_df = _dfs(spark, [0, 1, 2], [(0, 1), (1, 2)])
+    before = {k for k in graph._CHAIN_MEMO if "override" in k}
+    graph.kcore_trajectory(
+        spark, "unused", k=1, iters=2, nodes_df=nodes_df, und_df=und_df
+    ).collect()
+    added = {k for k in graph._CHAIN_MEMO if "override" in k} - before
+    assert len(added) == 1
+    states = graph._CHAIN_MEMO[added.pop()]
+    assert len(states) == 3  # initial + 2 iterations, each (nodes, edges)

@@ -209,3 +209,15 @@ def test_resample_hourly_dense_grid_and_conservation(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert sum(r["n"] for r in rows) == ev.count()
     assert any(r["n"] == 0 for r in rows)
+
+
+def test_bootstrap_ci_rejects_degenerate_replicate_count():
+    """ADVICE r9: rk==2 / rk==b-1 percentile bounds are null or inverted
+    below b=4, so the parameter is guarded at entry."""
+    import pytest
+
+    from vector_db_from_scratch_spark.operators.analytics import bootstrap_ci
+
+    for bad in (0, 1, 2, 3):
+        with pytest.raises(ValueError):
+            bootstrap_ci(None, "unused", b=bad)

@@ -431,6 +431,12 @@ def bootstrap_ci(
     digest evaluations -- the join_bloom_prefiltered lesson); pairwise
     independence across replicates is sufficient for the bootstrap
     variance estimate."""
+    # the percentile CI picks rk == 2 and rk == b-1: below b=4 those
+    # bounds are null or inverted (b=2 would make ci_lo the max), and a
+    # degenerate replicate count also risks n_eff == 0 in the mean's
+    # divisor (ADVICE r9)
+    if b < 4:
+        raise ValueError(f"bootstrap_ci: b must be >= 4, got {b}")
     from ..functions.hashing import MERSENNE31, hash31, minhash_params
     from .relational import MICRO
 

@@ -105,6 +105,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CHAIN_MEMO: dict[tuple, list[DataFrame]] = _memo.register({})
+# monotone counter making each kcore override-path call's memo key unique
+# (the entry exists only so _memo.clear() releases its checkpointed RDDs)
+_KCORE_OVERRIDE_SEQ = [0]
 
 PPR_SEED_MOD = 50  # personalized teleport set: vec_id % PPR_SEED_MOD == 0
 
@@ -902,6 +905,18 @@ def kcore_trajectory(
             states.append((nodes, edges))
         if not override:
             _CHAIN_MEMO[key] = states
+        else:
+            # register override-path states too, under a unique per-call
+            # key, so _memo.clear() can unpersist their localCheckpointed
+            # RDDs -- repeated override calls (hypothesis property-fuzz,
+            # long-lived hosts) otherwise accumulate checkpointed blocks
+            # until process exit (ADVICE r9). They cannot be unpersisted
+            # before returning: localCheckpoint truncates lineage, so the
+            # returned plan's blocks must outlive this call.
+            _KCORE_OVERRIDE_SEQ[0] += 1
+            _CHAIN_MEMO[
+                key + ("override", _KCORE_OVERRIDE_SEQ[0])
+            ] = states
     stats = [
         n.agg(F.lit(i).alias("iter"), F.count(F.lit(1)).alias("core_nodes"))
         .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("core_edges"))))
