@@ -462,6 +462,126 @@ def decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# --------------------------------------------------------------------------
+# Real-blob fixture twins (VERDICT r9 item 8): the same decode kernels
+# gated against payloads whose headers and rasters are NOT derived from
+# document text -- true 2-D PGM rasters, a WAV whose chunk list carries an
+# odd-sized LIST chunk (word-alignment skip), multi-frame Y4M with a FRAME
+# parameter token. Ground truth comes from a golden parquet computed at
+# fixture-generation time from the raw sample arrays (never through the
+# decoder under test); the oracle SQL reads it by path, so the gate is an
+# independent-derivation comparison, not text arithmetic.
+# --------------------------------------------------------------------------
+
+
+def real_media_table(spark: SparkSession) -> DataFrame:
+    from ..sources.media_fixtures import ensure_media_fixture
+
+    blobs_path, _ = ensure_media_fixture()
+    return spark.read.parquet(blobs_path)
+
+
+def real_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decoded_stats over the genuine-blob fixture (sf_dir unused: the
+    fixture is corpus-independent)."""
+    media = real_media_table(spark)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, kinds, n_s, s_sum, hdr = [], [], [], [], []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                arr = decode_media(payload, kind)
+                ids.append(media_id)
+                kinds.append(kind)
+                n_s.append(len(arr))
+                s_sum.append(int(arr.astype(np.int64).sum()))
+                hdr.append(len(payload) - len(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "n_samples": n_s,
+                    "sample_sum": s_sum,
+                    "header_overhead": hdr,
+                }
+            )
+
+    from ..plans import report_sort
+
+    return report_sort(
+        media.mapInPandas(
+            batches,
+            "media_id long, kind string, n_samples long, sample_sum long, "
+            "header_overhead long",
+        ),
+        "media_id",
+    )
+
+
+def real_decoded_stats_oracle() -> str:
+    from ..sources.media_fixtures import ensure_media_fixture
+
+    _, golden = ensure_media_fixture()
+    return (
+        "SELECT media_id, kind, n_samples, sample_sum, header_overhead "
+        f"FROM '{golden}' ORDER BY media_id"
+    )
+
+
+def real_features(spark: SparkSession, sf_dir: str, bins: int = 16) -> DataFrame:
+    """Feature extraction (histogram + exact integer micro-mean) over the
+    genuine-blob fixture; mean is half-up integer arithmetic end to end,
+    so the gate has no float rounding seam at all."""
+    media = real_media_table(spark)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                arr = decode_media(payload, kind)
+                n = len(arr)
+                s = int(arr.astype(np.int64).sum())
+                hist = np.bincount(arr // (256 // bins), minlength=bins)[:bins]
+                rows.append(
+                    (
+                        media_id,
+                        kind,
+                        n,
+                        (2_000_000 * s + n) // (2 * n),
+                        hist.astype("int64").tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "n_samples", "mean_micros", "hist"],
+            )
+
+    from ..plans import report_sort
+
+    out = media.mapInPandas(
+        batches,
+        "media_id long, kind string, n_samples long, mean_micros long, "
+        "hist array<long>",
+    ).select(
+        "media_id", "kind", "n_samples", "mean_micros", F.to_json("hist").alias("hist")
+    )
+    return report_sort(out, "media_id")
+
+
+def real_features_oracle() -> str:
+    from ..sources.media_fixtures import ensure_media_fixture
+
+    _, golden = ensure_media_fixture()
+    return (
+        "SELECT media_id, kind, n_samples, mean_micros, hist "
+        f"FROM '{golden}' ORDER BY media_id"
+    )
+
+
 def decoded_stats_oracle() -> str:
     kinds = ", ".join(f"'{k}'" for k in KINDS)
     # header arithmetic per format: PGM = "P5\n" + digits + " 1\n255\n";

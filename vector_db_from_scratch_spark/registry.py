@@ -539,6 +539,18 @@ def build() -> dict[str, Entry]:
         multimodal.decoded_stats,
         multimodal.decoded_stats_oracle(),
     )
+    # the same codec layer against GENUINE blobs (2-D PGM rasters, WAV
+    # with an odd-sized LIST chunk, multi-frame y4m) gated on a golden
+    # parquet derived at fixture-generation time from the raw samples --
+    # not from document text (VERDICT r9 item 8)
+    reg["multimodal_decoded_stats_real"] = (
+        multimodal.real_decoded_stats,
+        multimodal.real_decoded_stats_oracle(),
+    )
+    reg["multimodal_features_real"] = (
+        multimodal.real_features,
+        multimodal.real_features_oracle(),
+    )
     reg["skew_salted_agg"] = (skew.salted_event_totals, skew.salted_event_totals_oracle())
     reg["skew_salted_join"] = (skew.salted_weighted_join, skew.salted_weighted_join_oracle())
     # the sketch toolkit driving the engine's own skew decision: salt
