@@ -421,14 +421,26 @@ def ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k")
     )
 
-    def _vec(df: DataFrame, name: str) -> DataFrame:
-        return _unpivot_counters(_hashed(df, "k").agg(*_counter_sums())).select(
-            "j", F.col("counter").alias(name)
-        )
+    # the per-row md5 over both key streams is the sketch side's whole
+    # cost (one digest per orders + lineitem row); memoize the hashed
+    # projections like _events_hashed so repeat calls pay only the
+    # 48-counter aggregate
+    def _keyed_hashed(table: str, key: str) -> DataFrame:
+        memo_key = (spark.sparkContext.applicationId, sf_dir, "ams_keyed", table)
+        if memo_key not in _EV_MEMO:
+            _EV_MEMO[memo_key] = _hashed(
+                load_table(spark, sf_dir, table).select(F.col(key).alias("k")), "k"
+            ).localCheckpoint()
+        return _EV_MEMO[memo_key]
+
+    def _vec(table: str, key: str, name: str) -> DataFrame:
+        return _unpivot_counters(
+            _keyed_hashed(table, key).agg(*_counter_sums())
+        ).select("j", F.col("counter").alias(name))
 
     prod = (
-        _vec(orders, "cr")
-        .join(_vec(li, "cs"), "j")
+        _vec("orders", "o_orderkey", "cr")
+        .join(_vec("lineitem", "l_orderkey", "cs"), "j")
         .select(
             (F.col("j") / AMS_GROUP_SIZE).cast("int").alias("g"),
             (F.col("cr") * F.col("cs")).alias("p"),

@@ -1639,8 +1639,15 @@ def knn_strategy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).select("n_total", "lo", "hi", ndv_est.alias("ndv_est"))
     )
-    probes = spark.createDataFrame(
-        [(1, False), (2, True)], "probe int, with_range boolean"
+    # arrow_local_df, not createDataFrame: the tuple-list local relation
+    # re-verifies + re-serializes per ACTION on this build (the round-3
+    # broadcast-centroid lesson, sources/tables.py:arrow_local_df)
+    from ..sources.tables import arrow_local_df
+
+    probes = arrow_local_df(
+        spark,
+        {"probe": [1, 2], "with_range": [False, True]},
+        "probe int, with_range boolean",
     )
     sel_range = F.when(
         F.col("with_range"),

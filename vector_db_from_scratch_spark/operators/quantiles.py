@@ -110,7 +110,9 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly the global order statistic idx."""
     o = _orders_x(spark, sf_dir)
     params, cum = _orders_grid(spark, sf_dir)
-    qs = spark.createDataFrame([(float(q),) for q in QS], "q double")
+    from ..sources.tables import arrow_local_df
+
+    qs = arrow_local_df(spark, {"q": [float(q) for q in QS]}, "q double")
     sel = (
         qs.crossJoin(F.broadcast(params))
         .withColumn("idx", F.ceil(F.col("q") * F.col("n_rows")))
@@ -306,7 +308,9 @@ def _boundary_sel(spark: SparkSession, params: DataFrame, cum: DataFrame) -> Dat
     """The N_RANGES-1 boundary rows (i, mass, idx, bound) interpolated
     from the cumulative histogram -- shared by the gated balance report
     and the range-layout writer."""
-    bs = spark.createDataFrame([(i,) for i in range(1, N_RANGES)], "i int")
+    from ..sources.tables import arrow_local_df
+
+    bs = arrow_local_df(spark, {"i": list(range(1, N_RANGES))}, "i int")
     return (
         bs.crossJoin(F.broadcast(params))
         .withColumn("idx", F.ceil(F.col("i") * F.col("n_rows") / F.lit(N_RANGES)))
@@ -591,7 +595,9 @@ def hist_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n_bin")
         ).alias("cum_before"),
     )
-    qs = spark.createDataFrame([(float(q),) for q in QS], "q double")
+    from ..sources.tables import arrow_local_df
+
+    qs = arrow_local_df(spark, {"q": [float(q) for q in QS]}, "q double")
     sel = (
         qs.crossJoin(F.broadcast(params))
         .withColumn("idx", F.ceil(F.col("q") * F.col("n_rows")))

@@ -833,8 +833,14 @@ YEAR_BUCKETS = [(y, f"{y}-01-01", f"{y + 2}-01-01") for y in (1995, 1997, 1999)]
 
 def range_join_year_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    buckets = spark.createDataFrame(
-        [(y, a, b) for y, a, b in YEAR_BUCKETS], "bucket_start int, lo string, hi string"
+    from ..sources.tables import arrow_local_df
+
+    buckets = arrow_local_df(
+        spark,
+        {"bucket_start": [y for y, _, _ in YEAR_BUCKETS],
+         "lo": [a for _, a, _ in YEAR_BUCKETS],
+         "hi": [b for _, _, b in YEAR_BUCKETS]},
+        "bucket_start int, lo string, hi string",
     ).select(
         "bucket_start",
         F.col("lo").cast("timestamp").alias("lo"),

@@ -80,8 +80,12 @@ def salted_weighted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "salt", _salt(F.col("event_id"))
     )
-    weights = spark.createDataFrame(
-        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+    from ..sources.tables import arrow_local_df
+
+    weights = arrow_local_df(
+        spark,
+        {"event_type": ["click", "view", "purchase", "signup", "error"],
+         "weight": [1.0, 0.5, 10.0, 5.0, 0.0]},
         "event_type string, weight double",
     )
     replicated = weights.crossJoin(

@@ -403,8 +403,12 @@ def checkpoint_batches(checkpoint_dir: str) -> list[dict]:
 
 def enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir)
-    weights = spark.createDataFrame(
-        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+    from ..sources.tables import arrow_local_df
+
+    weights = arrow_local_df(
+        spark,
+        {"event_type": ["click", "view", "purchase", "signup", "error"],
+         "weight": [1.0, 0.5, 10.0, 5.0, 0.0]},
         "event_type string, weight double",
     )
     return (
