@@ -1,0 +1,83 @@
+"""Binary quantization: threshold shape, bit-packing parity with NumPy,
+Hamming-metric properties, and recall of the re-ranked binary probe."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_db_from_scratch_spark.operators.bq import (
+    DIM,
+    _codes,
+    bq_knn_hamming,
+    bq_knn_rerank,
+    bq_thresholds,
+)
+from vector_db_from_scratch_spark.operators.knn import flat_knn
+
+
+def _corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    return pdf["vec_id"].to_numpy(), x
+
+
+def test_thresholds_are_midpoints(spark, sf_dir):
+    row = bq_thresholds(spark, sf_dir).collect()[0]
+    thr = np.array(row["thr"])
+    assert thr.shape == (DIM,)
+    _, x = _corpus(spark, sf_dir)
+    assert np.array_equal(thr, (x.min(axis=0) + x.max(axis=0)) / 2.0)
+
+
+def test_codes_match_numpy_packing(spark, sf_dir):
+    """Spark's aggregate/shiftleft packing == NumPy sign-bit packing,
+    little-endian within each 32-bit half, >= on the threshold."""
+    vec_ids, x = _corpus(spark, sf_dir)
+    thr = (x.min(axis=0) + x.max(axis=0)) / 2.0
+    bits = (x >= thr).astype(np.uint64)
+    w = 1 << np.arange(32, dtype=np.uint64)
+    lo = (bits[:, :32] * w).sum(axis=1).astype(np.int64)
+    hi = (bits[:, 32:] * w).sum(axis=1).astype(np.int64)
+    got = {
+        r["vec_id"]: (r["lo"], r["hi"]) for r in _codes(spark, sf_dir).collect()
+    }
+    for vid, l, h in zip(vec_ids, lo, hi):
+        assert got[int(vid)] == (int(l), int(h))
+
+
+def test_hamming_self_zero_and_sorted(spark, sf_dir):
+    rows = bq_knn_hamming(spark, sf_dir, k=10, query_vec_id=0).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["hamming"] == 0
+    hs = [r["hamming"] for r in rows]
+    assert hs == sorted(hs) and all(0 <= h <= DIM for h in hs)
+
+
+def test_bq_rerank_recall_vs_flat(spark, sf_dir):
+    """Re-ranked binary top-10 vs exact top-10 over several queries: 1 bit
+    per dimension is lossy on this near-random corpus, so the assertions
+    are a floor plus the property that matters -- widening the Hamming
+    shortlist monotonically buys recall (0.48 @ 3x -> 0.71 @ 8x measured
+    at sf0.001)."""
+    k, n_q = 10, 6
+    recall = {}
+    for ov in (3, 8):
+        hits = 0
+        for qid in range(n_q):
+            exact = {
+                r["vec_id"]
+                for r in flat_knn(
+                    spark, sf_dir, "cosine", k=k, query_vec_id=qid
+                ).collect()
+            }
+            approx = {
+                r["vec_id"]
+                for r in bq_knn_rerank(
+                    spark, sf_dir, "cosine", k=k, query_vec_id=qid, oversample=ov
+                ).collect()
+            }
+            hits += len(exact & approx)
+        recall[ov] = hits / (n_q * k)
+    print(f"bq rerank recall@10 = {recall}")
+    assert recall[3] >= 0.3
+    assert recall[8] >= recall[3]
+    assert recall[8] >= 0.55

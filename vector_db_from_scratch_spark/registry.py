@@ -499,6 +499,24 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: sq.sq8_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         sq.sq8_recall_oracle("cosine", k=10, query_vec_id=0),
     )
+    # binary quantization (operators/bq.py): midpoint thresholds are exact
+    # like SQ8's ranges, Hamming distances are exact integers, so the whole
+    # memory-tier path (train -> pack bits -> popcount shortlist -> exact
+    # re-rank -> recall) is hash-checked end-to-end
+    from .operators import bq
+
+    reg["bq_knn_hamming"] = (
+        lambda spark, sf: bq.bq_knn_hamming(spark, sf, k=10, query_vec_id=0),
+        bq.bq_knn_hamming_oracle(k=10, query_vec_id=0),
+    )
+    reg["bq_knn_rerank"] = (
+        lambda spark, sf: bq.bq_knn_rerank(spark, sf, "cosine", k=10, query_vec_id=0),
+        bq.bq_knn_rerank_oracle("cosine", k=10, query_vec_id=0),
+    )
+    reg["ann_recall_bq"] = (
+        lambda spark, sf: bq.bq_recall(spark, sf, "cosine", k=10, query_vec_id=0),
+        bq.bq_recall_oracle("cosine", k=10, query_vec_id=0),
+    )
     # trained-quantizer family under the gate via deterministic recall
     # VERDICT rows (k + exact-top-k count cross-checked, boolean floor
     # check on the trained probe) -- the hash-checkable signal for the
