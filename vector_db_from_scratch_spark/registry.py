@@ -517,6 +517,19 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: bq.bq_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         bq.bq_recall_oracle("cosine", k=10, query_vec_id=0),
     )
+    # Matryoshka truncated-dim funnel (operators/matryoshka.py): truncation
+    # IS the compressor -- no trained artifact -- so coarse stage,
+    # shortlist cut, re-rank, and recall all hash-gate
+    from .operators import matryoshka as mat
+
+    reg["knn_matryoshka"] = (
+        lambda spark, sf: mat.matryoshka_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        mat.matryoshka_knn_oracle("cosine", k=10, query_vec_id=0),
+    )
+    reg["ann_recall_matryoshka"] = (
+        lambda spark, sf: mat.matryoshka_recall(spark, sf, "cosine", k=10, query_vec_id=0),
+        mat.matryoshka_recall_oracle("cosine", k=10, query_vec_id=0),
+    )
     # trained-quantizer family under the gate via deterministic recall
     # VERDICT rows (k + exact-top-k count cross-checked, boolean floor
     # check on the trained probe) -- the hash-checkable signal for the
