@@ -276,6 +276,26 @@ def test_persisted_index_probe_equals_in_memory(spark, sf_dir):
     assert [tuple(r) for r in mem] == [tuple(r) for r in disk]
 
 
+def test_merged_segments_probe_equals_in_memory(spark, sf_dir):
+    """Segment-merge compaction: probing the merged artifact returns
+    exactly the in-memory probe's results (ids AND distances), and the
+    merged index holds every corpus row exactly once."""
+    from vector_db_from_scratch_spark.operators.lsh import (
+        _SEGMENT_MEMO,
+        load_index,
+        lsh_index_merge_knn,
+    )
+
+    mem = lsh_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    merged = lsh_index_merge_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    assert [tuple(r) for r in mem] == [tuple(r) for r in merged]
+    path = _SEGMENT_MEMO[(spark.sparkContext.applicationId, sf_dir)]
+    idx = load_index(spark, path)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert idx.count() == emb.count()
+    assert idx.select("vec_id").distinct().count() == emb.count()
+
+
 def test_lsh_batch_vs_single_query_fallback_divergence(spark, sf_dir):
     """Pin the DOCUMENTED divergence between the batch probe and the
     reference's per-query semantics (operators/lsh.py lsh_knn_batch

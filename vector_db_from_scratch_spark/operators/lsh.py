@@ -503,6 +503,57 @@ def lsh_index_persisted_knn(
 
 
 # --------------------------------------------------------------------------
+# Index segment merge (compaction): a streaming/batch ingest writes the
+# index as many small segments; a vector store periodically compacts them
+# into one artifact (the segment-merge every production engine runs --
+# the reference rebuilds its whole flat dict instead, indexes.py:262-321).
+# Here the corpus arrives as two vec_id-parity segments, each saved as its
+# own bucket-partitioned index; compaction unions the ALREADY-ENCODED rows
+# (a pure parquet rewrite -- no re-hashing, no re-bucketing) into the
+# merged artifact, and the probe runs against the merge. The gated
+# invariant is the one that matters operationally: a probe of the merged
+# index is indistinguishable from a probe of an index built in one shot
+# (same oracle as lsh_knn).
+#
+# 100 TB: segments merge pairwise per bucket partition -- the rewrite
+# shuffles nothing (both inputs are already partitioned by bucket, the
+# writer re-partitions by the same key), and probes stay partition-pruned
+# before, during, and after compaction.
+# --------------------------------------------------------------------------
+
+_SEGMENT_MEMO: dict[tuple[str, str], str] = _memo.register({})
+
+
+def lsh_index_merge_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Save two ingest segments, compact them into one merged index
+    artifact (once per application), probe the merge. Same results as
+    :func:`lsh_knn` -- the gate runs both against the same oracle."""
+    from ..sources.artifacts import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SEGMENT_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        root = scratch_dir("lsh-segments-")
+        for i in (0, 1):
+            save_index(emb.filter(F.col("vec_id") % 2 == i), f"{root}/seg{i}")
+        merged = load_index(spark, f"{root}/seg0").unionByName(
+            load_index(spark, f"{root}/seg1")
+        )
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{root}/merged"
+        )
+        _SEGMENT_MEMO[key] = f"{root}/merged"
+    idx = load_index(spark, _SEGMENT_MEMO[key])
+    return lsh_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=idx)
+
+
+# --------------------------------------------------------------------------
 # ANN quality as a first-class gated query: recall@k of the approximate
 # probe against the exact flat scan. Both sides are deterministic (gated
 # elsewhere), so the overlap count is hash-checkable -- the engine measures

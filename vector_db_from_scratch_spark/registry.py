@@ -1087,6 +1087,13 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: lsh.lsh_index_persisted_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         lsh.lsh_knn_oracle("cosine", k=10, query_vec_id=0),
     )
+    # segment-merge compaction: two ingest segments union into one merged
+    # bucket-partitioned artifact; probing the merge must be
+    # indistinguishable from probing a one-shot build (same lsh_knn oracle)
+    reg["lsh_index_merge_knn"] = (
+        lambda spark, sf: lsh.lsh_index_merge_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        lsh.lsh_knn_oracle("cosine", k=10, query_vec_id=0),
+    )
     # metadata pre-filter on the IVF probe (F1/F4 on the second family)
     reg["ivf_knn_filtered"] = (
         lambda spark, sf: ivf.ivf_knn(spark, sf, "cosine", k=5, query_vec_id=0, label_filter=5),
