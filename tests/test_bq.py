@@ -52,6 +52,16 @@ def test_hamming_self_zero_and_sorted(spark, sf_dir):
     assert hs == sorted(hs) and all(0 <= h <= DIM for h in hs)
 
 
+def test_persisted_codes_probe_equals_in_memory(spark, sf_dir):
+    """The probe over the saved+loaded 16-byte code table returns exactly
+    the in-memory re-rank's results (ids AND distances)."""
+    from vector_db_from_scratch_spark.operators.bq import bq_index_persisted_knn
+
+    mem = bq_knn_rerank(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    disk = bq_index_persisted_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    assert [tuple(r) for r in mem] == [tuple(r) for r in disk]
+
+
 def test_bq_rerank_recall_vs_flat(spark, sf_dir):
     """Re-ranked binary top-10 vs exact top-10 over several queries: 1 bit
     per dimension is lossy on this near-random corpus, so the assertions

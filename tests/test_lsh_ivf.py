@@ -296,6 +296,28 @@ def test_merged_segments_probe_equals_in_memory(spark, sf_dir):
     assert idx.select("vec_id").distinct().count() == emb.count()
 
 
+def test_tombstone_probe_excludes_deletes_and_matches_reduced_corpus(spark, sf_dir):
+    """No tombstoned id survives the probe, and the result equals lsh_knn
+    over an index the deleted rows were never written to."""
+    from vector_db_from_scratch_spark.operators.lsh import (
+        TOMBSTONE_MOD,
+        TOMBSTONE_RESIDUE,
+        build_index,
+        lsh_index_tombstone_knn,
+    )
+
+    got = lsh_index_tombstone_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    assert all(r["vec_id"] % TOMBSTONE_MOD != TOMBSTONE_RESIDUE for r in got)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reduced = build_index(
+        emb.filter(F.col("vec_id") % TOMBSTONE_MOD != TOMBSTONE_RESIDUE)
+    )
+    want = lsh_knn(
+        spark, sf_dir, "cosine", k=10, query_vec_id=0, index_df=reduced
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_lsh_batch_vs_single_query_fallback_divergence(spark, sf_dir):
     """Pin the DOCUMENTED divergence between the batch probe and the
     reference's per-query semantics (operators/lsh.py lsh_knn_batch

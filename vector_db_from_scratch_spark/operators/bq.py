@@ -115,13 +115,15 @@ def bq_knn_hamming(
     sf_dir: str,
     k: int = 10,
     query_vec_id: int = 0,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Symmetric binary k-NN: top-k corpus vectors by Hamming distance
     between 64-bit codes. All-integer; the one ANN probe whose distances
-    the gate checks without any float rounding device at all."""
+    the gate checks without any float rounding device at all.
+    ``codes_df`` overrides the code source (the persisted-artifact path)."""
     if k <= 0:
         raise ValueError("k must be > 0")
-    codes = _codes(spark, sf_dir)
+    codes = codes_df if codes_df is not None else _codes(spark, sf_dir)
     q = codes.filter(F.col("vec_id") == query_vec_id).select(
         F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
     )
@@ -182,13 +184,14 @@ def bq_knn_rerank(
     k: int = 10,
     query_vec_id: int = 0,
     oversample: int = 3,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage binary ANN: Hamming shortlist (k*oversample over the
     16-byte codes, ties on vec_id) -> exact re-rank over the full vectors
     for the shortlist only. Both stages deterministic, whole pipeline
     hash-checked -- the memory-tier production shape."""
     shortlist = bq_knn_hamming(
-        spark, sf_dir, k=k * oversample, query_vec_id=query_vec_id
+        spark, sf_dir, k=k * oversample, query_vec_id=query_vec_id, codes_df=codes_df
     )
     emb = load_table(spark, sf_dir, "embeddings")
     q = (
@@ -226,6 +229,49 @@ FROM e, q
 ORDER BY distance, vec_id
 LIMIT {k}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Persisted code table: the 16-byte rows ARE the index artifact -- written
+# once, then every probe is a scan of the code parquet (16x less IO than
+# the vector column) plus a shortlist-only read of the full vectors. The
+# query's code is taken from the SAME loaded artifact, so a probe touches
+# the float embeddings ONLY for the k*oversample re-rank rows -- the
+# memory-tier deployment where codes live in RAM and vectors on disk.
+# --------------------------------------------------------------------------
+
+_CODES_PERSISTED_MEMO: dict[tuple[str, str], str] = _memo.register({})
+
+
+def bq_index_persisted_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    oversample: int = 3,
+) -> DataFrame:
+    """Write the (vec_id, lo, hi) code table once per application, load it,
+    run the Hamming shortlist + exact re-rank against the artifact. Same
+    results as :func:`bq_knn_rerank` -- the gate runs both against the
+    same oracle."""
+    from ..sources.artifacts import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CODES_PERSISTED_MEMO:
+        path = scratch_dir("bq-codes-")
+        _codes(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _CODES_PERSISTED_MEMO[key] = path
+    codes = spark.read.parquet(_CODES_PERSISTED_MEMO[key])
+    return bq_knn_rerank(
+        spark,
+        sf_dir,
+        metric,
+        k=k,
+        query_vec_id=query_vec_id,
+        oversample=oversample,
+        codes_df=codes,
+    )
 
 
 def bq_recall(

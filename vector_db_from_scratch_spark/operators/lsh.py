@@ -411,10 +411,15 @@ def lsh_knn_oracle(
     k: int = 10,
     query_vec_id: int = 0,
     label_filter: int | None = None,
+    exclude_sql: str | None = None,
 ) -> str:
     """Static SQL with the same data-dependent fallback via conditional
-    UNION branches (both branches always valid; exactly one is non-empty)."""
+    UNION branches (both branches always valid; exactly one is non-empty).
+    ``exclude_sql`` drops rows matching the predicate from the allowed set
+    BEFORE the occupancy count -- the tombstone-probe semantics."""
     where = f"AND label = {label_filter}" if label_filter is not None else ""
+    if exclude_sql is not None:
+        where += f" AND NOT ({exclude_sql})"
     d = oracle_distance_sql(metric, "p.v", "q.qv")
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -500,6 +505,55 @@ def lsh_index_persisted_knn(
         _PERSISTED_MEMO[key] = path
     idx = load_index(spark, _PERSISTED_MEMO[key])
     return lsh_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=idx)
+
+
+# --------------------------------------------------------------------------
+# Tombstone-aware probe (S12 at the index layer): deletes in a production
+# index are a side table of dead ids applied at probe time, not a rebuild
+# (the reference DOES rebuild -- service.py removes the id and re-saves the
+# whole flat dict). The probe anti-joins the tombstone set before the
+# occupancy count, so the <k fallback widens over the LIVE corpus only --
+# a delete can flip a probe from bucket-only to widened exactly like a
+# too-small bucket does, and the gate checks that composition.
+#
+# 100 TB: tombstones are tiny relative to the corpus (deletes accumulate
+# between compactions), so the anti-join broadcasts; the bucket partition
+# pruning on the persisted artifact is untouched. Compaction
+# (lsh_index_merge_knn) is where tombstones get physically applied.
+# --------------------------------------------------------------------------
+
+TOMBSTONE_MOD = 7
+TOMBSTONE_RESIDUE = 3
+TOMBSTONE_SQL = f"vec_id % {TOMBSTONE_MOD} = {TOMBSTONE_RESIDUE}"
+
+
+def lsh_index_tombstone_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Probe the persisted index with a deterministic tombstone set
+    (vec_id % 7 == 3) applied as a broadcast anti-join -- deletes without
+    a rebuild. Gated against :func:`lsh_knn_oracle` with the same
+    exclusion, i.e. the probe must behave exactly as if the deleted rows
+    had never been indexed."""
+    from ..sources.artifacts import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PERSISTED_MEMO:
+        path = scratch_dir("lsh-index-")
+        save_index(load_table(spark, sf_dir, "embeddings"), path)
+        _PERSISTED_MEMO[key] = path
+    idx = load_index(spark, _PERSISTED_MEMO[key])
+    tombstones = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id") % TOMBSTONE_MOD == TOMBSTONE_RESIDUE)
+    )
+    live = idx.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    return lsh_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=live)
 
 
 # --------------------------------------------------------------------------

@@ -517,6 +517,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: bq.bq_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         bq.bq_recall_oracle("cosine", k=10, query_vec_id=0),
     )
+    # persisted 16-byte code table: probe reads the artifact, floats are
+    # touched only for the shortlist re-rank (same oracle as bq_knn_rerank)
+    reg["bq_index_persisted_knn"] = (
+        lambda spark, sf: bq.bq_index_persisted_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        bq.bq_knn_rerank_oracle("cosine", k=10, query_vec_id=0),
+    )
     # Matryoshka truncated-dim funnel (operators/matryoshka.py): truncation
     # IS the compressor -- no trained artifact -- so coarse stage,
     # shortlist cut, re-rank, and recall all hash-gate
@@ -1093,6 +1099,13 @@ def build() -> dict[str, Entry]:
     reg["lsh_index_merge_knn"] = (
         lambda spark, sf: lsh.lsh_index_merge_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         lsh.lsh_knn_oracle("cosine", k=10, query_vec_id=0),
+    )
+    # tombstone-aware probe: deletes as a broadcast anti-join over the
+    # persisted artifact, no rebuild; the <k fallback widens over the LIVE
+    # corpus only (oracle = lsh_knn with the same exclusion predicate)
+    reg["lsh_index_tombstone_knn"] = (
+        lambda spark, sf: lsh.lsh_index_tombstone_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        lsh.lsh_knn_oracle("cosine", k=10, query_vec_id=0, exclude_sql=lsh.TOMBSTONE_SQL),
     )
     # metadata pre-filter on the IVF probe (F1/F4 on the second family)
     reg["ivf_knn_filtered"] = (
