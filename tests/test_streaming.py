@@ -276,6 +276,26 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_stream_bq_bit_population_matches_batch_codes(spark, sf_dir):
+    """Drained per-dimension set-bit populations == popcounts of the batch
+    code table: sum over low-half dims of n_set equals the total popcount
+    of every lo word (and likewise hi), and every population is in [0, N]."""
+    from pyspark.sql import functions as F
+
+    from vector_db_from_scratch_spark.operators.bq import _codes
+    from vector_db_from_scratch_spark.streaming.windows import bq_ingest_drained
+
+    rows = bq_ingest_drained(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == 64
+    assert all(0 <= r["n_set"] <= n for r in rows)
+    pops = _codes(spark, sf_dir).select(
+        F.sum(F.bit_count("lo")).alias("lo"), F.sum(F.bit_count("hi")).alias("hi")
+    ).collect()[0]
+    assert sum(r["n_set"] for r in rows if r["dim"] < 32) == pops["lo"]
+    assert sum(r["n_set"] for r in rows if r["dim"] >= 32) == pops["hi"]
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     """Watermarked stream-stream interval join drained == the static
     inequality join over the same data."""

@@ -1302,6 +1302,12 @@ def build() -> dict[str, Entry]:
     # drained state shares the batch sketch's oracle verbatim
     from .operators import countmin as _cm
     reg["stream_cm_ingest_drained"] = (w.cm_ingest_drained, _cm.cm_counters_oracle())
+    # continuous BQ quantizer monitoring: drained per-dimension set-bit
+    # populations == batch recompute (threshold-drift / re-train signal)
+    reg["stream_bq_ingest_drained"] = (
+        w.bq_ingest_drained,
+        w.bq_ingest_drained_oracle(),
+    )
     reg["stream_bloom_ingest_drained"] = (
         w.bloom_ingest_drained,
         bloom.bloom_bitmap_oracle(),

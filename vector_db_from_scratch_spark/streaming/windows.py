@@ -646,6 +646,67 @@ ORDER BY bucket
 """.strip()
 
 
+def bq_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension set-bit population of the binary-quantization codes,
+    maintained continuously: n_set[dim] counts corpus vectors whose bit
+    ``dim`` is 1 under the batch-trained midpoint thresholds
+    (operators/bq.py). The monitoring artifact a BQ deployment keeps
+    current -- a dimension drifting far from ~50% set means the binarizer
+    is mis-centered for the arriving data and codes are losing entropy
+    (the re-train trigger). Thresholds enter as literals (train-once,
+    monitor-forever), so the stream side is a pure aggregation over an
+    exploded (dim, bit) relation -- complete-mode drains it, state bounded
+    by DIM rows at any corpus size."""
+    from ..operators import bq as bq_mod
+
+    bq_mod.bq_thresholds(spark, sf_dir)  # train once (memoized, batch table)
+    thr = bq_mod._THR_MEMO[
+        (spark.sparkContext.applicationId, sf_dir, bq_mod.DIM)
+    ]
+    vec = embeddings_stream(spark, sf_dir)
+    ed = F.col("embedding").cast("array<double>")
+    pairs = vec.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("dim"),
+                        (ed[i] >= F.lit(float(thr[i]))).cast("long").alias("b"),
+                    )
+                    for i in range(bq_mod.DIM)
+                ]
+            )
+        ).alias("p")
+    ).select("p.dim", "p.b")
+    return pairs.groupBy("dim").agg(F.sum("b").alias("n_set"))
+
+
+@memoize_drain
+def bq_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming bit-population == the batch populations computed
+    from scratch (the Dataflow equivalence applied to quantizer
+    monitoring)."""
+    res = run_stream_once(bq_ingest_stream(spark, sf_dir), "t_gate_bq_ingest")
+    return res.orderBy("dim")
+
+
+def bq_ingest_drained_oracle(dim: int = 64) -> str:
+    return f"""
+WITH mm AS (
+  SELECT i, min((embedding::DOUBLE[])[i + 1]) AS mn,
+         max((embedding::DOUBLE[])[i + 1]) AS mx
+  FROM embeddings, range({dim}) t(i)
+  GROUP BY i)
+SELECT mm.i AS dim,
+       CAST(sum(CASE WHEN (e.embedding::DOUBLE[])[mm.i + 1]
+                          >= (mm.mn + mm.mx) / 2.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+FROM embeddings e, mm
+GROUP BY mm.i
+ORDER BY dim
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # Streaming SKETCH maintenance: the deterministic sketch toolkit's
 # count-min grid and Bloom bitmap rebuilt as continuous streaming
