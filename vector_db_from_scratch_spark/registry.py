@@ -1246,6 +1246,19 @@ def build() -> dict[str, Entry]:
         zorder.zorder_pruned_scan,
         zorder.zorder_pruned_scan_oracle(),
     )
+    # the locality-optimal curve on the SAME grid/box/fanout: Hilbert cell
+    # ids via a driver-computed literal lookup shared by both engines
+    # (operators/hilbert.py), plus the measured per-curve read
+    # amplification -- the number a layout optimizer actually weighs
+    from .operators import hilbert
+    reg["sink_hilbert_pruned"] = (
+        hilbert.hilbert_pruned_scan,
+        hilbert.hilbert_pruned_scan_oracle(),
+    )
+    reg["layout_curve_compare"] = (
+        hilbert.layout_curve_compare,
+        hilbert.layout_curve_compare_oracle(),
+    )
     # additive schema evolution: mergeSchema read over two shard generations
     from .sources import evolution
     reg["source_schema_evolution"] = (
