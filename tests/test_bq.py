@@ -62,6 +62,26 @@ def test_persisted_codes_probe_equals_in_memory(spark, sf_dir):
     assert [tuple(r) for r in mem] == [tuple(r) for r in disk]
 
 
+def test_batch_probe_matches_single_query_path(spark, sf_dir):
+    """Each query's slice of the batch probe == the single-query re-rank
+    (same k, same oversample) -- the batch plan changes the execution
+    shape, never the answer."""
+    from vector_db_from_scratch_spark.operators.bq import bq_knn_batch
+
+    batch = bq_knn_batch(spark, sf_dir, "cosine", k=5, num_queries=4).collect()
+    for qid in range(4):
+        single = bq_knn_rerank(
+            spark, sf_dir, "cosine", k=5, query_vec_id=qid, oversample=3
+        ).collect()
+        got = [
+            (r["vec_id"], r["distance"])
+            for r in sorted(
+                (r for r in batch if r["query_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert got == [(r["vec_id"], r["distance"]) for r in single]
+
+
 def test_bq_rerank_recall_vs_flat(spark, sf_dir):
     """Re-ranked binary top-10 vs exact top-10 over several queries: 1 bit
     per dimension is lossy on this near-random corpus, so the assertions

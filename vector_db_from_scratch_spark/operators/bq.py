@@ -274,6 +274,101 @@ def bq_index_persisted_knn(
     )
 
 
+def bq_knn_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 5,
+    num_queries: int = 8,
+    oversample: int = 3,
+) -> DataFrame:
+    """Multi-query binary probe: every query's Hamming scores come from
+    ONE pass over the 16-byte code scan (the query codes broadcast -- at
+    Q queries the scan does Q XOR+popcounts per row, still pure-integer
+    codegen, instead of Q separate scans), one window cuts each query's
+    k*oversample shortlist, and the exact re-rank touches full vectors
+    only for the Q*k*oversample shortlist pairs. Output:
+    (query_id, vec_id, distance, rank)."""
+    from pyspark.sql import Window
+
+    codes = _codes(spark, sf_dir)
+    qcodes = codes.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    wsh = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    shortlist = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .withColumn("hrank", F.row_number().over(wsh))
+        .filter(F.col("hrank") <= k * oversample)
+        .select("query_id", "vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = emb.filter(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q"),
+    )
+    w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bq_knn_batch_oracle(
+    metric: str = "cosine",
+    k: int = 5,
+    num_queries: int = 8,
+    oversample: int = 3,
+    dim: int = DIM,
+) -> str:
+    d = oracle_distance_sql(metric, "e.ee", "qv.q")
+    return f"""
+WITH {_oracle_codes_cte(dim)},
+qc AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM c
+       WHERE vec_id < {num_queries}),
+ham AS (
+  SELECT qc.query_id, c.vec_id,
+         CAST(bit_count(xor(c.lo, qc.qlo)) + bit_count(xor(c.hi, qc.qhi)) AS BIGINT)
+           AS hamming,
+         row_number() OVER (PARTITION BY qc.query_id
+                            ORDER BY bit_count(xor(c.lo, qc.qlo))
+                                     + bit_count(xor(c.hi, qc.qhi)), c.vec_id)
+           AS hrank
+  FROM c, qc),
+shortlist AS (SELECT query_id, vec_id FROM ham WHERE hrank <= {k * oversample}),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings
+       WHERE vec_id < {num_queries}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+scored AS (
+  SELECT s.query_id, s.vec_id, {d} AS distance,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY {d}, s.vec_id) AS rank
+  FROM shortlist s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN qv ON qv.query_id = s.query_id)
+SELECT query_id, vec_id, distance, rank
+FROM scored WHERE rank <= {k}
+""".strip()
+
+
 def bq_recall(
     spark: SparkSession,
     sf_dir: str,

@@ -517,6 +517,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: bq.bq_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         bq.bq_recall_oracle("cosine", k=10, query_vec_id=0),
     )
+    # batch form: one code scan serves every query (Q XOR+popcounts per
+    # row), per-query shortlist window, rerank over Q*k*oversample pairs
+    reg["bq_knn_batch"] = (
+        lambda spark, sf: bq.bq_knn_batch(spark, sf, "cosine", k=5, num_queries=8),
+        bq.bq_knn_batch_oracle("cosine", k=5, num_queries=8),
+    )
     # persisted 16-byte code table: probe reads the artifact, floats are
     # touched only for the shortlist re-rank (same oracle as bq_knn_rerank)
     reg["bq_index_persisted_knn"] = (
