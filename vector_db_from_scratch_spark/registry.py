@@ -529,16 +529,19 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: bq.bq_index_persisted_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         bq.bq_knn_rerank_oracle("cosine", k=10, query_vec_id=0),
     )
-    # Matryoshka truncated-dim funnel (operators/matryoshka.py): truncation
-    # IS the compressor -- no trained artifact -- so coarse stage,
-    # shortlist cut, re-rank, and recall all hash-gate
+    # Matryoshka truncated-dim FUNNEL (operators/matryoshka.py): the
+    # production two-stage form of the prefix-truncation whose raw
+    # top-k-overlap knn.matryoshka_recall (ann_recall_matryoshka) already
+    # measures -- shortlist on the prefix, exact re-rank at full dim; the
+    # funnel's own recall gates separately (oversample recovers what the
+    # bare prefix top-k loses)
     from .operators import matryoshka as mat
 
     reg["knn_matryoshka"] = (
         lambda spark, sf: mat.matryoshka_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         mat.matryoshka_knn_oracle("cosine", k=10, query_vec_id=0),
     )
-    reg["ann_recall_matryoshka"] = (
+    reg["ann_recall_matryoshka_funnel"] = (
         lambda spark, sf: mat.matryoshka_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         mat.matryoshka_recall_oracle("cosine", k=10, query_vec_id=0),
     )
