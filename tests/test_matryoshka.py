@@ -29,6 +29,22 @@ def test_guards(spark, sf_dir):
         matryoshka_knn(spark, sf_dir, prefix_dim=0)
 
 
+def test_dim_sweep_degeneracy_and_bounds(spark, sf_dir):
+    """The curve has one row per width, full-dimension truncation is the
+    exact scan (recall exactly 1.0), and the narrowest width is
+    informative on this corpus (recall < 1)."""
+    from vector_db_from_scratch_spark.operators.matryoshka import (
+        SWEEP_DIMS,
+        matryoshka_dim_sweep,
+    )
+
+    rows = matryoshka_dim_sweep(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    assert [r["prefix_dim"] for r in rows] == sorted(SWEEP_DIMS)
+    assert rows[-1]["prefix_dim"] == 64 and rows[-1]["recall_at_k"] == 1.0
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+    assert rows[0]["recall_at_k"] < 1.0
+
+
 def test_recall_grows_with_oversample(spark, sf_dir):
     def recall(ov):
         r = matryoshka_recall(

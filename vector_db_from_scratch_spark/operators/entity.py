@@ -517,9 +517,12 @@ def batch_insert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (naturally atomic per write at scale)."""
     from ..sources.tables import load_table
 
+    from ..sources.tables import arrow_local_df
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    new = spark.createDataFrame(
-        [(1_000_001, "en"), (1_000_002, "de"), (1_000_003, "en")],
+    new = arrow_local_df(
+        spark,
+        {"doc_id": [1_000_001, 1_000_002, 1_000_003], "lang": ["en", "de", "en"]},
         "doc_id long, lang string",
     )
     return (

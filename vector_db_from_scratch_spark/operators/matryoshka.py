@@ -36,10 +36,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import _memo
 from ..functions.vector import distance_expr, oracle_distance_sql
 from ..sources.tables import load_table
 
 PREFIX_DIM = 16
+SWEEP_DIMS = (8, 16, 32, 64)
+
+_SWEEP_MEMO: dict[tuple, DataFrame] = _memo.register({})
 
 
 def matryoshka_knn(
@@ -148,6 +152,104 @@ def matryoshka_recall(
             (F.col("n_matched").cast("double") / F.lit(float(k))).alias("recall_at_k"),
         )
     )
+
+
+def matryoshka_dim_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    dims: tuple[int, ...] = SWEEP_DIMS,
+    oversample: int = 3,
+) -> DataFrame:
+    """(prefix_dim, k, n_matched, recall_at_k) per truncation width -- the
+    recall-vs-bytes TUNING CURVE an adaptive-retrieval deployment reads
+    before fixing its head-column width (the nprobe-sweep pattern,
+    operators/ivf.py). prefix_dim = full dimension is the exact-scan
+    degeneracy: stage-1 distance IS the exact distance, so recall is
+    exactly 1.0 (pinned in tests). The exact side is one checkpointed
+    k-row table shared by every curve point; the whole bounded curve is
+    memoized per (application, params)."""
+    from .knn import flat_knn
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        "matryoshka_sweep",
+        metric,
+        k,
+        query_vec_id,
+        dims,
+        oversample,
+    )
+    if key in _SWEEP_MEMO:
+        return _SWEEP_MEMO[key].orderBy("prefix_dim")
+    exact = (
+        flat_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    out = None
+    for d in dims:
+        approx = matryoshka_knn(
+            spark,
+            sf_dir,
+            metric,
+            k=k,
+            query_vec_id=query_vec_id,
+            prefix_dim=d,
+            oversample=oversample,
+        ).select("vec_id")
+        row = (
+            exact.join(approx, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_matched"))
+            .select(
+                F.lit(d).alias("prefix_dim"),
+                F.lit(k).alias("k"),
+                "n_matched",
+                (F.col("n_matched").cast("double") / F.lit(float(k))).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    out = out.localCheckpoint()
+    _SWEEP_MEMO[key] = out
+    return out.orderBy("prefix_dim")
+
+
+def matryoshka_dim_sweep_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+    dims: tuple[int, ...] = SWEEP_DIMS,
+    oversample: int = 3,
+) -> str:
+    from .knn import flat_knn_oracle
+
+    flat = flat_knn_oracle(metric, k=k, query_vec_id=query_vec_id)
+    points = []
+    for d in dims:
+        inner = matryoshka_knn_oracle(
+            metric,
+            k=k,
+            query_vec_id=query_vec_id,
+            prefix_dim=d,
+            oversample=oversample,
+        )
+        points.append(
+            f"SELECT {d} AS prefix_dim, {k} AS k, "
+            f"(SELECT count(*) FROM ({inner}) a JOIN flat USING (vec_id)) AS n_matched"
+        )
+    union = "\nUNION ALL\n".join(points)
+    return f"""
+WITH flat AS ({flat})
+SELECT prefix_dim, k, n_matched,
+       n_matched::DOUBLE / {float(k)!r} AS recall_at_k
+FROM ({union})
+ORDER BY prefix_dim
+""".strip()
 
 
 def matryoshka_recall_oracle(

@@ -545,6 +545,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: mat.matryoshka_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         mat.matryoshka_recall_oracle("cosine", k=10, query_vec_id=0),
     )
+    # recall-vs-bytes tuning curve: one gated row per truncation width,
+    # prefix_dim = full dim is the exact-scan degeneracy at recall 1.0
+    reg["ann_matryoshka_dim_sweep"] = (
+        lambda spark, sf: mat.matryoshka_dim_sweep(spark, sf, "cosine", k=10, query_vec_id=0),
+        mat.matryoshka_dim_sweep_oracle("cosine", k=10, query_vec_id=0),
+    )
     # trained-quantizer family under the gate via deterministic recall
     # VERDICT rows (k + exact-top-k count cross-checked, boolean floor
     # check on the trained probe) -- the hash-checkable signal for the
