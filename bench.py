@@ -311,6 +311,10 @@ def main() -> None:
         "dedup_ngram_jaccard", "dedup_incremental_ingest",
         "knn_cosine_flat", "lsh_knn", "ivf_knn", "lsh_index_persisted_knn",
         "text_token_stats",
+        # round-10 additions: the memory-tier probe (16-byte code scan +
+        # bounded re-rank -- the 10x side scans 10x codes, output fixed
+        # k rows) and the Hilbert twin of the Morton box scan
+        "bq_knn_rerank", "sink_hilbert_pruned",
         # relational / window legs (scale_gen also replicates lineitem +
         # events with shifted ids)
         "tpch_pricing_summary", "window_tumbling_events",

@@ -46,6 +46,24 @@ def test_hilbert_bijective_and_adjacent():
     assert jumps, "morton unexpectedly adjacent everywhere"
 
 
+def test_hilbert_property_any_grid_size():
+    """Bijectivity + adjacency hold for every grid width the formula could
+    be deployed at, not just the shipped ZBITS (hypothesis-style sweep --
+    the space is tiny so it's exhaustive, no sampling needed)."""
+    for bits in (1, 2, 3, 4, 5):
+        side = 1 << bits
+        cells = {
+            (x, y): hilbert_xy2d(x, y, bits)
+            for x in range(side)
+            for y in range(side)
+        }
+        assert sorted(cells.values()) == list(range(side * side)), bits
+        by_id = {d: xy for xy, d in cells.items()}
+        for d in range(side * side - 1):
+            (x0, y0), (x1, y1) = by_id[d], by_id[d + 1]
+            assert abs(x0 - x1) + abs(y0 - y1) == 1, (bits, d)
+
+
 def test_layout_directories_match_partition_ids(spark, sf_dir):
     path = orders_hilbert_layout_dir(spark, sf_dir)
     dirs = {
