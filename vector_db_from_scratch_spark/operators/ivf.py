@@ -975,11 +975,17 @@ FROM scored WHERE rank <= {k}
 def ivf_knn_oracle(
     metric: str = "cosine", k: int = 10, query_vec_id: int = 0,
     label_filter: "int | None" = None,
+    exclude_sql: "str | None" = None,
 ) -> str:
+    """``exclude_sql`` drops matching rows from the indexed set (the
+    tombstone-probe semantics; assignment is per-row independent, so
+    filtering after assignment == never indexing the row)."""
     eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
     equ = oracle_distance_sql("euclidean", "c.cv", "q.qv")
     d = oracle_distance_sql(metric, "p.v", "q.qv")
     lf = f"AND label = {label_filter}" if label_filter is not None else ""
+    if exclude_sql is not None:
+        lf += f" AND NOT ({exclude_sql})"
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
@@ -1388,6 +1394,74 @@ def ivf_index_persisted_knn(
         assign_cells(spark, sf_dir).write.mode("overwrite").partitionBy("cell").parquet(path)
         _IVF_PERSISTED_MEMO[key] = path
     idx = spark.read.parquet(_IVF_PERSISTED_MEMO[key])
+    return ivf_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=idx)
+
+
+# --------------------------------------------------------------------------
+# IVF index lifecycle, mirroring the LSH pair (operators/lsh.py round 10):
+# deletes as a tombstone anti-join over the persisted cells (no rebuild --
+# IVF has no <k fallback, so exclusion composes trivially with the probe),
+# and segment-merge compaction (two vec_id-parity segments, both
+# partitionBy(cell), union-rewritten into one merged artifact with no
+# re-assignment). Same oracles as the plain probe: the operational
+# invariants -- "deletes behave as never-indexed" and "a merged index is
+# indistinguishable from a one-shot build" -- are what gate.
+# --------------------------------------------------------------------------
+
+_IVF_SEGMENT_MEMO: dict[tuple[str, str], str] = _memo.register({})
+
+
+def ivf_index_tombstone_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    from ..sources.artifacts import scratch_dir
+    from .lsh import TOMBSTONE_MOD, TOMBSTONE_RESIDUE
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_PERSISTED_MEMO:
+        path = scratch_dir("ivf-index-")
+        assign_cells(spark, sf_dir).write.mode("overwrite").partitionBy("cell").parquet(path)
+        _IVF_PERSISTED_MEMO[key] = path
+    idx = spark.read.parquet(_IVF_PERSISTED_MEMO[key])
+    tombstones = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id") % TOMBSTONE_MOD == TOMBSTONE_RESIDUE)
+    )
+    live = idx.join(F.broadcast(tombstones), "vec_id", "left_anti")
+    return ivf_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=live)
+
+
+def ivf_index_merge_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    from ..sources.artifacts import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_SEGMENT_MEMO:
+        assigned = assign_cells(spark, sf_dir)
+        root = scratch_dir("ivf-segments-")
+        for i in (0, 1):
+            (
+                assigned.filter(F.col("vec_id") % 2 == i)
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{root}/seg{i}")
+            )
+        merged = spark.read.parquet(f"{root}/seg0").unionByName(
+            spark.read.parquet(f"{root}/seg1")
+        )
+        merged.write.mode("overwrite").partitionBy("cell").parquet(f"{root}/merged")
+        _IVF_SEGMENT_MEMO[key] = f"{root}/merged"
+    idx = spark.read.parquet(_IVF_SEGMENT_MEMO[key])
     return ivf_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=idx)
 
 

@@ -517,6 +517,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: bq.bq_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         bq.bq_recall_oracle("cosine", k=10, query_vec_id=0),
     )
+    # F1/F4 on the BQ family: the metadata filter lands on the 16-byte
+    # code scan before any popcount (the float column is never touched)
+    reg["bq_knn_filtered"] = (
+        lambda spark, sf: bq.bq_knn_hamming(spark, sf, k=5, query_vec_id=0, label_filter=5),
+        bq.bq_knn_hamming_oracle(k=5, query_vec_id=0, label_filter=5),
+    )
     # batch form: one code scan serves every query (Q XOR+popcounts per
     # row), per-query shortlist window, rerank over Q*k*oversample pairs
     reg["bq_knn_batch"] = (
@@ -1121,6 +1127,16 @@ def build() -> dict[str, Entry]:
     reg["lsh_index_tombstone_knn"] = (
         lambda spark, sf: lsh.lsh_index_tombstone_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         lsh.lsh_knn_oracle("cosine", k=10, query_vec_id=0, exclude_sql=lsh.TOMBSTONE_SQL),
+    )
+    # IVF lifecycle mirrors (tombstones / segment-merge compaction): same
+    # operational invariants as the LSH pair, same plain-probe oracles
+    reg["ivf_index_tombstone_knn"] = (
+        lambda spark, sf: ivf.ivf_index_tombstone_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        ivf.ivf_knn_oracle("cosine", k=10, query_vec_id=0, exclude_sql=lsh.TOMBSTONE_SQL),
+    )
+    reg["ivf_index_merge_knn"] = (
+        lambda spark, sf: ivf.ivf_index_merge_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        ivf.ivf_knn_oracle("cosine", k=10, query_vec_id=0),
     )
     # metadata pre-filter on the IVF probe (F1/F4 on the second family)
     reg["ivf_knn_filtered"] = (
