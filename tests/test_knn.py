@@ -301,3 +301,34 @@ def test_retrieval_ndcg_matches_python_brute_force(spark, sf_dir):
         assert r["n_queries"] == len(us)
         assert r["mean_ndcg"] == (sum(us) / 1_000_000) / len(us)
         assert 0.0 <= r["mean_ndcg"] <= 1.0
+
+
+def test_search_after_is_exactly_the_second_page(spark, sf_dir):
+    """page1 (flat top-k) + search_after page == flat top-2k, in order and
+    disjoint -- keyset pagination loses and duplicates nothing."""
+    from vector_db_from_scratch_spark.operators.knn import flat_knn, knn_search_after
+
+    k = 10
+    p1 = flat_knn(spark, sf_dir, "cosine", k=k, query_vec_id=0).collect()
+    p2 = knn_search_after(spark, sf_dir, "cosine", k=k, query_vec_id=0).collect()
+    both = flat_knn(spark, sf_dir, "cosine", k=2 * k, query_vec_id=0).collect()
+    assert [tuple(r) for r in p1] + [tuple(r) for r in p2] == [tuple(r) for r in both]
+
+
+def test_late_interaction_single_token_degenerates_to_best_member(spark, sf_dir):
+    """With one query token, MaxSim(doc) is just the doc's best member
+    similarity -- the top doc must contain the flat top-1 neighbour of
+    that token (vec_id 0 itself, similarity 1.0)."""
+    from vector_db_from_scratch_spark.operators.knn import late_interaction_topk
+
+    rows = late_interaction_topk(spark, sf_dir, k=3, num_qtokens=1).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert rows[0]["label"] == labels[0]
+    assert rows[0]["score"] == 1.0
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

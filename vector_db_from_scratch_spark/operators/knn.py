@@ -1125,3 +1125,157 @@ SELECT qlabel AS label, count(*)::BIGINT AS n_queries,
        ((sum(ndcg_u)::BIGINT::DOUBLE / 1000000.0) / count(*)::DOUBLE) AS mean_ndcg
 FROM per_q GROUP BY qlabel ORDER BY qlabel
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# ColBERT-style late interaction (MaxSim): multi-vector documents scored
+# token-by-token (Khattab & Zaharia, SIGIR 2020). The reference scores one
+# vector per chunk against one query vector (indexes.py:108-123); late
+# interaction is the multi-vector upgrade every modern retrieval stack
+# offers: the query arrives as several token vectors and a document's
+# score is the SUM over query tokens of the MAX similarity to any of the
+# document's member vectors. Here the multi-vector "document" is the label
+# group (the corpus's natural member structure) and the query tokens are
+# the first LI_NUM_QTOKENS vectors.
+#
+# Determinism: each per-(token, doc) max is taken over micro-unit-rounded
+# similarities (max of identical longs in both engines), and the per-doc
+# sum adds LI_NUM_QTOKENS exact longs -- the money-sum discipline, so the
+# final score is one IEEE division. Shape at 100 TB: one broadcast of the
+# Q token vectors onto the member scan, two keyed aggregations (members ->
+# per-token max -> per-doc sum); nothing but (doc, token, long) rows ever
+# shuffle, and both aggregations partial-aggregate map-side.
+# --------------------------------------------------------------------------
+
+LI_NUM_QTOKENS = 4
+LI_K = 10
+
+
+def late_interaction_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = LI_K,
+    num_qtokens: int = LI_NUM_QTOKENS,
+) -> DataFrame:
+    """(label, score): top-``k`` multi-vector documents by MaxSim."""
+    from ..functions.vector import cosine_distance
+
+    emb = load_table(spark, sf_dir, EMB)
+    q = emb.filter(F.col("vec_id") < num_qtokens).select(
+        F.col("vec_id").alias("qtoken"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    sims = (
+        emb.select("label", F.col("embedding").cast("array<double>").alias("ee"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            "qtoken",
+            F.round(
+                (F.lit(1.0) - cosine_distance(F.col("ee"), F.col("qv")))
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("long")
+            .alias("sm"),
+        )
+    )
+    per_tok = sims.groupBy("label", "qtoken").agg(F.max("sm").alias("mx"))
+    return (
+        per_tok.groupBy("label")
+        .agg(F.sum("mx").alias("s_micros"))
+        .select(
+            "label",
+            (F.col("s_micros").cast("double") / F.lit(1_000_000.0)).alias("score"),
+        )
+        .orderBy(F.desc("score"), "label")
+        .limit(k)
+    )
+
+
+def late_interaction_topk_oracle(
+    k: int = LI_K, num_qtokens: int = LI_NUM_QTOKENS
+) -> str:
+    d = oracle_distance_sql("cosine", "e.ee", "q.qv", round_to=None)
+    return f"""
+WITH q AS (SELECT vec_id AS qtoken, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {num_qtokens}),
+e AS (SELECT label, embedding::DOUBLE[] AS ee FROM embeddings),
+sims AS (
+  SELECT e.label, q.qtoken,
+         round((1.0 - ({d})) * 1000000.0, 0)::BIGINT AS sm
+  FROM e, q),
+mx AS (SELECT label, qtoken, max(sm) AS mx FROM sims GROUP BY label, qtoken),
+s AS (SELECT label, sum(mx)::BIGINT AS s_micros FROM mx GROUP BY label)
+SELECT label, s_micros::DOUBLE / 1000000.0 AS score
+FROM s
+ORDER BY score DESC, label
+LIMIT {k}
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Keyset pagination over the distance order (search_after): page N is
+# "everything strictly after the (distance, vec_id) cursor", the API every
+# vector store exposes for deep result paging. OFFSET re-ranks k+offset
+# rows per page and its cost grows with depth; the cursor filter composes
+# with the scan, so every page is the same bounded TakeOrdered. The cursor
+# here is computed inside the plan (page 1's lexicographic max as a 1-row
+# aggregate of a struct -- no driver round trip, no literal data values in
+# the oracle), and the 6-dp-rounded distance makes the tuple comparison
+# exact in both engines.
+# --------------------------------------------------------------------------
+
+
+def knn_search_after(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """(vec_id, distance): PAGE 2 of the distance-ordered scan -- the k
+    rows strictly after page 1's last (distance, vec_id) cursor."""
+    emb = load_table(spark, sf_dir, EMB)
+    scored = (
+        emb.crossJoin(F.broadcast(query_vector_df(spark, sf_dir, query_vec_id)))
+        .select(
+            "vec_id",
+            distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+        )
+    )
+    cursor = (
+        scored.orderBy("distance", "vec_id")
+        .limit(k)
+        .agg(F.max(F.struct("distance", "vec_id")).alias("c"))
+        .select(F.col("c.distance").alias("cd"), F.col("c.vec_id").alias("cid"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("distance") > F.col("cd"))
+            | ((F.col("distance") == F.col("cd")) & (F.col("vec_id") > F.col("cid")))
+        )
+        .select("vec_id", "distance")
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+def knn_search_after_oracle(
+    metric: str = "cosine", k: int = 10, query_vec_id: int = 0
+) -> str:
+    d = oracle_distance_sql(metric, "e.ee", "q.qe")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+scored AS (SELECT e.vec_id, {d} AS distance FROM e, q),
+p1 AS (SELECT * FROM scored ORDER BY distance, vec_id LIMIT {k}),
+cur AS (SELECT distance AS cd, vec_id AS cid FROM p1
+        ORDER BY distance DESC, vec_id DESC LIMIT 1)
+SELECT s.vec_id AS vec_id, s.distance AS distance
+FROM scored s, cur
+WHERE s.distance > cur.cd OR (s.distance = cur.cd AND s.vec_id > cur.cid)
+ORDER BY distance, vec_id
+LIMIT {k}
+""".strip()

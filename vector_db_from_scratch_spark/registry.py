@@ -517,6 +517,18 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: bq.bq_recall(spark, sf, "cosine", k=10, query_vec_id=0),
         bq.bq_recall_oracle("cosine", k=10, query_vec_id=0),
     )
+    # ColBERT-style late interaction: multi-vector docs (label groups)
+    # scored sum-of-per-token-max over micro-unit-rounded similarities
+    reg["knn_late_interaction"] = (
+        lambda spark, sf: knn.late_interaction_topk(spark, sf, k=10),
+        knn.late_interaction_topk_oracle(k=10),
+    )
+    # keyset pagination (search_after): page 2 strictly after page 1's
+    # (distance, vec_id) cursor, cursor computed inside the plan
+    reg["knn_search_after"] = (
+        lambda spark, sf: knn.knn_search_after(spark, sf, "cosine", k=10, query_vec_id=0),
+        knn.knn_search_after_oracle("cosine", k=10, query_vec_id=0),
+    )
     # F1/F4 on the BQ family: the metadata filter lands on the 16-byte
     # code scan before any popcount (the float column is never touched)
     reg["bq_knn_filtered"] = (
