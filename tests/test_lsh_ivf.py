@@ -318,6 +318,23 @@ def test_tombstone_probe_excludes_deletes_and_matches_reduced_corpus(spark, sf_d
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_versioned_snapshots_reproduce_both_generations(spark, sf_dir):
+    """v1 of the versioned probe == the plain probe; v2 == the tombstone
+    probe -- as-of reads reproduce each generation exactly."""
+    from vector_db_from_scratch_spark.operators.lsh import (
+        lsh_index_tombstone_knn,
+        lsh_index_versioned_knn,
+    )
+
+    rows = lsh_index_versioned_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    v1 = [(r["vec_id"], r["distance"]) for r in rows if r["version"] == 1]
+    v2 = [(r["vec_id"], r["distance"]) for r in rows if r["version"] == 2]
+    plain = lsh_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    tomb = lsh_index_tombstone_knn(spark, sf_dir, "cosine", k=10, query_vec_id=0).collect()
+    assert v1 == [(r["vec_id"], r["distance"]) for r in plain]
+    assert v2 == [(r["vec_id"], r["distance"]) for r in tomb]
+
+
 def test_ivf_lifecycle_probes_match_reduced_and_full_corpus(spark, sf_dir):
     """IVF mirrors of the LSH lifecycle: the merged-segments probe equals
     the in-memory probe exactly, and the tombstone probe equals the probe

@@ -608,6 +608,73 @@ def lsh_index_merge_knn(
 
 
 # --------------------------------------------------------------------------
+# Versioned snapshots (time travel at the index layer): a production store
+# keeps the artifact of each compaction generation so probes can pin a
+# version (reproducing yesterday's retrieval for an eval, or serving reads
+# during a cutover). Version 1 here is the full one-shot index; version 2
+# is the post-delete compaction (tombstones physically applied). The gated
+# query probes BOTH versions in one plan and tags rows with the version --
+# v1 must reproduce the plain probe and v2 the tombstone probe exactly,
+# which is precisely what "as-of reads are reproducible" means. Both
+# artifacts are bucket-partitioned, so both probes stay partition-pruned.
+# --------------------------------------------------------------------------
+
+_VERSIONED_MEMO: dict[tuple[str, str], dict[int, str]] = _memo.register({})
+
+
+def lsh_index_versioned_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """(version, vec_id, distance): the same probe against snapshot v1
+    (pre-delete) and v2 (post-delete compaction), unioned."""
+    from ..sources.artifacts import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VERSIONED_MEMO:
+        root = scratch_dir("lsh-versions-")
+        emb = load_table(spark, sf_dir, "embeddings")
+        save_index(emb, f"{root}/v1")
+        live = load_index(spark, f"{root}/v1").filter(
+            F.col("vec_id") % TOMBSTONE_MOD != TOMBSTONE_RESIDUE
+        )
+        # compaction generation: tombstones applied as a parquet rewrite
+        # of the already-encoded rows (no re-hashing)
+        live.write.mode("overwrite").partitionBy("bucket").parquet(f"{root}/v2")
+        _VERSIONED_MEMO[key] = {1: f"{root}/v1", 2: f"{root}/v2"}
+    out = None
+    for v, path in sorted(_VERSIONED_MEMO[key].items()):
+        probe = lsh_knn(
+            spark,
+            sf_dir,
+            metric,
+            k=k,
+            query_vec_id=query_vec_id,
+            index_df=load_index(spark, path),
+        ).select(F.lit(v).alias("version"), "vec_id", "distance")
+        out = probe if out is None else out.unionAll(probe)
+    return out.orderBy("version", "distance", "vec_id")
+
+
+def lsh_index_versioned_knn_oracle(
+    metric: str = "cosine", k: int = 10, query_vec_id: int = 0
+) -> str:
+    v1 = lsh_knn_oracle(metric, k=k, query_vec_id=query_vec_id)
+    v2 = lsh_knn_oracle(
+        metric, k=k, query_vec_id=query_vec_id, exclude_sql=TOMBSTONE_SQL
+    )
+    return f"""
+SELECT 1 AS version, * FROM ({v1})
+UNION ALL
+SELECT 2 AS version, * FROM ({v2})
+ORDER BY version, distance, vec_id
+""".strip()
+
+
+# --------------------------------------------------------------------------
 # ANN quality as a first-class gated query: recall@k of the approximate
 # probe against the exact flat scan. Both sides are deterministic (gated
 # elsewhere), so the overlap count is hash-checkable -- the engine measures

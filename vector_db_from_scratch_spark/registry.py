@@ -1140,6 +1140,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: lsh.lsh_index_tombstone_knn(spark, sf, "cosine", k=10, query_vec_id=0),
         lsh.lsh_knn_oracle("cosine", k=10, query_vec_id=0, exclude_sql=lsh.TOMBSTONE_SQL),
     )
+    # versioned snapshots: one plan probes the pre-delete artifact (v1)
+    # and the post-delete compaction (v2) -- as-of reads reproducible
+    reg["lsh_index_versioned_knn"] = (
+        lambda spark, sf: lsh.lsh_index_versioned_knn(spark, sf, "cosine", k=10, query_vec_id=0),
+        lsh.lsh_index_versioned_knn_oracle("cosine", k=10, query_vec_id=0),
+    )
     # IVF lifecycle mirrors (tombstones / segment-merge compaction): same
     # operational invariants as the LSH pair, same plain-probe oracles
     reg["ivf_index_tombstone_knn"] = (
