@@ -332,3 +332,112 @@ def test_late_interaction_single_token_degenerates_to_best_member(spark, sf_dir)
     assert rows[0]["score"] == 1.0
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_recommend_positive_only_degenerates_to_flat_minus_self(spark, sf_dir):
+    """With one positive and no negatives, recommend is flat_knn on that
+    vector with the example itself excluded."""
+    from vector_db_from_scratch_spark.operators.knn import knn_recommend
+
+    reco = knn_recommend(
+        spark, sf_dir, "cosine", k=5, positives=[0], negatives=[]
+    ).collect()
+    flat = flat_knn(spark, sf_dir, "cosine", k=6, query_vec_id=0).collect()
+    flat_no_self = [(r["vec_id"], r["distance"]) for r in flat if r["vec_id"] != 0][:5]
+    assert [(r["vec_id"], r["reco_distance"]) for r in reco] == flat_no_self
+
+
+def test_recommend_excludes_examples_and_scores_best_minus_best(spark, sf_dir):
+    """Default recommend: examples never appear, and every returned score is
+    exactly min-positive-distance minus min-negative-distance for that row
+    (recomputed through independent flat scans)."""
+    from vector_db_from_scratch_spark.operators.knn import (
+        RECO_NEG,
+        RECO_POS,
+        knn_recommend,
+    )
+
+    rows = knn_recommend(spark, sf_dir, "cosine", k=10).collect()
+    assert len(rows) == 10
+    assert not ({r["vec_id"] for r in rows} & set(RECO_POS + RECO_NEG))
+    scores = [r["reco_distance"] for r in rows]
+    assert scores == sorted(scores)
+
+    # per-example distance maps via the already-tested flat scan (k = corpus)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    dist = {}
+    for ex in RECO_POS + RECO_NEG:
+        d = flat_knn(spark, sf_dir, "cosine", k=n, query_vec_id=ex).collect()
+        dist[ex] = {r["vec_id"]: r["distance"] for r in d}
+    for r in rows:
+        dp = min(dist[p][r["vec_id"]] for p in RECO_POS)
+        dn = min(dist[q][r["vec_id"]] for q in RECO_NEG)
+        assert r["reco_distance"] == dp - dn
+
+
+def test_recommend_rejects_bad_requests(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.knn import knn_recommend
+
+    with pytest.raises(ValueError):
+        knn_recommend(spark, sf_dir, k=0)
+    with pytest.raises(ValueError):
+        knn_recommend(spark, sf_dir, positives=[], negatives=[1])
+    with pytest.raises(ValueError):
+        knn_recommend(spark, sf_dir, positives=[10**9])  # unknown example id
+
+
+def test_group_topk_ranks_groups_by_their_best_hit(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.knn import (
+        knn_group_topk,
+        knn_per_label,
+    )
+
+    rows = knn_group_topk(
+        spark, sf_dir, "cosine", k_groups=4, per_group=3, query_vec_id=0
+    ).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault((r["group_rank"], r["label"]), []).append(r)
+    assert len(by_group) == 4
+    # group order == order of each group's best distance
+    bests = [
+        min((r["distance"], r["vec_id"]) for r in hits)
+        for (_, _), hits in sorted(by_group.items())
+    ]
+    assert bests == sorted(bests)
+    # group 1 holds the global nearest hit
+    flat = flat_knn(spark, sf_dir, "cosine", k=1, query_vec_id=0).collect()
+    g1 = sorted(by_group.items())[0][1]
+    assert min((r["distance"], r["vec_id"]) for r in g1) == (
+        flat[0]["distance"],
+        flat[0]["vec_id"],
+    )
+    # each group's hits equal the per-label top-k for that label
+    per_label = knn_per_label(spark, sf_dir, "cosine", k=3, query_vec_id=0).collect()
+    for (_, label), hits in by_group.items():
+        want = [
+            (r["rnk"], r["vec_id"]) for r in per_label if r["label"] == label
+        ]
+        got = sorted((r["hit_rank"], r["vec_id"]) for r in hits)
+        assert got == sorted(want)
+
+
+def test_distance_matrix_is_upper_triangle_of_the_sample(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.knn import knn_distance_matrix
+
+    rows = knn_distance_matrix(spark, sf_dir, "cosine", id_mod=50).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = sorted(
+        r["vec_id"] for r in emb.filter("vec_id % 50 = 0").select("vec_id").collect()
+    )
+    n = len(ids)
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r["a_id"] < r["b_id"] for r in rows)
+    assert {(r["a_id"], r["b_id"]) for r in rows} == {
+        (a, b) for a in ids for b in ids if a < b
+    }
+    # spot-check one pair against the flat scan's distance for that query
+    some = rows[0]
+    d = flat_knn(spark, sf_dir, "cosine", k=n * 100, query_vec_id=some["a_id"]).collect()
+    dmap = {r["vec_id"]: r["distance"] for r in d}
+    assert some["distance"] == dmap[some["b_id"]]

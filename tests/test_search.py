@@ -57,3 +57,39 @@ def test_hybrid_rrf_fuses_both_lists(spark, sf_dir):
     single = [r for r in fused if (r["vec_rank"] is None) != (r["kw_rank"] is None)]
     if both and single:
         assert max(r["rrf"] for r in both) > 0
+
+
+def test_sparse_dot_self_retrieval_and_python_reference(spark, sf_dir):
+    """Sparse dot product: every returned score equals a from-scratch
+    Python postings computation (order pinned)."""
+    from collections import Counter
+
+    from vector_db_from_scratch_spark.operators.search import sparse_dot_topk
+
+    rows = sparse_dot_topk(spark, sf_dir, query_doc_id=0, k=15).collect()
+    # raw (unnormalized) dot product: self-retrieval is top-k but not
+    # necessarily rank 1 -- a longer doc repeating the shared terms can
+    # out-score the query itself; the Python reference below pins the order
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    n = len(docs)
+    tf = {d: Counter(toks) for d, toks in docs.items()}
+    qtf = tf[0]
+    df = Counter()
+    for d, c in tf.items():
+        for t in qtf:
+            if t in c:
+                df[t] += 1
+    idf = {t: (2000 * n + df[t]) // (2 * df[t]) for t in qtf}
+    want = {}
+    for d, c in tf.items():
+        s = sum(c[t] * idf[t] * qtf[t] * idf[t] for t in qtf if t in c)
+        if s:
+            want[d] = s
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [(r["doc_id"], r["score"]) for r in rows] == expect

@@ -1279,3 +1279,290 @@ WHERE s.distance > cur.cd OR (s.distance = cur.cd AND s.vec_id > cur.cid)
 ORDER BY distance, vec_id
 LIMIT {k}
 """.strip()
+
+
+# --- recommend API (positive/negative examples) ------------------------------
+
+# Default example sets for the registry entry: two positives sharing a label
+# neighborhood and one negative. Bounded literals -- the recommend API takes
+# explicit example ids, exactly like the reference's search request takes one
+# query vector (vector_db/schemas.py:57-60); this extends that surface the way
+# production vector stores do (multi-example recommend with negatives).
+RECO_POS = [3, 11]
+RECO_NEG = [7]
+
+
+def _example_vectors(
+    spark: SparkSession, sf_dir: str, vec_ids: list[int]
+) -> dict[int, list[float]]:
+    """Bounded driver-side lookup of the example embeddings (len(vec_ids)
+    rows; same bounded-collect discipline as ``_query_matrix``)."""
+    rows = (
+        load_table(spark, sf_dir, EMB)
+        .filter(F.col("vec_id").isin([int(v) for v in vec_ids]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    got = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    missing = [v for v in vec_ids if int(v) not in got]
+    if missing:
+        raise ValueError(f"recommend example vec_ids not found: {missing}")
+    return got
+
+
+def knn_recommend(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    positives: list[int] | None = None,
+    negatives: list[int] | None = None,
+) -> DataFrame:
+    """(vec_id, reco_distance): best-score recommend over ``embeddings``.
+
+    Multi-example search with negative feedback (the recommend endpoint of
+    production vector stores, built on the reference's single-vector search
+    semantics, vector_db/services.py:164-181):
+
+      d_pos(v) = min over positive examples p of distance(v, p)
+      d_neg(v) = min over negative examples n of distance(v, n)
+      reco_distance(v) = d_pos(v) - d_neg(v)   (ascending = best first)
+
+    so a candidate ranks well when it is close to SOME positive and far from
+    EVERY negative. With no negatives the score degenerates to d_pos (flat
+    multi-query k-NN). Example ids themselves are excluded from candidates.
+
+    Determinism contract: each per-example distance is the usual round-6dp
+    normalized double (functions/vector.py); ``min``/``least`` is order-free
+    and the single subtraction is one correctly-rounded IEEE op, so scores are
+    bit-identical cross-engine. A candidate whose d_pos is +inf (zero-norm
+    cosine guard) scores +inf -- inf-minus-inf NaNs cannot occur. Ties break
+    on vec_id.
+
+    Scale: the example set is bounded request state, pivoted into per-example
+    literal columns -- the candidate scan computes every distance row-wise
+    with ZERO shuffles and the top-k compiles to TakeOrderedAndProject, the
+    same zero-exchange shape as flat_knn. No groupBy over the corpus.
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    pos = list(RECO_POS if positives is None else positives)
+    neg = list(RECO_NEG if negatives is None else negatives)
+    if not pos:
+        raise ValueError("recommend needs at least one positive example")
+    vecs = _example_vectors(spark, sf_dir, pos + neg)
+
+    def lit_vec(vid: int):
+        return F.array(*[F.lit(x) for x in vecs[int(vid)]])
+
+    def least_of(cols):
+        return cols[0] if len(cols) == 1 else F.least(*cols)
+
+    emb = load_table(spark, sf_dir, EMB).filter(
+        ~F.col("vec_id").isin([int(v) for v in pos + neg])
+    )
+    d_pos = least_of(
+        [distance_expr(metric, F.col("embedding"), lit_vec(p)) for p in pos]
+    )
+    inf = F.lit(float("inf"))
+    if neg:
+        d_neg = least_of(
+            [distance_expr(metric, F.col("embedding"), lit_vec(n)) for n in neg]
+        )
+        score = F.when(d_pos == inf, inf).otherwise(d_pos - d_neg)
+    else:
+        score = d_pos
+    return (
+        emb.select("vec_id", (score + F.lit(0.0)).alias("reco_distance"))
+        .orderBy("reco_distance", "vec_id")
+        .limit(k)
+    )
+
+
+def knn_recommend_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    positives: list[int] | None = None,
+    negatives: list[int] | None = None,
+) -> str:
+    pos = list(RECO_POS if positives is None else positives)
+    neg = list(RECO_NEG if negatives is None else negatives)
+    excl = ", ".join(str(int(v)) for v in pos + neg)
+
+    def vec_cte(name: str, vid: int) -> str:
+        return (
+            f"{name} AS (SELECT embedding::DOUBLE[] AS v "
+            f"FROM embeddings WHERE vec_id = {int(vid)})"
+        )
+
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings "
+            f"WHERE vec_id NOT IN ({excl}))"]
+    srcs = ["e"]
+    pterms, nterms = [], []
+    for i, p in enumerate(pos):
+        ctes.append(vec_cte(f"p{i}", p))
+        srcs.append(f"p{i}")
+        pterms.append(oracle_distance_sql(metric, "e.ee", f"p{i}.v"))
+    for i, n in enumerate(neg):
+        ctes.append(vec_cte(f"n{i}", n))
+        srcs.append(f"n{i}")
+        nterms.append(oracle_distance_sql(metric, "e.ee", f"n{i}.v"))
+    d_pos = pterms[0] if len(pterms) == 1 else "least(" + ", ".join(pterms) + ")"
+    if nterms:
+        d_neg = nterms[0] if len(nterms) == 1 else "least(" + ", ".join(nterms) + ")"
+        score = (
+            f"CASE WHEN {d_pos} = 'infinity'::DOUBLE THEN 'infinity'::DOUBLE "
+            f"ELSE {d_pos} - {d_neg} END"
+        )
+    else:
+        score = d_pos
+    cte_sql = ",\n".join(ctes)
+    return f"""
+WITH {cte_sql}
+SELECT e.vec_id AS vec_id, ({score}) + 0.0 AS reco_distance
+FROM {", ".join(srcs)}
+ORDER BY reco_distance, vec_id
+LIMIT {k}
+""".strip()
+
+
+# --- group search: top groups by best hit, top hits per group ----------------
+
+
+def knn_group_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k_groups: int = 4,
+    per_group: int = 3,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """(group_rank, label, hit_rank, vec_id, distance): group-by search.
+
+    The grouped variant of the reference's single-list search
+    (vector_db/services.py:164-181): groups (= ``label``, the metadata field)
+    are ranked by their BEST hit's (distance, vec_id), the top ``k_groups``
+    groups are kept, and each contributes its ``per_group`` nearest hits --
+    the "search with group_by" endpoint of production vector stores, which
+    diversifies results without re-scoring (one best hit cannot flood the
+    page with its whole cluster).
+
+    Scale: distances are row-wise over the scan (zero shuffles), the
+    per-group window shuffles by ``label`` exactly like knn_per_label -- the
+    only corpus-sized exchange; the group-ranking window then runs over ONE
+    bounded row per label (#labels rows, metadata cardinality, never corpus
+    -sized), and the final group_rank attach is a broadcast join.
+    """
+    if k_groups <= 0 or per_group <= 0:
+        raise ValueError("k_groups and per_group must be > 0")
+    emb = load_table(spark, sf_dir, EMB)
+    scored = emb.crossJoin(
+        F.broadcast(query_vector_df(spark, sf_dir, query_vec_id))
+    ).select(
+        "label",
+        "vec_id",
+        distance_expr(metric, F.col("embedding"), F.col("q")).alias("distance"),
+    )
+    w_hits = Window.partitionBy("label").orderBy("distance", "vec_id")
+    hits = (
+        scored.withColumn("hit_rank", F.row_number().over(w_hits).cast("long"))
+        .filter(F.col("hit_rank") <= per_group)
+    )
+    # one row per label survives hit_rank == 1 -- the group-ranking window is
+    # bounded by metadata cardinality, not corpus size
+    best = hits.filter(F.col("hit_rank") == 1).select(
+        "label",
+        F.col("distance").alias("best_distance"),
+        F.col("vec_id").alias("best_vec_id"),
+    )
+    w_groups = Window.orderBy("best_distance", "best_vec_id")
+    top_groups = (
+        best.withColumn("group_rank", F.row_number().over(w_groups).cast("long"))
+        .filter(F.col("group_rank") <= k_groups)
+        .select("label", "group_rank")
+    )
+    return (
+        hits.join(F.broadcast(top_groups), "label")
+        .select("group_rank", "label", "hit_rank", "vec_id", "distance")
+        .orderBy("group_rank", "hit_rank")
+    )
+
+
+def knn_group_topk_oracle(
+    metric: str = "cosine",
+    k_groups: int = 4,
+    per_group: int = 3,
+    query_vec_id: int = 0,
+) -> str:
+    d = oracle_distance_sql(metric, "e.v", "q.qv")
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+scored AS (SELECT e.label, e.vec_id, {d} AS distance FROM e, q),
+hits AS (SELECT label, vec_id, distance,
+                row_number() OVER (PARTITION BY label
+                                   ORDER BY distance, vec_id) AS hit_rank
+         FROM scored),
+best AS (SELECT label, distance AS best_distance, vec_id AS best_vec_id
+         FROM hits WHERE hit_rank = 1),
+topg AS (SELECT label,
+                row_number() OVER (ORDER BY best_distance, best_vec_id)
+                    AS group_rank
+         FROM best)
+SELECT g.group_rank, h.label, h.hit_rank, h.vec_id, h.distance
+FROM hits h JOIN topg g ON h.label = g.label
+WHERE g.group_rank <= {k_groups} AND h.hit_rank <= {per_group}
+ORDER BY g.group_rank, h.hit_rank
+""".strip()
+
+
+# --- pairwise distance matrix over a bounded id subset -----------------------
+
+
+def knn_distance_matrix(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    id_mod: int = 20,
+) -> DataFrame:
+    """(a_id, b_id, distance): all unordered pairs among the bounded subset
+    ``vec_id % id_mod == 0`` -- the distance-matrix endpoint (pairwise
+    similarity of a SAMPLED point set, the input to offline clustering /
+    visualization / duplicate triage that production vector stores expose
+    with an explicit sample cap).
+
+    Scale: quadratic IN THE SAMPLE by contract (the endpoint caps the sample;
+    ``id_mod`` is that cap's inverse). One side is a bounded broadcast, the
+    other a pushed-down filtered scan, so the pair build is a broadcast
+    nested loop over corpus/id_mod rows -- no shuffle, no corpus x corpus
+    blow-up; the full-corpus all-pairs need is served by the banded LSH
+    family (operators/dedup.py), not this endpoint.
+    """
+    emb = load_table(spark, sf_dir, EMB)
+    sub = emb.filter(F.col("vec_id") % id_mod == 0)
+    right = sub.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    return (
+        sub.select(F.col("vec_id").alias("a_id"), "embedding")
+        .join(F.broadcast(right), F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            distance_expr(metric, F.col("embedding"), F.col("b_emb")).alias(
+                "distance"
+            ),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+def knn_distance_matrix_oracle(metric: str = "cosine", id_mod: int = 20) -> str:
+    d = oracle_distance_sql(metric, "a.v", "b.v")
+    return f"""
+WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id % {id_mod} = 0)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, {d} AS distance
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+ORDER BY a_id, b_id
+""".strip()

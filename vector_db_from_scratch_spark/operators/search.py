@@ -360,3 +360,103 @@ FROM documents
 WHERE (({has('table')} AND {has('hash')}) OR {has('vector')}) AND NOT {has('slow')}
 ORDER BY doc_id
 """.strip()
+
+
+# --- sparse-vector search (inverted-index dot product) -----------------------
+
+# Query document for the registry entry: doc 0's sparse vector retrieves
+# against the whole corpus (self-retrieval ranks first -- the sanity the
+# dense flat scan also exhibits).
+SPARSE_QUERY_DOC = 0
+
+
+def sparse_dot_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_doc_id: int = SPARSE_QUERY_DOC,
+    k: int = 15,
+) -> DataFrame:
+    """(doc_id, score): top-k documents by sparse-vector dot product.
+
+    The sparse leg of a vector store: each document is a sparse vector over
+    the term vocabulary (SPLADE/TF-IDF-style), stored as (doc_id, term,
+    weight) postings, and search is the inverted-index dot product
+    score(d) = sum over shared terms of w(d,t) * w(q,t) -- the execution a
+    sparse-ANN engine runs, expressed as the postings join it actually is.
+
+    Weights are integer-exact so the gate is hash-exact cross-engine:
+    w(d,t) = tf(d,t) * idf_milli(t), with idf_milli(t) = round-half-up of
+    1000 * N / df(t) computed by EXACT integer division ((2000N + df) div
+    2df) -- no float anywhere; the per-doc sum accumulates DECIMAL(38,0)
+    (HUGEINT in the oracle) so the documented int64 product bound
+    (tf * 1000N/df squared, summed) cannot overflow, and only the final
+    bounded score casts back to BIGINT.
+
+    Plan shape (the BM25 shape, operators/search.py:73): the ONLY
+    corpus-sized shuffle is the postings groupBy; the query's sparse vector
+    (distinct terms of one doc) and the per-term df stats broadcast into the
+    scoring join; per-doc sums shuffle only docs sharing a query term;
+    top-k is TakeOrderedAndProject. At 100 TB the postings table is the
+    materialized term-bucketed index and a query touches its terms only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    post = _postings(docs).select("doc_id", "term", "tf")
+
+    qvec = (
+        post.filter(F.col("doc_id") == query_doc_id)
+        .select("term", F.col("tf").alias("tf_q"))
+    )
+    matched = post.join(F.broadcast(qvec), "term")
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = matched.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.expr("(2000 * n_docs + df) div (2 * df)").alias("idf_milli"),
+        )
+    )
+    return (
+        matched.join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            (
+                (F.col("tf") * F.col("idf_milli")).cast("decimal(38,0)")
+                * (F.col("tf_q") * F.col("idf_milli")).cast("decimal(38,0)")
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").cast("long").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def sparse_dot_topk_oracle(
+    query_doc_id: int = SPARSE_QUERY_DOC, k: int = 15
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+qvec AS (
+  SELECT term, tf AS tf_q FROM post WHERE doc_id = {query_doc_id}),
+matched AS (
+  SELECT p.doc_id, p.term, p.tf, q.tf_q FROM post p JOIN qvec q USING (term)),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+idf AS (
+  SELECT term, (2000 * n.n_docs + df) // (2 * df) AS idf_milli
+  FROM (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM matched GROUP BY term), n)
+SELECT m.doc_id AS doc_id,
+       sum((m.tf * i.idf_milli)::HUGEINT * (m.tf_q * i.idf_milli))::BIGINT
+           AS score
+FROM matched m JOIN idf i USING (term)
+GROUP BY m.doc_id
+ORDER BY score DESC, doc_id
+LIMIT {k}
+""".strip()

@@ -293,6 +293,18 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: knn.radius_search(spark, sf, "cosine", radius=0.72, query_vec_id=0),
         knn.radius_search_oracle("cosine", radius=0.72, query_vec_id=0),
     )
+    # recommend API: positive/negative examples, best-score semantics
+    # (min-over-positives minus min-over-negatives, examples excluded) --
+    # zero-shuffle scan, examples pivoted into literal columns
+    reg["knn_recommend"] = (knn.knn_recommend, knn.knn_recommend_oracle())
+    # group-by search: top groups by best hit, top-n hits per group
+    reg["knn_group_topk"] = (knn.knn_group_topk, knn.knn_group_topk_oracle())
+    # distance matrix over the bounded vec_id % 20 sample (pairwise
+    # endpoint with an explicit sample cap; broadcast nested loop)
+    reg["knn_distance_matrix"] = (
+        knn.knn_distance_matrix,
+        knn.knn_distance_matrix_oracle(),
+    )
     # approximate k-NN graph blocked by LSH bucket (all-pairs at scale)
     reg["knn_graph_blocked"] = (
         lambda spark, sf: lsh.knn_graph_blocked(spark, sf, "cosine", neighbors=2),
@@ -664,6 +676,18 @@ def build() -> dict[str, Entry]:
         kmv.kmv_merge_shards,
         kmv.kmv_merge_shards_oracle(),
     )
+    # HyperLogLog on the portable hash: unlike engine-native
+    # approx_count_distinct (tolerance-gated only, sketch_accuracy_report),
+    # these registers are bit-identical cross-engine, so the register state
+    # itself, the estimate, and the element-wise MAX shard merge all sit
+    # under the hash gate -- the sixth mergeable sketch family
+    from .operators import hll
+    reg["sketch_hll_distinct"] = (hll.hll_distinct, hll.hll_distinct_oracle())
+    reg["sketch_hll_merge_shards"] = (
+        hll.hll_merge_shards,
+        hll.hll_merge_shards_oracle(),
+    )
+    reg["sketch_hll_by_group"] = (hll.hll_by_group, hll.hll_by_group_oracle())
     # count-min frequency sketch: the grid AND its point estimates (with
     # the never-underestimate guarantee as a gated column) hash-gated
     from .operators import countmin
@@ -899,6 +923,12 @@ def build() -> dict[str, Entry]:
     reg["search_tfidf_top_terms"] = (search.tfidf_top_terms, search.tfidf_top_terms_oracle())
     reg["search_hybrid_rrf"] = (search.hybrid_rrf, search.hybrid_rrf_oracle())
     reg["search_boolean"] = (search.boolean_search, search.boolean_search_oracle())
+    # sparse-vector leg: inverted-index dot product over integer-exact
+    # TF-IDF postings (SPLADE-style sparse search as the postings join it is)
+    reg["search_sparse_dot"] = (
+        search.sparse_dot_topk,
+        search.sparse_dot_topk_oracle(),
+    )
 
     # --- scalar function families (SURVEY §2.7 inherited built-ins) ---
     from .functions import scalars as sc
