@@ -99,3 +99,33 @@ def test_hll_by_group_covers_groups_and_is_accurate(spark, sf_dir):
         regs, est = _py_hll(users)
         assert r["obs"] == len(regs)
         assert abs(r["est_distinct"] - est) < 1e-9
+
+
+def test_hll_set_ops_inclusion_exclusion_and_union_dominance(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.hll import hll_set_ops
+
+    row = hll_set_ops(spark, sf_dir).collect()[0]
+    # inclusion-exclusion identity holds exactly on the reported estimates
+    assert row["inter_est"] == round(
+        row["a_est"] + row["b_est"] - row["union_est"], 6
+    )
+    # union registers dominate element-wise, so observed count can't shrink
+    assert row["u_obs"] >= max(row["a_obs"], row["b_obs"])
+    assert row["exact_union"] >= row["exact_inter"] >= 0
+
+
+def test_hll_stream_drain_equals_batch_registers(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.hll import _registers
+    from vector_db_from_scratch_spark.functions.hashing import hash60
+    from vector_db_from_scratch_spark.streaming.windows import hll_ingest_drained
+    from pyspark.sql import functions as F
+
+    drained = [(r["j"], r["reg"]) for r in hll_ingest_drained(spark, sf_dir).collect()]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = (
+        _registers(ev.select(hash60(F.col("user_id").cast("string")).alias("h")))
+        .orderBy("j")
+        .collect()
+    )
+    assert drained == [(r["j"], r["reg"]) for r in batch]
+    assert len(drained) <= 256

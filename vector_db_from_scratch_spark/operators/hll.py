@@ -313,3 +313,125 @@ SELECT a.event_type AS event_type, obs, reg_fingerprint,
 FROM agg a JOIN ex USING (event_type)
 ORDER BY event_type
 """.strip()
+
+
+def hll_registers_oracle() -> str:
+    """The raw register table (j, reg) for the events user_id HLL -- the
+    oracle the STREAMING ingest twin drains against (the sketch state
+    itself, not just its aggregate row)."""
+    h = hash60_sql("user_id::VARCHAR")
+    return f"""
+WITH keys AS (SELECT {h} AS h FROM events),
+regs AS ({_registers_sql("keys")})
+SELECT j, reg FROM regs ORDER BY j
+""".strip()
+
+
+def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on two HLLs (A = click users, B = purchase users) -- the
+    same production motivation as the theta-style KMV set ops
+    (operators/kmv.py:66): estimate |A ∪ B| from the element-wise register
+    MAX (the lossless HLL union) and |A ∩ B| by inclusion-exclusion
+    est_A + est_B - est_union (HLL has no native intersection; this is the
+    standard -- and noisier -- estimator, reported next to the exact counts
+    so the gate also records its measured error). Every register and every
+    estimate input is integer-deterministic on the portable hash, so the
+    whole row is under the hash gate. At 100 TB only the <= 2m register
+    rows meet; the raw user sets never co-shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def keys(event_type: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == event_type).select(
+            hash60(F.col("user_id").cast("string")).alias("h")
+        )
+
+    a_regs = _registers(keys("click"))
+    b_regs = _registers(keys("purchase"))
+    u_regs = a_regs.union(b_regs).groupBy("j").agg(F.max("reg").alias("reg"))
+
+    est_a = _estimate_cols("a_")
+    est_b = _estimate_cols("b_")
+    est_u = _estimate_cols("u_")
+    inter = F.round(est_a + est_b - est_u, 6) + F.lit(0.0)
+
+    def users(event_type: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == event_type).select("user_id")
+
+    # exact counts for error context (bounded rows)
+    ex = (
+        users("click")
+        .distinct()
+        .withColumn("s", F.lit("a"))
+        .union(users("purchase").distinct().withColumn("s", F.lit("b")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sides"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0)).alias(
+                "exact_inter"
+            ),
+        )
+    )
+    return (
+        _register_agg(a_regs, "a_")
+        .crossJoin(_register_agg(b_regs, "b_"))
+        .crossJoin(_register_agg(u_regs, "u_"))
+        .crossJoin(ex)
+        .select(
+            "a_obs",
+            est_a.alias("a_est"),
+            "b_obs",
+            est_b.alias("b_est"),
+            "u_obs",
+            est_u.alias("union_est"),
+            inter.alias("inter_est"),
+            "exact_union",
+            "exact_inter",
+        )
+    )
+
+
+def hll_set_ops_oracle() -> str:
+    h = hash60_sql("user_id::VARCHAR")
+
+    def regs(name: str, event_type: str) -> str:
+        return (
+            f"{name}k AS (SELECT {h} AS h FROM events "
+            f"WHERE event_type = '{event_type}'),\n"
+            f"{name} AS ({_registers_sql(f'{name}k')})"
+        )
+
+    def agg(name: str, prefix: str) -> str:
+        cols = (
+            _AGG_SQL.replace("AS obs", f"AS {prefix}obs")
+            .replace("AS reg_fingerprint", f"AS {prefix}reg_fingerprint")
+            .replace("AS z_obs", f"AS {prefix}z_obs")
+        )
+        return f"SELECT {cols} FROM {name}"
+
+    ea = _est_sql("a_obs", "a_z_obs")
+    eb = _est_sql("b_obs", "b_z_obs")
+    eu = _est_sql("u_obs", "u_z_obs")
+    return f"""
+WITH {regs("ar", "click")},
+{regs("br", "purchase")},
+ur AS (SELECT j, max(reg) AS reg
+       FROM (SELECT * FROM ar UNION ALL SELECT * FROM br) GROUP BY j),
+aa AS ({agg("ar", "a_")}),
+ba AS ({agg("br", "b_")}),
+ua AS ({agg("ur", "u_")}),
+ex AS (
+  SELECT count(*)::BIGINT AS exact_union,
+         sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END)::BIGINT AS exact_inter
+  FROM (
+    SELECT user_id, count(*) AS n_sides FROM (
+      SELECT DISTINCT user_id, 'a' AS s FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT DISTINCT user_id, 'b' AS s FROM events WHERE event_type = 'purchase')
+    GROUP BY user_id))
+SELECT a_obs, {ea} AS a_est, b_obs, {eb} AS b_est,
+       u_obs, {eu} AS union_est,
+       round({ea} + {eb} - {eu}, 6) + 0.0 AS inter_est,
+       exact_union, exact_inter
+FROM aa, ba, ua, ex
+""".strip()

@@ -688,6 +688,9 @@ def build() -> dict[str, Entry]:
         hll.hll_merge_shards_oracle(),
     )
     reg["sketch_hll_by_group"] = (hll.hll_by_group, hll.hll_by_group_oracle())
+    # set algebra on two HLLs: lossless register-max union, inclusion-
+    # exclusion intersection, reported next to the exact counts
+    reg["sketch_hll_set_ops"] = (hll.hll_set_ops, hll.hll_set_ops_oracle())
     # count-min frequency sketch: the grid AND its point estimates (with
     # the never-underestimate guarantee as a gated column) hash-gated
     from .operators import countmin
@@ -1410,6 +1413,14 @@ def build() -> dict[str, Entry]:
     reg["stream_hist_ingest_drained"] = (
         w.hist_ingest_drained,
         quantiles.hist_sketch_oracle(),
+    )
+    # ... and the HLL register table (pure MAX aggregation, m-bounded
+    # state): the cardinality monitor maintained continuously, drained
+    # registers under the batch register-table oracle
+    from .operators import hll as _hll
+    reg["stream_hll_ingest_drained"] = (
+        w.hll_ingest_drained,
+        _hll.hll_registers_oracle(),
     )
     # ... and the AMS counter vector (pure sum aggregation): the
     # join-size/skew planning statistic maintained continuously, drained

@@ -825,6 +825,36 @@ def hist_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("bin")
 
 
+def hll_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash60
+    from ..operators.hll import RHO_ZERO, TWO52
+
+    ev = events_stream(spark, sf_dir)
+    keyed = ev.select(hash60(F.col("user_id").cast("string")).alias("h"))
+    w = F.col("h") % TWO52
+    rho = (
+        F.when(w == 0, F.lit(RHO_ZERO))
+        .otherwise(F.lit(RHO_ZERO) - F.length(F.bin(w)))
+        .cast("long")
+    )
+    return (
+        keyed.select(F.expr(f"h div {TWO52}").alias("j"), rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+@memoize_drain
+def hll_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming HLL registers == the batch register table (oracle
+    hll_registers_oracle): cardinality monitoring at 100 TB is this MAX
+    aggregation running forever, state bounded by m = 256 register rows --
+    HLL is a pure aggregation, so it streams without custom state (unlike
+    KMV's bottom-k, stream_kmv_ingest_drained)."""
+    res = run_stream_once(hll_ingest_stream(spark, sf_dir), "t_gate_hll_ingest")
+    return res.orderBy("j")
+
+
 def ams_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hash60
     from ..operators.ams import _counter_cells
