@@ -441,3 +441,53 @@ def test_distance_matrix_is_upper_triangle_of_the_sample(spark, sf_dir):
     d = flat_knn(spark, sf_dir, "cosine", k=n * 100, query_vec_id=some["a_id"]).collect()
     dmap = {r["vec_id"]: r["distance"] for r in d}
     assert some["distance"] == dmap[some["b_id"]]
+
+
+def test_recommend_centroid_matches_python_reference(spark, sf_dir):
+    """Average-vector recommend: the division-free integer-micro query build
+    and the resulting top-k equal an independent Python replica."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from vector_db_from_scratch_spark.operators.knn import (
+        RECO_NEG,
+        RECO_POS,
+        knn_recommend_centroid,
+    )
+
+    rows = knn_recommend_centroid(spark, sf_dir, k=10).collect()
+    assert len(rows) == 10
+    assert not ({r["vec_id"] for r in rows} & set(RECO_POS + RECO_NEG))
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def micro(x):
+        # F.round(val * 1e6): BigDecimal HALF_UP on the exact binary double
+        return int(Decimal(x * 1e6).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    dim = len(emb[RECO_POS[0]])
+    w_pos, w_neg = len(RECO_NEG), len(RECO_POS)
+    q = [
+        w_pos * sum(micro(emb[p][d]) for p in RECO_POS)
+        - w_neg * sum(micro(emb[n][d]) for n in RECO_NEG)
+        for d in range(dim)
+    ]
+
+    def cos6(v):
+        dot = sum(a * b for a, b in zip(v, q))
+        nv = math.sqrt(sum(a * a for a in v))
+        nq = math.sqrt(sum(float(b) * float(b) for b in q))
+        if nv * nq == 0:
+            return float("inf")
+        d = 1.0 - dot / (nv * nq)
+        return float(Decimal(d).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    scored = sorted(
+        (cos6(v), vid)
+        for vid, v in emb.items()
+        if vid not in set(RECO_POS + RECO_NEG)
+    )[:10]
+    assert [(r["distance"], r["vec_id"]) for r in rows] == scored

@@ -1566,3 +1566,106 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id, {d} AS distance
 FROM s a JOIN s b ON a.vec_id < b.vec_id
 ORDER BY a_id, b_id
 """.strip()
+
+
+def knn_recommend_centroid(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    positives: list[int] | None = None,
+    negatives: list[int] | None = None,
+) -> DataFrame:
+    """(vec_id, distance): average-vector recommend (cosine only).
+
+    The second classic recommend strategy next to best-score
+    (:func:`knn_recommend`): search with the single query vector
+    q = mean(positives) - mean(negatives). Because cosine distance is
+    invariant to positive scaling of the query, q is computed WITHOUT any
+    division as the exact integer combination
+
+      q_micro[d] = |N| * sum_p round(p[d] * 1e6)  -  |P| * sum_n round(n[d] * 1e6)
+
+    (plain sums when N is empty) -- order-free BIGINT arithmetic, identical
+    in both engines, no mean/float anywhere before the one distance
+    expression. Example ids are excluded from candidates; ties break on
+    vec_id.
+
+    Scale: the q build aggregates |examples| x dim rows (bounded request
+    state) into one broadcast array; the candidate scan is then exactly
+    flat_knn's zero-shuffle TakeOrdered shape.
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    pos = list(RECO_POS if positives is None else positives)
+    neg = list(RECO_NEG if negatives is None else negatives)
+    if not pos:
+        raise ValueError("recommend needs at least one positive example")
+    emb = load_table(spark, sf_dir, EMB)
+    ids = [int(v) for v in pos + neg]
+    w_pos = len(neg) if neg else 1
+    w_neg = len(pos)
+    weight = (
+        F.when(F.col("vec_id").isin([int(v) for v in pos]), F.lit(w_pos))
+        .otherwise(F.lit(-w_neg))
+        .cast("long")
+    )
+    exm = (
+        emb.filter(F.col("vec_id").isin(ids))
+        .select("vec_id", F.posexplode(F.col("embedding").cast("array<double>")))
+        .withColumnRenamed("pos", "dim")
+        .withColumnRenamed("col", "val")
+    )
+    qm = (
+        exm.select("dim", (weight * F.round(F.col("val") * 1e6)).alias("wm"))
+        .groupBy("dim")
+        .agg(F.sum("wm").cast("long").alias("qm"))
+    )
+    q = qm.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "qm"))),
+            lambda s: s["qm"].cast("double"),
+        ).alias("q")
+    )
+    return (
+        emb.filter(~F.col("vec_id").isin(ids))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            distance_expr("cosine", F.col("embedding"), F.col("q")).alias("distance"),
+        )
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+def knn_recommend_centroid_oracle(
+    k: int = 10,
+    positives: list[int] | None = None,
+    negatives: list[int] | None = None,
+    dim: int = 64,
+) -> str:
+    pos = list(RECO_POS if positives is None else positives)
+    neg = list(RECO_NEG if negatives is None else negatives)
+    excl = ", ".join(str(int(v)) for v in pos + neg)
+    plist = ", ".join(str(int(v)) for v in pos)
+    w_pos = len(neg) if neg else 1
+    w_neg = len(pos)
+    d = oracle_distance_sql("cosine", "e.ee", "q.qe")
+    return f"""
+WITH exm AS (
+  SELECT vec_id, t.i AS dim, (embedding::DOUBLE[])[t.i + 1] AS val
+  FROM embeddings, range({dim}) t(i)
+  WHERE vec_id IN ({excl})),
+qm AS (
+  SELECT dim,
+         sum(CASE WHEN vec_id IN ({plist}) THEN {w_pos} ELSE -{w_neg} END
+             * round(val * 1e6))::BIGINT AS qm
+  FROM exm GROUP BY dim),
+q AS (SELECT list(qm::DOUBLE ORDER BY dim) AS qe FROM qm),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+      WHERE vec_id NOT IN ({excl}))
+SELECT e.vec_id AS vec_id, {d} AS distance
+FROM e, q
+ORDER BY distance, vec_id
+LIMIT {k}
+""".strip()

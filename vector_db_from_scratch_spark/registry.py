@@ -297,6 +297,12 @@ def build() -> dict[str, Entry]:
     # (min-over-positives minus min-over-negatives, examples excluded) --
     # zero-shuffle scan, examples pivoted into literal columns
     reg["knn_recommend"] = (knn.knn_recommend, knn.knn_recommend_oracle())
+    # average-vector recommend strategy: q = mean(pos) - mean(neg) computed
+    # division-free in integer micros (cosine scale-invariance)
+    reg["knn_recommend_centroid"] = (
+        knn.knn_recommend_centroid,
+        knn.knn_recommend_centroid_oracle(),
+    )
     # group-by search: top groups by best hit, top-n hits per group
     reg["knn_group_topk"] = (knn.knn_group_topk, knn.knn_group_topk_oracle())
     # distance matrix over the bounded vec_id % 20 sample (pairwise
