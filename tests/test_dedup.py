@@ -493,3 +493,33 @@ def test_curation_verdict_reconciles_with_pipeline_stages(spark, sf_dir):
     assert by_verdict.get("near_dup", 0) == st["survivors"].count() - len(clean)
     # non-vacuous on this corpus: at least one rejection reason fires
     assert sum(v for k, v in by_verdict.items() if k != "kept") > 0
+
+
+def test_epoch_shuffle_reshuffles_and_conserves_docs(spark, sf_dir):
+    """Seeded epoch shuffle: every doc lands in exactly one shard per epoch,
+    shards are roughly balanced, and the two epochs produce genuinely
+    different permutations (different order fingerprints)."""
+    from vector_db_from_scratch_spark.operators.corpus import (
+        EPOCH_SHARDS,
+        EPOCHS,
+        corpus_epoch_shuffle,
+    )
+
+    rows = corpus_epoch_shuffle(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == set(EPOCHS)
+    for e, shards in by_epoch.items():
+        assert sum(r["n_docs"] for r in shards) == n_docs
+        assert len(shards) <= EPOCH_SHARDS
+        # hash-mod balance: no shard more than 3x the fair share
+        assert max(r["n_docs"] for r in shards) <= 3 * max(1, n_docs // EPOCH_SHARDS)
+    fp = {e: sorted((r["shard"], r["order_fingerprint"]) for r in s)
+          for e, s in by_epoch.items()}
+    assert fp[EPOCHS[0]] != fp[EPOCHS[1]]
+
+    # determinism: a second invocation is bit-identical
+    again = corpus_epoch_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

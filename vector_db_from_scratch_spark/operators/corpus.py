@@ -867,3 +867,76 @@ SELECT doc_id, lang,
 FROM documents
 ORDER BY doc_id
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Epoch shuffle: the deterministic global reshuffle a training run applies
+# per epoch before sharding to data-loader workers. Order is the portable
+# hash of (epoch, doc_id) -- a new pseudo-random permutation every epoch
+# with no RNG state to coordinate -- and the shard is hash mod N (balanced
+# in expectation, exactly reproducible on any cluster size).
+# --------------------------------------------------------------------------
+
+EPOCH_SHARDS = 8
+EPOCHS = (0, 1)
+
+
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(epoch, shard, n_docs, order_fingerprint): per-(epoch, shard)
+    manifest of the seeded training shuffle.
+
+    Each doc's epoch-e key is hash60(e || ':' || doc_id); shard = key mod
+    EPOCH_SHARDS; within a shard the read order is (key, doc_id) ascending.
+    ``order_fingerprint`` = sum(position * doc_id) is ORDER-SENSITIVE (any
+    transposition changes it), so the gate pins the exact permutation, not
+    just membership; different epochs yield different fingerprints (pinned
+    in tests -- the reshuffle is real).
+
+    Scale: the per-shard window is the gate-friendly form; the production
+    layout is repartitionByRange(key) + sortWithinPartitions -- identical
+    order, no per-shard funnel -- with this manifest as its audit. Output
+    is bounded: epochs x shards rows.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    per_epoch = docs.select(
+        "doc_id", F.explode(F.array(*[F.lit(e) for e in EPOCHS])).alias("epoch")
+    )
+    key = hash60(F.concat_ws(":", F.col("epoch"), F.col("doc_id")))
+    keyed = per_epoch.select(
+        "epoch", "doc_id", key.alias("k"), (key % EPOCH_SHARDS).alias("shard")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    pos = keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+    return (
+        pos.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("order_fingerprint"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+def corpus_epoch_shuffle_oracle() -> str:
+    from ..functions.hashing import hash60_sql
+
+    epochs = ", ".join(str(e) for e in EPOCHS)
+    k = hash60_sql("(epoch::VARCHAR || ':' || doc_id::VARCHAR)")
+    return f"""
+WITH pe AS (
+  SELECT doc_id, t.epoch FROM documents, (SELECT unnest([{epochs}]) AS epoch) t),
+keyed AS (
+  SELECT epoch, doc_id, {k} AS k, {k} % {EPOCH_SHARDS} AS shard FROM pe),
+pos AS (
+  SELECT epoch, shard, doc_id,
+         row_number() OVER (PARTITION BY epoch, shard
+                            ORDER BY k, doc_id)::BIGINT AS pos
+  FROM keyed)
+SELECT epoch, shard, count(*) AS n_docs,
+       sum(pos * doc_id)::BIGINT AS order_fingerprint
+FROM pos GROUP BY epoch, shard ORDER BY epoch, shard
+""".strip()

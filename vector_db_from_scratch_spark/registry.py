@@ -980,6 +980,12 @@ def build() -> dict[str, Entry]:
     reg["pipeline_stratified_sample"] = (corpus.corpus_stratified_sample, corpus.corpus_stratified_sample_oracle())
     reg["pipeline_decontaminate"] = (corpus.corpus_decontaminate, corpus.corpus_decontaminate_oracle())
     reg["pipeline_pack_sequences"] = (corpus.corpus_pack_sequences, corpus.corpus_pack_sequences_oracle())
+    # per-epoch seeded reshuffle + shard manifest (order-sensitive
+    # fingerprint pins the exact permutation, not just membership)
+    reg["pipeline_epoch_shuffle"] = (
+        corpus.corpus_epoch_shuffle,
+        corpus.corpus_epoch_shuffle_oracle(),
+    )
     # chunk layer of the reference's library->document->chunk data model
     reg["pipeline_chunk_documents"] = (
         corpus.corpus_chunk_documents,
