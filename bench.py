@@ -336,6 +336,11 @@ def main() -> None:
         # part-7: the distributed bootstrap -- one scan x B replicates,
         # bounded 40-row output at any scale (replicated orders)
         "agg_bootstrap_ci",
+        # this session: zero-shuffle recommend scan (bounded k output over
+        # 10x embeddings), sparse inverted-index dot product (postings
+        # groupBy is the scaling shuffle, bounded top-15 output), and the
+        # HLL register build (256-row state at any scale)
+        "knn_recommend", "search_sparse_dot", "sketch_hll_distinct",
         "stream_tumbling_drained",
     ]
     # Queries whose OUTPUT grows with the data (pair tables): the wall

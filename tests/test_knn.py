@@ -491,3 +491,55 @@ def test_recommend_centroid_matches_python_reference(spark, sf_dir):
         if vid not in set(RECO_POS + RECO_NEG)
     )[:10]
     assert [(r["distance"], r["vec_id"]) for r in rows] == scored
+
+
+def test_discovery_votes_and_order_match_python(spark, sf_dir):
+    """Discovery search: integer pair votes + target tie-break equal a
+    Python replica over the collected corpus."""
+    from decimal import Decimal, ROUND_HALF_UP
+    import math
+
+    from vector_db_from_scratch_spark.operators.knn import (
+        DISCOVERY_PAIRS,
+        DISCOVERY_TARGET,
+        knn_discovery,
+    )
+
+    rows = knn_discovery(spark, sf_dir, "cosine", k=10).collect()
+    assert len(rows) == 10
+    excluded = {DISCOVERY_TARGET} | {v for p in DISCOVERY_PAIRS for v in p}
+    assert not ({r["vec_id"] for r in rows} & excluded)
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def cos6(v, q):
+        dot = sum(a * b for a, b in zip(v, q))
+        nv = math.sqrt(sum(a * a for a in v))
+        nq = math.sqrt(sum(b * b for b in q))
+        if nv * nq == 0:
+            return float("inf")
+        return float(
+            Decimal(1.0 - dot / (nv * nq)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    scored = sorted(
+        (
+            -sum(
+                1
+                for a, b in DISCOVERY_PAIRS
+                if cos6(v, emb[a]) < cos6(v, emb[b])
+            ),
+            cos6(v, emb[DISCOVERY_TARGET]),
+            vid,
+        )
+        for vid, v in emb.items()
+        if vid not in excluded
+    )[:10]
+    assert [
+        (-r["context_score"], r["target_distance"], r["vec_id"]) for r in rows
+    ] == scored

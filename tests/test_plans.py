@@ -154,3 +154,33 @@ def test_asof_join_single_user_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_shuffles(df) <= 2, count_shuffles(df)
+
+
+def test_recommend_and_discovery_are_zero_shuffle_take_ordered(spark, sf_dir):
+    """The bounded request (examples / context pairs) must pivot into
+    literal columns: no exchange before the top-k, TakeOrderedAndProject."""
+    from vector_db_from_scratch_spark.operators.knn import (
+        knn_discovery,
+        knn_recommend,
+    )
+
+    for df in (knn_recommend(spark, sf_dir), knn_discovery(spark, sf_dir)):
+        assert uses_take_ordered(df)
+        assert count_shuffles(df) == 0
+
+
+def test_distance_matrix_broadcasts_the_sample(spark, sf_dir):
+    """The capped sample must meet itself via a broadcast nested loop --
+    never a shuffled cartesian."""
+    from vector_db_from_scratch_spark.operators.knn import knn_distance_matrix
+
+    plan = plan_string(knn_distance_matrix(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_topk_attaches_group_ranks_by_broadcast(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.knn import knn_group_topk
+
+    plan = plan_string(knn_group_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -93,3 +93,18 @@ def test_sparse_dot_self_retrieval_and_python_reference(spark, sf_dir):
             want[d] = s
     expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     assert [(r["doc_id"], r["score"]) for r in rows] == expect
+
+
+def test_hybrid_sparse_dense_fuses_both_lists(spark, sf_dir):
+    from vector_db_from_scratch_spark.operators.search import hybrid_sparse_dense
+
+    fused = hybrid_sparse_dense(spark, sf_dir, pool=50, k=20).collect()
+    assert len(fused) == 20
+    for r in fused:
+        assert r["vec_rank"] is not None or r["sparse_rank"] is not None
+        expect = (
+            1.0 / (60 + r["vec_rank"]) if r["vec_rank"] else 0.0
+        ) + (1.0 / (60 + r["sparse_rank"]) if r["sparse_rank"] else 0.0)
+        assert abs(r["rrf"] - expect) < 1e-12
+    scores = [r["rrf"] for r in fused]
+    assert scores == sorted(scores, reverse=True)

@@ -911,3 +911,23 @@ def test_join_restart_exercises_cross_boundary_pairs(spark, sf_dir):
         r for r in res if r["click_ts"] <= boundary < r["purchase_ts"]
     ]
     assert straddling, f"no join pair straddles the phase boundary {boundary}"
+
+
+def test_streaming_knn_ingest_equals_batch_exact_scan(spark, sf_dir):
+    """The standing retrieval query: drained per-shard bottom-k state
+    merged on read must equal the batch flat scan exactly."""
+    from vector_db_from_scratch_spark.operators.knn import flat_knn
+    from vector_db_from_scratch_spark.streaming.stateful import (
+        KNN_STREAM_K,
+        knn_ingest_drained,
+    )
+
+    drained = [
+        (r["vec_id"], r["distance"])
+        for r in knn_ingest_drained(spark, sf_dir).collect()
+    ]
+    batch = [
+        (r["vec_id"], r["distance"])
+        for r in flat_knn(spark, sf_dir, "cosine", k=KNN_STREAM_K).collect()
+    ]
+    assert drained == batch

@@ -1669,3 +1669,115 @@ FROM e, q
 ORDER BY distance, vec_id
 LIMIT {k}
 """.strip()
+
+
+# --- discovery search: target + context pairs --------------------------------
+
+# Default request for the registry entry: steer toward vec 0 inside the
+# context "more like 3 than 7, more like 11 than 4".
+DISCOVERY_TARGET = 0
+DISCOVERY_PAIRS = [(3, 7), (11, 4)]
+
+
+def knn_discovery(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    target: int = DISCOVERY_TARGET,
+    pairs: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """(vec_id, context_score, target_distance): discovery search.
+
+    The constrained-exploration endpoint of production vector stores: rank
+    by closeness to a TARGET, but only as a tie-break inside a context cone
+    defined by (positive, negative) example pairs. Each pair votes
+
+      pair i votes for v  <=>  distance(v, pos_i) < distance(v, neg_i)
+
+    and candidates order by (context_score DESC, target_distance ASC,
+    vec_id) with context_score = the INTEGER vote count -- no float blend
+    of votes and distances, so the whole ranking is portable by
+    construction. The target and every pair member are excluded from
+    candidates.
+
+    Scale: same zero-shuffle shape as :func:`knn_recommend` -- the bounded
+    request pivots into literal columns, every vote and the target distance
+    are row-wise over the scan, top-k is TakeOrderedAndProject.
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    prs = [(int(a), int(b)) for a, b in (DISCOVERY_PAIRS if pairs is None else pairs)]
+    if not prs:
+        raise ValueError("discovery needs at least one context pair")
+    ids = [int(target)] + [v for p in prs for v in p]
+    vecs = _example_vectors(spark, sf_dir, ids)
+
+    def lit_vec(vid: int):
+        return F.array(*[F.lit(x) for x in vecs[int(vid)]])
+
+    emb = load_table(spark, sf_dir, EMB).filter(~F.col("vec_id").isin(ids))
+    votes = [
+        F.when(
+            distance_expr(metric, F.col("embedding"), lit_vec(a))
+            < distance_expr(metric, F.col("embedding"), lit_vec(b)),
+            1,
+        ).otherwise(0)
+        for a, b in prs
+    ]
+    score = votes[0]
+    for v in votes[1:]:
+        score = score + v
+    return (
+        emb.select(
+            "vec_id",
+            score.cast("long").alias("context_score"),
+            distance_expr(metric, F.col("embedding"), lit_vec(int(target))).alias(
+                "target_distance"
+            ),
+        )
+        .orderBy(F.col("context_score").desc(), "target_distance", "vec_id")
+        .limit(k)
+    )
+
+
+def knn_discovery_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    target: int = DISCOVERY_TARGET,
+    pairs: list[tuple[int, int]] | None = None,
+) -> str:
+    prs = [(int(a), int(b)) for a, b in (DISCOVERY_PAIRS if pairs is None else pairs)]
+    ids = [int(target)] + [v for p in prs for v in p]
+    excl = ", ".join(str(v) for v in ids)
+
+    def vec_cte(name: str, vid: int) -> str:
+        return (
+            f"{name} AS (SELECT embedding::DOUBLE[] AS v "
+            f"FROM embeddings WHERE vec_id = {int(vid)})"
+        )
+
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings "
+            f"WHERE vec_id NOT IN ({excl}))"]
+    srcs = ["e"]
+    ctes.append(vec_cte("tg", int(target)))
+    srcs.append("tg")
+    vote_terms = []
+    for i, (a, b) in enumerate(prs):
+        ctes.append(vec_cte(f"pa{i}", a))
+        ctes.append(vec_cte(f"pb{i}", b))
+        srcs += [f"pa{i}", f"pb{i}"]
+        da = oracle_distance_sql(metric, "e.ee", f"pa{i}.v")
+        db = oracle_distance_sql(metric, "e.ee", f"pb{i}.v")
+        vote_terms.append(f"CASE WHEN {da} < {db} THEN 1 ELSE 0 END")
+    score = " + ".join(vote_terms)
+    dt = oracle_distance_sql(metric, "e.ee", "tg.v")
+    cte_sql = ",\n".join(ctes)
+    return f"""
+WITH {cte_sql}
+SELECT e.vec_id AS vec_id, ({score})::BIGINT AS context_score,
+       {dt} AS target_distance
+FROM {", ".join(srcs)}
+ORDER BY context_score DESC, target_distance, vec_id
+LIMIT {k}
+""".strip()

@@ -303,6 +303,9 @@ def build() -> dict[str, Entry]:
         knn.knn_recommend_centroid,
         knn.knn_recommend_centroid_oracle(),
     )
+    # discovery search: integer context-pair votes rank first, target
+    # distance breaks ties -- constrained exploration, no float blending
+    reg["knn_discovery"] = (knn.knn_discovery, knn.knn_discovery_oracle())
     # group-by search: top groups by best hit, top-n hits per group
     reg["knn_group_topk"] = (knn.knn_group_topk, knn.knn_group_topk_oracle())
     # distance matrix over the bounded vec_id % 20 sample (pairwise
@@ -938,6 +941,12 @@ def build() -> dict[str, Entry]:
         search.sparse_dot_topk,
         search.sparse_dot_topk_oracle(),
     )
+    # the canonical two-encoder hybrid: dense cosine + sparse dot lists
+    # fused by reciprocal rank (both legs pool-capped before the join)
+    reg["search_hybrid_sparse_dense"] = (
+        search.hybrid_sparse_dense,
+        search.hybrid_sparse_dense_oracle(),
+    )
 
     # --- scalar function families (SURVEY §2.7 inherited built-ins) ---
     from .functions import scalars as sc
@@ -1474,6 +1483,14 @@ def build() -> dict[str, Entry]:
     reg["stream_kmv_by_group_ingest_drained"] = (
         _stateful.kmv_by_group_ingest_drained,
         kmv.kmv_by_group_oracle(),
+    )
+    # the STANDING RETRIEVAL QUERY: top-k to a monitored query vector
+    # maintained continuously as vectors ingest -- per-shard bottom-k
+    # (distance, vec_id) state, merged on read by k-smallest-of-union;
+    # oracle shared VERBATIM with the batch exact scan
+    reg["stream_knn_ingest_drained"] = (
+        _stateful.knn_ingest_drained,
+        knn.flat_knn_oracle("cosine", k=10, query_vec_id=0),
     )
     # multiplexed multi-topic source: union of landing dirs with a lineage
     # column, one streaming query, per-topic windows under the gate

@@ -323,3 +323,99 @@ def kmv_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming k-NN: the retrieval surface maintained CONTINUOUSLY as vectors
+# ingest -- the "index + standing query" a vector store actually runs,
+# where a monitored query's top-k must stay current without rescanning the
+# corpus. Top-k is not a pure aggregation, so (exactly like KMV's bottom-k)
+# each shard holds its k smallest (distance, vec_id) pairs in
+# applyInPandasWithState; the read path takes the k smallest of the union
+# of shard states. Correctness of merging stale update-mode snapshots: a
+# pair ever evicted from its shard had k in-shard better pairs, so >= k
+# globally better pairs exist and the evicted pair cannot re-enter the
+# global top-k -- the same monotone-dominance argument the KMV drain uses.
+# --------------------------------------------------------------------------
+
+KNN_STREAM_SHARDS = 8
+KNN_STREAM_K = 10
+KNN_OUTPUT_SCHEMA = "shard long, ds array<double>, ids array<long>"
+KNN_STATE_SCHEMA = "ds array<double>, ids array<long>"
+
+
+def _bottom_k_pairs(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    pairs: list[tuple[float, int]] = []
+    if state.exists:
+        ds, ids = state.get
+        pairs = list(zip(ds, ids))
+    for pdf in pdfs:
+        if len(pdf):
+            pairs.extend(
+                zip(pdf["distance"].tolist(), pdf["vec_id"].tolist())
+            )
+    pairs = sorted(set(pairs))[:KNN_STREAM_K]
+    ds = [float(d) for d, _ in pairs]
+    ids = [int(v) for _, v in pairs]
+    state.update((ds, ids))
+    yield pd.DataFrame({"shard": [key[0]], "ds": [ds], "ids": [ids]})
+
+
+def knn_ingest_stream(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.vector import distance_expr
+    from ..operators.knn import _example_vectors
+    from .windows import embeddings_stream
+
+    qv = _example_vectors(spark, sf_dir, [query_vec_id])[query_vec_id]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    vec = embeddings_stream(spark, sf_dir)
+    scored = vec.select(
+        "vec_id",
+        distance_expr("cosine", F.col("embedding"), q).alias("distance"),
+        (F.col("vec_id") % KNN_STREAM_SHARDS).alias("shard"),
+    )
+    return scored.groupBy("shard").applyInPandasWithState(
+        _bottom_k_pairs,
+        KNN_OUTPUT_SCHEMA,
+        KNN_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+@memoize_drain
+def knn_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained streaming top-k == the batch exact scan (oracle shared
+    VERBATIM with flat_knn at the same k): the standing retrieval query
+    stays exact while the corpus ingests, with per-shard state bounded at
+    k pairs no matter how long the stream runs."""
+    from pyspark.sql import functions as F
+
+    from .windows import drain_conf
+
+    with drain_conf(spark, partitions=KNN_STREAM_SHARDS):
+        q = (
+            knn_ingest_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName("t_gate_knn_ingest")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    emitted = spark.sql("SELECT * FROM t_gate_knn_ingest")
+    return (
+        emitted.select(F.explode(F.arrays_zip("ds", "ids")).alias("p"))
+        .select(F.col("p.ds").alias("distance"), F.col("p.ids").alias("vec_id"))
+        .distinct()
+        .orderBy("distance", "vec_id")
+        .limit(KNN_STREAM_K)
+        .select("vec_id", "distance")
+    )
