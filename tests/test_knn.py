@@ -543,3 +543,29 @@ def test_discovery_votes_and_order_match_python(spark, sf_dir):
     assert [
         (-r["context_score"], r["target_distance"], r["vec_id"]) for r in rows
     ] == scored
+
+
+def test_recommend_filter_composes_with_exclusion(spark, sf_dir):
+    """Filtered recommend: every hit carries the filter label, none is an
+    example, and results equal the unfiltered scores restricted to the
+    label (the filter must not change any surviving score)."""
+    from vector_db_from_scratch_spark.operators.knn import (
+        RECO_NEG,
+        RECO_POS,
+        knn_recommend,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    allowed = {
+        r["vec_id"] for r in emb.filter("label = 5").select("vec_id").collect()
+    }
+    rows = knn_recommend(spark, sf_dir, k=10, label_filter=5).collect()
+    assert rows
+    assert all(r["vec_id"] in allowed for r in rows)
+    assert not ({r["vec_id"] for r in rows} & set(RECO_POS + RECO_NEG))
+
+    n = emb.count()
+    full = knn_recommend(spark, sf_dir, k=n).collect()
+    full_scores = {r["vec_id"]: r["reco_distance"] for r in full}
+    for r in rows:
+        assert r["reco_distance"] == full_scores[r["vec_id"]]

@@ -1317,6 +1317,7 @@ def knn_recommend(
     k: int = 10,
     positives: list[int] | None = None,
     negatives: list[int] | None = None,
+    label_filter: int | None = None,
 ) -> DataFrame:
     """(vec_id, reco_distance): best-score recommend over ``embeddings``.
 
@@ -1361,6 +1362,10 @@ def knn_recommend(
     emb = load_table(spark, sf_dir, EMB).filter(
         ~F.col("vec_id").isin([int(v) for v in pos + neg])
     )
+    if label_filter is not None:
+        # F1/F2 discipline: the metadata filter lands on the scan BEFORE
+        # any distance work (and composes with the example exclusion)
+        emb = emb.filter(F.col("label") == label_filter)
     d_pos = least_of(
         [distance_expr(metric, F.col("embedding"), lit_vec(p)) for p in pos]
     )
@@ -1384,10 +1389,12 @@ def knn_recommend_oracle(
     k: int = 10,
     positives: list[int] | None = None,
     negatives: list[int] | None = None,
+    label_filter: int | None = None,
 ) -> str:
     pos = list(RECO_POS if positives is None else positives)
     neg = list(RECO_NEG if negatives is None else negatives)
     excl = ", ".join(str(int(v)) for v in pos + neg)
+    lf = f" AND label = {int(label_filter)}" if label_filter is not None else ""
 
     def vec_cte(name: str, vid: int) -> str:
         return (
@@ -1396,7 +1403,7 @@ def knn_recommend_oracle(
         )
 
     ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings "
-            f"WHERE vec_id NOT IN ({excl}))"]
+            f"WHERE vec_id NOT IN ({excl}){lf})"]
     srcs = ["e"]
     pterms, nterms = [], []
     for i, p in enumerate(pos):

@@ -303,6 +303,12 @@ def build() -> dict[str, Entry]:
         knn.knn_recommend_centroid,
         knn.knn_recommend_centroid_oracle(),
     )
+    # F1/F4 on the recommend endpoint: the metadata filter lands on the
+    # scan before any distance work and composes with example exclusion
+    reg["knn_recommend_filtered"] = (
+        lambda spark, sf: knn.knn_recommend(spark, sf, label_filter=5),
+        knn.knn_recommend_oracle(label_filter=5),
+    )
     # discovery search: integer context-pair votes rank first, target
     # distance breaks ties -- constrained exploration, no float blending
     reg["knn_discovery"] = (knn.knn_discovery, knn.knn_discovery_oracle())
