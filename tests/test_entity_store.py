@@ -237,3 +237,33 @@ def test_store_over_driver_tables_counts(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     want = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
     assert counts == want
+
+
+def test_store_recommend_best_score_and_guards(store):
+    """Recommend through the entity surface: known geometry — in lib-cos,
+    positive ch-1 (x axis) and negative ch-2 (y axis) must rank the
+    diagonal chunks by closeness-to-x minus closeness-to-y; examples
+    excluded; guards raise."""
+    rows = store.recommend("lib-cos", ["ch-1"], ["ch-2"], k=10).collect()
+    ids = [r["chunk_id"] for r in rows]
+    assert "ch-1" not in ids and "ch-2" not in ids
+    scores = {r["chunk_id"]: r["reco_distance"] for r in rows}
+    # ch-4/ch-5 (1,1,0) are equidistant to x and y: score 0; ch-3 (z axis)
+    # is orthogonal to both: score 0; ch-6 (zero vector) hits the +inf
+    # guard and sorts last
+    assert scores["ch-4"] == 0.0 and scores["ch-5"] == 0.0
+    assert scores["ch-6"] == math.inf
+    assert ids[-1] == "ch-6"
+
+    with pytest.raises(EntityError):
+        store.recommend("lib-cos", [], ["ch-2"])
+    with pytest.raises(EntityError):
+        store.recommend("lib-cos", ["ch-1"], k=0)
+    with pytest.raises(NotFoundError):
+        store.recommend("lib-cos", ["nope"])
+
+    # positive-only degenerates to search ordering by distance-to-example
+    reco = store.recommend("lib-cos", ["ch-1"], k=10).collect()
+    hits = store.search("lib-cos", [1.0, 0.0, 0.0], k=10).collect()
+    want = [(r["chunk_id"], r["distance"]) for r in hits if r["chunk_id"] != "ch-1"]
+    assert [(r["chunk_id"], r["reco_distance"]) for r in reco] == want

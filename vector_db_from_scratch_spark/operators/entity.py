@@ -355,6 +355,74 @@ class EntityStore:
             .limit(k)
         )
 
+    def recommend(
+        self,
+        library_id: str,
+        positive_chunk_ids: list[str],
+        negative_chunk_ids: list[str] | None = None,
+        k: int = 10,
+        metadata_filters: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Best-score recommend through the entity surface: the multi-
+        example endpoint over the library's chunks, with the same guards,
+        library scoping, and metadata pre-filter discipline as
+        :meth:`search` (operators/knn.py:knn_recommend for the semantics
+        and determinism contract). Example chunks are excluded from
+        candidates; missing examples raise NotFoundError."""
+        if k <= 0:
+            raise EntityError("k must be > 0")
+        pos = list(positive_chunk_ids)
+        neg = list(negative_chunk_ids or [])
+        if not pos:
+            raise EntityError("recommend needs at least one positive example")
+        lib = self._library(library_id)
+        ex_rows = (
+            self.chunks.filter(F.col("chunk_id").isin(pos + neg))
+            .select("chunk_id", "embedding")
+            .collect()
+        )
+        vecs = {r["chunk_id"]: [float(x) for x in r["embedding"]] for r in ex_rows}
+        missing = [c for c in pos + neg if c not in vecs]
+        if missing:
+            raise NotFoundError(f"example chunks not found: {missing}")
+        cand = self.chunks.join(
+            self.documents.filter(F.col("library_id") == library_id),
+            "document_id",
+            "left_semi",
+        ).filter(~F.col("chunk_id").isin(pos + neg))
+        if metadata_filters:
+            pred = reduce(
+                lambda a, b: a & b,
+                [F.col("metadata")[k_] == F.lit(v) for k_, v in metadata_filters.items()],
+            )
+            cand = cand.filter(pred)
+
+        def lit_vec(cid: str):
+            return F.array(*[F.lit(x) for x in vecs[cid]])
+
+        def least_of(cols):
+            return cols[0] if len(cols) == 1 else F.least(*cols)
+
+        metric = lib["distance_metric"]
+        d_pos = least_of(
+            [distance_expr(metric, F.col("embedding"), lit_vec(c)) for c in pos]
+        )
+        inf = F.lit(float("inf"))
+        if neg:
+            d_neg = least_of(
+                [distance_expr(metric, F.col("embedding"), lit_vec(c)) for c in neg]
+            )
+            score = F.when(d_pos == inf, inf).otherwise(d_pos - d_neg)
+        else:
+            score = d_pos
+        return (
+            cand.select(
+                "chunk_id", (score + F.lit(0.0)).alias("reco_distance")
+            )
+            .orderBy("reco_distance", "chunk_id")
+            .limit(k)
+        )
+
 
 # --------------------------------------------------------------------------
 # Fixture store (FIXTURES.md scenarios incl. the reference-test edge rows)
@@ -987,3 +1055,49 @@ def reference_layout_search_query(
         k=k,
         metadata_filters={"lang": "en"},
     )
+
+
+def store_recommend_query(
+    spark: SparkSession,
+    sf_dir: str,
+    library_id: str = "src0",
+    k: int = 10,
+) -> DataFrame:
+    """The recommend endpoint through the full entity composition:
+    library scoping + metadata filter + example exclusion + best-score
+    ranking, over the driver-table store."""
+    store = store_from_driver_tables(spark, sf_dir)
+    return store.recommend(
+        library_id,
+        positive_chunk_ids=["c3", "c11"],
+        negative_chunk_ids=["c7"],
+        k=k,
+        metadata_filters={"lang": "en"},
+    )
+
+
+def store_recommend_query_oracle(library_id: str = "src0", k: int = 10) -> str:
+    from ..functions.vector import oracle_distance_sql
+
+    dp0 = oracle_distance_sql("cosine", "c.v", "p0.v")
+    dp1 = oracle_distance_sql("cosine", "c.v", "p1.v")
+    dn0 = oracle_distance_sql("cosine", "c.v", "n0.v")
+    d_pos = f"least({dp0}, {dp1})"
+    score = (
+        f"CASE WHEN {d_pos} = 'infinity'::DOUBLE THEN 'infinity'::DOUBLE "
+        f"ELSE {d_pos} - {dn0} END"
+    )
+    return f"""
+WITH c AS (
+  SELECT 'c' || d.doc_id AS chunk_id, e.embedding::DOUBLE[] AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.source = '{library_id}' AND d.lang = 'en'
+    AND 'c' || d.doc_id NOT IN ('c3', 'c11', 'c7')),
+p0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 3),
+p1 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 11),
+n0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7)
+SELECT c.chunk_id AS chunk_id, ({score}) + 0.0 AS reco_distance
+FROM c, p0, p1, n0
+ORDER BY reco_distance, chunk_id
+LIMIT {k}
+""".strip()

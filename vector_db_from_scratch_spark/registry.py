@@ -376,6 +376,12 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: entity.store_search_query(spark, sf),
         entity.store_search_query_oracle(),
     )
+    # the recommend endpoint through the same composition (library scope +
+    # metadata filter + example exclusion + best-score), gated end-to-end
+    reg["entity_store_recommend"] = (
+        lambda spark, sf: entity.store_recommend_query(spark, sf),
+        entity.store_recommend_query_oracle(),
+    )
     # F1 MapType metadata filter with missing-key semantics, gated
     reg["filter_metadata_map"] = (r.metadata_map_filter, r.metadata_map_filter_oracle())
     # Q3 (bucket probe + <k fallback) through the entity surface
