@@ -524,3 +524,60 @@ def test_nprobe_sweep_monotone_and_degenerate_exact(spark, sf_dir):
     assert recalls[-1] == 1.0
     # the curve is informative on this corpus: nprobe=1 misses something
     assert recalls[0] < 1.0
+
+
+def test_ivf_recommend_pool_and_scores_consistent_with_flat(spark, sf_dir):
+    """IVF recommend: every hit lies in a probed cell of SOME example, and
+    each hit's score equals the flat recommend score for that id (the
+    index changes the candidate pool, never the scoring)."""
+    from vector_db_from_scratch_spark.operators.ivf import (
+        NPROBE,
+        _centroids,
+        assign_cells,
+        ivf_recommend,
+    )
+    from vector_db_from_scratch_spark.operators.knn import (
+        RECO_NEG,
+        RECO_POS,
+        knn_recommend,
+    )
+    from pyspark.sql import functions as F
+
+    rows = ivf_recommend(spark, sf_dir, k=10).collect()
+    assert rows and not (
+        {r["vec_id"] for r in rows} & set(RECO_POS + RECO_NEG)
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    flat = {
+        r["vec_id"]: r["reco_distance"]
+        for r in knn_recommend(spark, sf_dir, k=n).collect()
+    }
+    for r in rows:
+        assert r["reco_distance"] == flat[r["vec_id"]]
+
+    # pool membership: each hit's assigned cell is among the union of the
+    # examples' probed cells
+    cells = set()
+    cent = _centroids(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for ex in RECO_POS + RECO_NEG:
+        q = [float(x) for x in emb.filter(F.col("vec_id") == ex).collect()[0]["embedding"]]
+        from vector_db_from_scratch_spark.functions.vector import distance_expr
+
+        pc = (
+            cent.select(
+                "cell",
+                distance_expr(
+                    "euclidean", F.col("cv"), F.array(*[F.lit(x) for x in q])
+                ).alias("qd"),
+            )
+            .orderBy("qd", "cell")
+            .limit(NPROBE)
+            .collect()
+        )
+        cells |= {r["cell"] for r in pc}
+    assigned = {
+        r["vec_id"]: r["cell"] for r in assign_cells(spark, sf_dir).collect()
+    }
+    assert all(assigned[r["vec_id"]] in cells for r in rows)

@@ -1982,3 +1982,157 @@ FROM a WHERE rn = 1
 GROUP BY label, clabel
 ORDER BY label, assigned_label
 """.strip()
+
+
+def ivf_recommend(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+    positives: list[int] | None = None,
+    negatives: list[int] | None = None,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """(vec_id, reco_distance): best-score recommend over the IVF index --
+    the recommend endpoint composed with the ANN index family, the way a
+    production store serves multi-example requests without an exact scan.
+
+    Candidate pool = the UNION of each example's ``nprobe`` nearest cells
+    (every example pulls its own neighborhood into the pool, so negatives
+    contribute their regions too -- a candidate close to a negative must
+    be seen to be scored DOWN, not merely missed). Scoring over the pool
+    is exactly :func:`operators.knn.knn_recommend`'s contract
+    (min-over-positives minus min-over-negatives, round-6dp members,
+    examples excluded, +inf guard).
+
+    Scale: probes are broadcast cell lists into the partition-pruned index
+    table (persisted partitionBy(cell) at scale); pool size is bounded by
+    |examples| x nprobe cells regardless of corpus size; the top-k is
+    TakeOrdered. Deterministic end-to-end, so the whole approximate
+    endpoint is hash-gated -- recall vs the flat recommend is a property
+    of the probe width, not of nondeterminism.
+    """
+    from .knn import RECO_NEG, RECO_POS, _example_vectors
+
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    pos = list(RECO_POS if positives is None else positives)
+    neg = list(RECO_NEG if negatives is None else negatives)
+    if not pos:
+        raise ValueError("recommend needs at least one positive example")
+    ids = [int(v) for v in pos + neg]
+    vecs = _example_vectors(spark, sf_dir, ids)
+
+    def lit_vec(vid: int):
+        return F.array(*[F.lit(x) for x in vecs[int(vid)]])
+
+    def least_of(cols):
+        return cols[0] if len(cols) == 1 else F.least(*cols)
+
+    cent = _centroids(spark, sf_dir)
+    probe = None
+    for vid in ids:
+        pc = (
+            cent.select(
+                "cell",
+                distance_expr("euclidean", F.col("cv"), lit_vec(vid)).alias("qd"),
+            )
+            .orderBy("qd", "cell")
+            .limit(nprobe)
+            .select("cell")
+        )
+        probe = pc if probe is None else probe.union(pc)
+    cells = probe.distinct()
+
+    pool = (
+        assign_cells(spark, sf_dir)
+        .join(F.broadcast(cells), "cell")
+        .filter(~F.col("vec_id").isin(ids))
+    )
+    d_pos = least_of(
+        [distance_expr(metric, F.col("embedding"), lit_vec(p)) for p in pos]
+    )
+    inf = F.lit(float("inf"))
+    if neg:
+        d_neg = least_of(
+            [distance_expr(metric, F.col("embedding"), lit_vec(n)) for n in neg]
+        )
+        score = F.when(d_pos == inf, inf).otherwise(d_pos - d_neg)
+    else:
+        score = d_pos
+    return (
+        pool.select("vec_id", (score + F.lit(0.0)).alias("reco_distance"))
+        .orderBy("reco_distance", "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_recommend_oracle(
+    metric: str = "cosine",
+    k: int = 10,
+    positives: list[int] | None = None,
+    negatives: list[int] | None = None,
+    nprobe: int = NPROBE,
+) -> str:
+    from .knn import RECO_NEG, RECO_POS
+
+    pos = list(RECO_POS if positives is None else positives)
+    neg = list(RECO_NEG if negatives is None else negatives)
+    ids = [int(v) for v in pos + neg]
+    excl = ", ".join(str(v) for v in ids)
+    eu = oracle_distance_sql("euclidean", "e.v", "c.cv")
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv "
+        f"FROM embeddings WHERE vec_id < {NUM_CELLS})",
+        f"""assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {eu}, c.cell) AS rn
+    FROM e, cent c)
+  WHERE rn = 1 AND vec_id NOT IN ({excl}))""",
+    ]
+    probe_parts = []
+    names = []
+    for i, vid in enumerate(ids):
+        nm = f"x{i}"
+        names.append(nm)
+        ctes.append(
+            f"{nm} AS (SELECT embedding::DOUBLE[] AS v FROM embeddings "
+            f"WHERE vec_id = {vid})"
+        )
+        dq = oracle_distance_sql("euclidean", "c.cv", f"{nm}.v")
+        ctes.append(
+            f"pr{i} AS (SELECT cell FROM cent c, {nm} "
+            f"ORDER BY {dq}, cell LIMIT {nprobe})"
+        )
+        probe_parts.append(f"SELECT cell FROM pr{i}")
+    ctes.append(
+        "probe AS (SELECT DISTINCT cell FROM (" + " UNION ALL ".join(probe_parts) + "))"
+    )
+    pterms = [
+        oracle_distance_sql(metric, "a.v", f"x{i}.v") for i in range(len(pos))
+    ]
+    nterms = [
+        oracle_distance_sql(metric, "a.v", f"x{len(pos) + i}.v")
+        for i in range(len(neg))
+    ]
+    d_pos = pterms[0] if len(pterms) == 1 else "least(" + ", ".join(pterms) + ")"
+    if nterms:
+        d_neg = nterms[0] if len(nterms) == 1 else "least(" + ", ".join(nterms) + ")"
+        score = (
+            f"CASE WHEN {d_pos} = 'infinity'::DOUBLE THEN 'infinity'::DOUBLE "
+            f"ELSE {d_pos} - {d_neg} END"
+        )
+    else:
+        score = d_pos
+    cte_sql = ",\n".join(ctes)
+    src = ", ".join(["assign a JOIN probe USING (cell)"] + names)
+    return f"""
+WITH {cte_sql}
+SELECT a.vec_id AS vec_id, ({score}) + 0.0 AS reco_distance
+FROM {src}
+ORDER BY reco_distance, vec_id
+LIMIT {k}
+""".strip()

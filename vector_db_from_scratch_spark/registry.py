@@ -1227,6 +1227,10 @@ def build() -> dict[str, Entry]:
         lambda spark, sf: ivf.ivf_knn(spark, sf, "cosine", k=5, query_vec_id=0, label_filter=5),
         ivf.ivf_knn_oracle("cosine", k=5, query_vec_id=0, label_filter=5),
     )
+    # recommend composed with the ANN index: union of every example's
+    # nprobe cells (negatives pull their regions in too -- a candidate
+    # near a negative must be SEEN to be scored down), best-score rerank
+    reg["ivf_recommend"] = (ivf.ivf_recommend, ivf.ivf_recommend_oracle())
     # stats-driven filtered-ANN strategy: KMV-NDV + min/max-interpolation
     # selectivity estimate picks pre-filter exact scan vs IVF probe per
     # query; decision inputs, chosen strategy, and the chosen branch's
