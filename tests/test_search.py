@@ -108,3 +108,22 @@ def test_hybrid_sparse_dense_fuses_both_lists(spark, sf_dir):
         assert abs(r["rrf"] - expect) < 1e-12
     scores = [r["rrf"] for r in fused]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_sparse_batch_matches_single_query_path(spark, sf_dir):
+    """Batch sparse retrieval equals the single-query path per query."""
+    from vector_db_from_scratch_spark.operators.search import (
+        sparse_dot_batch,
+        sparse_dot_topk,
+    )
+
+    batch = sparse_dot_batch(spark, sf_dir, num_queries=3, k=10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["qdoc"], []).append((r["rank"], r["doc_id"], r["score"]))
+    assert set(by_q) == {0, 1, 2}
+    for qdoc, rows in by_q.items():
+        single = sparse_dot_topk(spark, sf_dir, query_doc_id=qdoc, k=10).collect()
+        assert sorted(rows) == [
+            (i + 1, r["doc_id"], r["score"]) for i, r in enumerate(single)
+        ]

@@ -2136,3 +2136,42 @@ FROM {src}
 ORDER BY reco_distance, vec_id
 LIMIT {k}
 """.strip()
+
+
+def recommend_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    metric: str = "cosine",
+    k: int = 10,
+) -> DataFrame:
+    """(k, n_matched, recall_at_k): recall of the IVF-composed recommend
+    vs the flat recommend -- the recall-gate discipline applied to the
+    composed endpoint; deterministic on both sides, so the verdict row is
+    hash-gated like ann_recall_ivf."""
+    from . import knn as knn_mod
+
+    exact = knn_mod.knn_recommend(spark, sf_dir, metric, k=k).select("vec_id")
+    approx = ivf_recommend(spark, sf_dir, metric, k=k).select("vec_id")
+    return (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .select(
+            F.lit(k).alias("k"),
+            "n_matched",
+            (F.col("n_matched").cast("double") / F.lit(float(k))).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def recommend_recall_oracle(metric: str = "cosine", k: int = 10) -> str:
+    from . import knn as knn_mod
+
+    flat_sql = knn_mod.knn_recommend_oracle(metric, k=k)
+    ivf_sql = ivf_recommend_oracle(metric, k=k)
+    return f"""
+SELECT {k} AS k, count(*)::BIGINT AS n_matched,
+       count(*)::DOUBLE / {k} AS recall_at_k
+FROM ({flat_sql}) a JOIN ({ivf_sql}) b USING (vec_id)
+""".strip()

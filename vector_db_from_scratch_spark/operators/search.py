@@ -581,3 +581,113 @@ SELECT id, vec_rank, sparse_rank, rrf FROM fused
 ORDER BY rrf DESC, id
 LIMIT {k}
 """.strip()
+
+
+def sparse_dot_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    num_queries: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """(qdoc, rank, doc_id, score): batch sparse retrieval -- docs 0..Q-1
+    each retrieve against the corpus, ONE postings pass serves the whole
+    batch (the retrieval-eval shape: Q queries amortize one inverted-index
+    build instead of Q passes).
+
+    Same integer-exact weight contract as :func:`sparse_dot_topk`. The
+    union of the batch's terms resolves driver-side (bounded: Q docs'
+    distinct terms) and prunes the exploded tokens BEFORE the shuffle;
+    per-(qdoc, doc) sums then shuffle only matching pairs. Per-query top-k
+    is two-phase (partition-local rank, then rank over the k x partitions
+    survivors) so no single query funnels its full candidate set through
+    one task -- the batch_knn discipline (operators/knn.py:25).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    qrows = (
+        docs.filter(F.col("doc_id") < num_queries)
+        .select(
+            F.col("doc_id").alias("qdoc"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .groupBy("qdoc", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf_q"))
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("no query docs found")
+    terms = sorted({r["term"] for r in qrows})
+    qvec = spark.createDataFrame(
+        [(r["qdoc"], r["term"], r["tf_q"]) for r in qrows],
+        "qdoc long, term string, tf_q long",
+    )
+    post = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.expr("(2000 * n_docs + df) div (2 * df)").alias("idf_milli")
+    )
+    scored = (
+        post.join(F.broadcast(qvec), "term")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "qdoc",
+            "doc_id",
+            (
+                (F.col("tf") * F.col("idf_milli")).cast("decimal(38,0)")
+                * (F.col("tf_q") * F.col("idf_milli")).cast("decimal(38,0)")
+            ).alias("part"),
+        )
+        .groupBy("qdoc", "doc_id")
+        .agg(F.sum("part").cast("long").alias("score"))
+    )
+    w1 = Window.partitionBy("qdoc", F.spark_partition_id()).orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    w2 = Window.partitionBy("qdoc").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("prank", F.row_number().over(w1))
+        .filter(F.col("prank") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qdoc", "rank", "doc_id", "score")
+        .orderBy("qdoc", "rank")
+    )
+
+
+def sparse_dot_batch_oracle(num_queries: int = 4, k: int = 10) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+qvec AS (
+  SELECT doc_id AS qdoc, term, tf AS tf_q FROM post WHERE doc_id < {num_queries}),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+terms AS (SELECT DISTINCT term FROM qvec),
+fpost AS (SELECT p.* FROM post p JOIN terms USING (term)),
+idf AS (
+  SELECT term, (2000 * n.n_docs + df) // (2 * df) AS idf_milli
+  FROM (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM fpost GROUP BY term), n),
+scored AS (
+  SELECT q.qdoc, p.doc_id,
+         sum((p.tf * i.idf_milli)::HUGEINT * (q.tf_q * i.idf_milli))::BIGINT
+             AS score
+  FROM fpost p JOIN qvec q USING (term) JOIN idf i USING (term)
+  GROUP BY q.qdoc, p.doc_id),
+ranked AS (
+  SELECT qdoc, doc_id, score,
+         row_number() OVER (PARTITION BY qdoc
+                            ORDER BY score DESC, doc_id)::BIGINT AS rank
+  FROM scored)
+SELECT qdoc, rank, doc_id, score FROM ranked
+WHERE rank <= {k}
+ORDER BY qdoc, rank
+""".strip()

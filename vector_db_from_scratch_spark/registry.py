@@ -955,6 +955,12 @@ def build() -> dict[str, Entry]:
     )
     # the canonical two-encoder hybrid: dense cosine + sparse dot lists
     # fused by reciprocal rank (both legs pool-capped before the join)
+    # batch sparse retrieval: one postings pass serves Q queries, per-
+    # query top-k two-phase (the batch_knn discipline on the sparse leg)
+    reg["search_sparse_batch"] = (
+        search.sparse_dot_batch,
+        search.sparse_dot_batch_oracle(),
+    )
     reg["search_hybrid_sparse_dense"] = (
         search.hybrid_sparse_dense,
         search.hybrid_sparse_dense_oracle(),
@@ -1231,6 +1237,10 @@ def build() -> dict[str, Entry]:
     # nprobe cells (negatives pull their regions in too -- a candidate
     # near a negative must be SEEN to be scored down), best-score rerank
     reg["ivf_recommend"] = (ivf.ivf_recommend, ivf.ivf_recommend_oracle())
+    reg["ann_recall_recommend"] = (
+        ivf.recommend_recall,
+        ivf.recommend_recall_oracle(),
+    )
     # stats-driven filtered-ANN strategy: KMV-NDV + min/max-interpolation
     # selectivity estimate picks pre-filter exact scan vs IVF probe per
     # query; decision inputs, chosen strategy, and the chosen branch's
