@@ -81,3 +81,74 @@ def test_topk_is_valid_under_all_metrics(spark):
                 assert r["dist"] <= kth + tol, (
                     f"{metric}: returned distance {r['dist']} beyond true kth {kth}"
                 )
+
+
+_RECO_REQUESTS: list[tuple[list[int], list[int]]] = []
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 49), min_size=1, max_size=4, unique=True),
+    st.lists(st.integers(50, 99), min_size=0, max_size=3, unique=True),
+)
+def test_collect_recommend_requests(pos, neg):
+    _RECO_REQUESTS.append((pos, neg))
+
+
+def test_recommend_matches_python_replica_on_random_requests(spark, sf_dir):
+    """Property fuzz through the REAL knn_recommend path: for randomized
+    positive/negative example sets, the Spark result equals an
+    independent Python replica (round-6dp half-up distances, best-score,
+    exclusion, (score, id) order)."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from vector_db_from_scratch_spark.operators.knn import knn_recommend
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def cos6(v, q):
+        dot = sum(a * b for a, b in zip(v, q))
+        nv = math.sqrt(sum(a * a for a in v))
+        nq = math.sqrt(sum(b * b for b in q))
+        if nv * nq == 0:
+            return float("inf")
+        return float(
+            Decimal(1.0 - dot / (nv * nq)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    # de-dup generated requests, keep a bounded number of Spark jobs
+    seen, picked = set(), []
+    for pos, neg in _RECO_REQUESTS:
+        key = (tuple(sorted(pos)), tuple(sorted(neg)))
+        if key not in seen:
+            seen.add(key)
+            picked.append((pos, neg))
+        if len(picked) == 6:
+            break
+    picked = picked or [([0, 3], [7])]
+
+    for pos, neg in picked:
+        rows = knn_recommend(
+            spark, sf_dir, "cosine", k=8, positives=pos, negatives=neg
+        ).collect()
+        excluded = set(pos) | set(neg)
+        want = []
+        for vid, v in emb.items():
+            if vid in excluded:
+                continue
+            dp = min(cos6(v, emb[p]) for p in pos)
+            if neg:
+                dn = min(cos6(v, emb[n]) for n in neg)
+                score = math.inf if math.isinf(dp) else dp - dn
+            else:
+                score = dp
+            want.append((score, vid))
+        want = sorted(want)[:8]
+        got = [(r["reco_distance"], r["vec_id"]) for r in rows]
+        assert got == want, (pos, neg)
