@@ -41,6 +41,11 @@ def build_specs() -> list[tuple[str, Callable[[SparkSession, str], object]]]:
     from .operators import dedup, entity, ivf, lsh, pq, sq
 
     return [
+        # --- sketch-family primitive: the shared hashed-events frame
+        # (operators/_evhash.py) every events-keyed sketch aggregates from
+        ("sketch_hashed_events", _events_hashed_build),
+        # --- positional k-gram table (the exact-substring span index)
+        ("positional_grams", lambda s, d: dedup._positional_grams_cached(s, d)),
         # --- text-dedup primitives (shared by every jaccard/minhash query)
         ("shingle_index", lambda s, d: dedup._shingle_index(s, d)),
         ("shingle_df_counts", lambda s, d: dedup._shingle_df_counts(s, d)),
@@ -84,6 +89,13 @@ def _ssjoin_left_replay(s: SparkSession, d: str) -> None:
     from .streaming import joins
 
     joins._left_join_replay_dir(s, d)
+
+
+def _events_hashed_build(s: SparkSession, d: str) -> None:
+    from .operators import _evhash
+
+    # localCheckpoint is eager: construction materializes the frame here
+    _evhash.events_hashed(s, d)
 
 
 def _multiplex_dirs_build(s: SparkSession, d: str) -> None:

@@ -43,24 +43,14 @@ def _events_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cm_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The d x w counter grid over per-user event frequencies as a
     (row, bucket, counter) table, hash-gated: a wrong hash salt, modulus,
-    or depth flips counters."""
-    ev = _events_keyed(spark, sf_dir)
-    cells = ev.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
-                    )
-                    for i in range(CM_DEPTH)
-                ]
-            )
-        ).alias("c")
-    )
+    or depth flips counters. The CM_DEPTH salted digests per row come from
+    the shared hashed-events frame (operators/_evhash.py) instead of being
+    re-computed per query — same expressions, one materialization."""
+    from ._evhash import cm_cells, events_hashed
+
+    cells = cm_cells(events_hashed(spark, sf_dir))
     return (
-        cells.select("c.row", "c.bucket")
-        .groupBy("row", "bucket")
+        cells.groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("counter"))
         .orderBy("row", "bucket")
     )
@@ -95,21 +85,9 @@ def cm_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup protocol itself (shared salts, bucket alignment, additive
     merge), which is how per-shard frequency grids combine at 100 TB
     without the raw keys ever co-shuffling."""
-    ev = _events_keyed(spark, sf_dir)
-    cells = ev.select(
-        (F.col("user_id") % N_SHARDS).alias("shard"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
-                    )
-                    for i in range(CM_DEPTH)
-                ]
-            )
-        ).alias("c"),
-    ).select("shard", "c.row", "c.bucket")
+    from ._evhash import cm_cells, events_hashed
+
+    cells = cm_cells(events_hashed(spark, sf_dir), "shard")
     shard_grids = cells.groupBy("shard", "row", "bucket").agg(
         F.count(F.lit(1)).alias("counter")
     )
@@ -191,12 +169,12 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold); a deployment sizes w ~ e/eps for the tolerated
     overestimate eps*n (the standard CM sizing rule). The guarantee gated
     here (no false NEGATIVES) holds at any width."""
-    ev = _events_keyed(spark, sf_dir)
-    counters = cm_counters(spark, sf_dir)
-    from ..functions.hashing import hash60 as _h60
+    from ._evhash import CM_DEPTH as _D, cm_cells, events_hashed
     from .kmv import HASH_SPACE, K_MIN
 
-    hashes = ev.select(_h60(F.col("user_id").cast("string")).alias("h")).distinct()
+    ev = events_hashed(spark, sf_dir)
+    counters = cm_counters(spark, sf_dir)
+    hashes = ev.select("h").distinct()
     est_d = F.when(F.col("k") < K_MIN, F.col("k").cast("double")).otherwise(
         (F.col("k") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min")
     )
@@ -214,21 +192,8 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    probes = ev.select("user_id").distinct()
-    probe_cells = probes.select(
-        "user_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
-                    )
-                    for i in range(CM_DEPTH)
-                ]
-            )
-        ).alias("c"),
-    ).select("user_id", "c.row", "c.bucket")
+    probes = ev.select("user_id", *[f"b{i}" for i in range(_D)]).distinct()
+    probe_cells = cm_cells(probes, "user_id")
     est = (
         probe_cells.join(F.broadcast(counters), ["row", "bucket"])
         .groupBy("user_id")
@@ -307,23 +272,16 @@ def cm_point_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates against the exact per-user counts: (user_id, est, exact,
     overcount) with overcount >= 0 ALWAYS (the CM guarantee -- a negative
     value anywhere means the sketch or the probe path is broken)."""
-    ev = _events_keyed(spark, sf_dir)
+    from ._evhash import cm_cells, events_hashed
+
+    ev = events_hashed(spark, sf_dir)
     counters = cm_counters(spark, sf_dir)
-    probes = ev.filter(F.col("user_id") % PROBE_MOD == 0).select("user_id").distinct()
-    probe_cells = probes.select(
-        "user_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
-                    )
-                    for i in range(CM_DEPTH)
-                ]
-            )
-        ).alias("c"),
-    ).select("user_id", "c.row", "c.bucket")
+    probes = (
+        ev.filter(F.col("user_id") % PROBE_MOD == 0)
+        .select("user_id", *[f"b{i}" for i in range(CM_DEPTH)])
+        .distinct()
+    )
+    probe_cells = cm_cells(probes, "user_id")
     est = (
         probe_cells.join(F.broadcast(counters), ["row", "bucket"])
         .groupBy("user_id")
@@ -372,24 +330,11 @@ def cm_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     theirs). Same salts and width as the global grid, so per-group grids
     roll up to it by cell-wise addition; output is nonzero cells only,
     bounded by groups x d x w regardless of corpus size."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    cells = ev.select(
-        F.col("event_type").alias("grp"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
-                    )
-                    for i in range(CM_DEPTH)
-                ]
-            )
-        ).alias("c"),
-    )
+    from ._evhash import cm_cells, events_hashed
+
+    cells = cm_cells(events_hashed(spark, sf_dir), "grp")
     return (
-        cells.select("grp", "c.row", "c.bucket")
-        .groupBy("grp", "row", "bucket")
+        cells.groupBy("grp", "row", "bucket")
         .agg(F.count(F.lit(1)).alias("counter"))
         .orderBy("grp", "row", "bucket")
     )
@@ -414,22 +359,9 @@ def cm_by_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol under the gate WITHIN a grouping key, i.e. per-source shards
     combine without their raw keys ever co-shuffling. Emits the cell-wise
     full-outer diff (all zeros) like cm_merge_shards."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    cells = ev.select(
-        F.col("event_type").alias("grp"),
-        (F.col("user_id") % N_SHARDS).alias("shard"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
-                    )
-                    for i in range(CM_DEPTH)
-                ]
-            )
-        ).alias("c"),
-    ).select("grp", "shard", "c.row", "c.bucket")
+    from ._evhash import cm_cells, events_hashed
+
+    cells = cm_cells(events_hashed(spark, sf_dir), "grp", "shard")
     shard_grids = cells.groupBy("grp", "shard", "row", "bucket").agg(
         F.count(F.lit(1)).alias("counter")
     )

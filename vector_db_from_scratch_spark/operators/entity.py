@@ -885,16 +885,12 @@ def store_search_query(
 ) -> DataFrame:
     from ..sources.tables import load_table
 
+    from .knn import query_vector
+
     store = store_from_driver_tables(spark, sf_dir)
-    qrow = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .collect()[0]
-    )
     return store.search(
         library_id,
-        [float(x) for x in qrow["embedding"]],
+        query_vector(spark, sf_dir, query_vec_id),
         k=k,
         metadata_filters={"lang": "en"},
     )
@@ -945,15 +941,11 @@ def store_search_lsh_query(
         num_projections=num_projections,
         random_state=random_state,
     )
-    qrow = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .collect()[0]
-    )
+    from .knn import query_vector
+
     return store.search(
         library_id,
-        [float(x) for x in qrow["embedding"]],
+        query_vector(spark, sf_dir, query_vec_id),
         k=k,
         metadata_filters={"lang": "en"},
     )
@@ -1043,15 +1035,11 @@ def reference_layout_search_query(
             _store_restricted(base, library_id), scratch_dir("ref-layout-")
         )
     store = load_reference_layout(spark, _REF_LAYOUT_MEMO[key])
-    qrow = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .collect()[0]
-    )
+    from .knn import query_vector
+
     return store.search(
         library_id,
-        [float(x) for x in qrow["embedding"]],
+        query_vector(spark, sf_dir, query_vec_id),
         k=k,
         metadata_filters={"lang": "en"},
     )

@@ -37,8 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60, hash60_sql
-from ..sources.tables import load_table
+from ..functions.hashing import hash60_sql
 
 P = 8
 M = 1 << P  # 256 registers
@@ -94,8 +93,10 @@ def _register_agg(regs: DataFrame, prefix: str = "") -> DataFrame:
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One gated row: (m, obs, reg_fingerprint, v_zero, est_distinct,
     exact_distinct, rel_err) for the distinct user_id count of events."""
-    ev = load_table(spark, sf_dir, "events")
-    keys = ev.select(hash60(F.col("user_id").cast("string")).alias("h"))
+    from ._evhash import events_hashed
+
+    ev = events_hashed(spark, sf_dir)
+    keys = ev.select("h")
     agg = _register_agg(_registers(keys))
     est = _estimate_cols()
     return (
@@ -165,11 +166,9 @@ def hll_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeability under the gate: per-shard registers (user_id % N_SHARDS)
     merge by element-wise MAX; the merged sketch must EQUAL the whole-corpus
     sketch register-for-register (diff rows gated 0) and in estimate."""
-    ev = load_table(spark, sf_dir, "events")
-    keys = ev.select(
-        (F.col("user_id") % N_SHARDS).alias("shard"),
-        hash60(F.col("user_id").cast("string")).alias("h"),
-    )
+    from ._evhash import events_hashed
+
+    keys = events_hashed(spark, sf_dir).select("shard", "h")
     j = F.expr(f"h div {TWO52}")
     w = F.col("h") % TWO52
     rho = (
@@ -247,10 +246,10 @@ def hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, obs, reg_fingerprint, est_distinct, exact_distinct,
     rel_err): one register-exact HLL per event type -- the per-source
     cardinality profile, bounded by group cardinality x M registers."""
-    ev = load_table(spark, sf_dir, "events")
-    keys = ev.select(
-        "event_type", hash60(F.col("user_id").cast("string")).alias("h")
-    )
+    from ._evhash import events_hashed
+
+    ev = events_hashed(spark, sf_dir)
+    keys = ev.select(F.col("grp").alias("event_type"), "h")
     j = F.expr(f"h div {TWO52}")
     w = F.col("h") % TWO52
     rho = (
@@ -270,7 +269,7 @@ def hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_obs"
         ),
     )
-    exact = ev.groupBy("event_type").agg(
+    exact = ev.groupBy(F.col("grp").alias("event_type")).agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
     est = _estimate_cols()
@@ -338,12 +337,12 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate input is integer-deterministic on the portable hash, so the
     whole row is under the hash gate. At 100 TB only the <= 2m register
     rows meet; the raw user sets never co-shuffle."""
-    ev = load_table(spark, sf_dir, "events")
+    from ._evhash import events_hashed
+
+    ev = events_hashed(spark, sf_dir)
 
     def keys(event_type: str) -> DataFrame:
-        return ev.filter(F.col("event_type") == event_type).select(
-            hash60(F.col("user_id").cast("string")).alias("h")
-        )
+        return ev.filter(F.col("grp") == event_type).select("h")
 
     a_regs = _registers(keys("click"))
     b_regs = _registers(keys("purchase"))
@@ -355,7 +354,7 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.round(est_a + est_b - est_u, 6) + F.lit(0.0)
 
     def users(event_type: str) -> DataFrame:
-        return ev.filter(F.col("event_type") == event_type).select("user_id")
+        return ev.filter(F.col("grp") == event_type).select("user_id")
 
     # exact counts for error context (bounded rows)
     ex = (

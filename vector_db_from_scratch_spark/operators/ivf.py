@@ -1776,6 +1776,18 @@ def knn_strategy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand = assigned.join(F.broadcast(probe_cells), "cell").select(
                 "vec_id", "embedding"
             )
+        # Branch routing stays the flag-ABOVE-the-top-k form: all four
+        # branches compute their k rows in parallel and the 1-row flag
+        # drops the losers. Round 10 measured the alternative (0-or-1-row
+        # gate inside a broadcast under each branch, AQE empty-propagation
+        # killing dead scans): it SERIALIZES four stage chains behind four
+        # gate broadcasts and ran 1.6s -> 2.6-3.5s warm isolated, because
+        # every input here is either the 2000-row embeddings scan or the
+        # cached cell assignment -- dead-branch work is trivial while the
+        # extra AQE barriers are not. join_strategy_auto keeps the gated
+        # form because its dead branches are real joins (see
+        # maintenance.py); the right shape is input-size-dependent and
+        # both are documented in OPTIMIZATION_r10.md.
         topk = (
             cand.crossJoin(F.broadcast(q))
             .select(

@@ -24,8 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60, hash60_sql
-from ..sources.tables import load_table
+from ..functions.hashing import hash60_sql
 
 K_MIN = 256
 HASH_SPACE = float(2**60)
@@ -42,8 +41,10 @@ def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the distinct user_id count of events. Fewer than K_MIN distinct
     hashes means the sketch IS the exact set (estimate = k, the standard
     small-cardinality rule)."""
-    ev = load_table(spark, sf_dir, "events")
-    hashes = ev.select(hash60(F.col("user_id").cast("string")).alias("h")).distinct()
+    from ._evhash import events_hashed
+
+    ev = events_hashed(spark, sf_dir)
+    hashes = ev.select("h").distinct()
     topk = hashes.orderBy("h").limit(K_MIN)
     est = F.when(
         F.col("k") < K_MIN, F.col("k").cast("double")
@@ -77,14 +78,12 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     row -- thresholds, sample counts, estimates, exact counts -- is under
     the hash gate. At 100 TB only the two k-row sketches meet; the raw
     sets never co-shuffle."""
-    ev = load_table(spark, sf_dir, "events")
+    from ._evhash import events_hashed
+
+    ev = events_hashed(spark, sf_dir)
 
     def hashes(event_type: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == event_type)
-            .select(hash60(F.col("user_id").cast("string")).alias("h"))
-            .distinct()
-        )
+        return ev.filter(F.col("grp") == event_type).select("h").distinct()
 
     space = 2**60
     a, b = hashes("click"), hashes("purchase")
@@ -107,7 +106,7 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     exact_union = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
+        ev.filter(F.col("grp").isin("click", "purchase"))
         .agg(F.countDistinct("user_id").alias("exact_union"))
     )
     exact_inter = (
@@ -146,14 +145,10 @@ def kmv_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    hashes = (
-        ev.select(
-            (F.col("user_id") % N_SHARDS).alias("shard"),
-            hash60(F.col("user_id").cast("string")).alias("h"),
-        )
-        .distinct()
-    )
+    from ._evhash import events_hashed
+
+    ev = events_hashed(spark, sf_dir)
+    hashes = ev.select("shard", "h").distinct()
     w = Window.partitionBy("shard").orderBy("h")
     shard_sketches = (
         hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K_MERGE)
@@ -161,12 +156,7 @@ def kmv_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         shard_sketches.select("h").distinct().orderBy("h").limit(K_MERGE)
     )
-    whole = (
-        ev.select(hash60(F.col("user_id").cast("string")).alias("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(K_MERGE)
-    )
+    whole = ev.select("h").distinct().orderBy("h").limit(K_MERGE)
 
     def agg(df: DataFrame, prefix: str) -> DataFrame:
         est = F.when(
@@ -310,11 +300,10 @@ def kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the SAME query."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    hashes = ev.select(
-        F.col("event_type").alias("grp"),
-        hash60(F.col("user_id").cast("string")).alias("h"),
-    ).distinct()
+    from ._evhash import events_hashed
+
+    ev = events_hashed(spark, sf_dir)
+    hashes = ev.select("grp", "h").distinct()
     w = Window.partitionBy("grp").orderBy("h")
     topk = hashes.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= K_MERGE
@@ -322,7 +311,7 @@ def kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = topk.groupBy("grp").agg(
         F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min")
     )
-    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+    exact = ev.groupBy("grp").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
     est = F.when(F.col("k") < K_MERGE, F.col("k").cast("double")).otherwise(
@@ -379,12 +368,9 @@ def kmv_by_group_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     state (kmv_merge_shards is the grand-total special case)."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    hashes = ev.select(
-        F.col("event_type").alias("grp"),
-        (F.col("user_id") % N_SHARDS).alias("shard"),
-        hash60(F.col("user_id").cast("string")).alias("h"),
-    ).distinct()
+    from ._evhash import events_hashed
+
+    hashes = events_hashed(spark, sf_dir).select("grp", "shard", "h").distinct()
     ws = Window.partitionBy("grp", "shard").orderBy("h")
     shard_sk = hashes.withColumn("rn", F.row_number().over(ws)).filter(
         F.col("rn") <= K_MERGE

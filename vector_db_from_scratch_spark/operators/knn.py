@@ -61,6 +61,26 @@ def _query_matrix(spark: SparkSession, sf_dir: str, num_queries: int):
     return _QMAT_MEMO[key]
 
 
+_QVEC_MEMO: dict[tuple[str, str, int], list] = _memo.register({})
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    """The query embedding as a driver-side float list (bounded request
+    state: ONE row), memoized per (application, sf_dir, vec_id) -- the LSH
+    probe needs it to compute the query bucket driver-side and was paying
+    a collect job per invocation."""
+    key = (spark.sparkContext.applicationId, sf_dir, vec_id)
+    if key not in _QVEC_MEMO:
+        row = (
+            load_table(spark, sf_dir, EMB)
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .collect()[0]
+        )
+        _QVEC_MEMO[key] = [float(x) for x in row["embedding"]]
+    return _QVEC_MEMO[key]
+
+
 def query_vector_df(spark: SparkSession, sf_dir: str, vec_id: int) -> DataFrame:
     """1-row DataFrame holding the query embedding (analog of the search
     request body, vector_db/schemas.py:57-60)."""

@@ -694,17 +694,26 @@ def join_strategy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             build = li.select(F.col("l_orderkey").alias("k"), F.col("l_extendedprice").alias("val"))
             probe_side = orders.select(F.col("o_orderkey").alias("k"))
+        # 0-or-1-row decision gate: the strategy predicate lives inside the
+        # broadcast side so a losing branch's probe input empties at runtime
+        # and AQE's empty-relation propagation skips its join + aggregate
+        # (the prior shape ran all four joins and filtered two 1-row results
+        # away; plans/r10/join_strategy_auto_{before,after}.txt). The same
+        # gate is re-applied above the aggregate because a global agg over
+        # an empty join still emits one (n_join=0) row -- output gating is
+        # what preserves the exact result set, input gating is the
+        # performance lever.
+        gate = dec.filter(
+            (F.col("probe") == probe) & (F.col("strategy") == strat)
+        ).select(F.lit(True).alias("use"))
+        probe_side = probe_side.crossJoin(F.broadcast(gate)).drop("use")
         b = F.broadcast(build) if strat == "broadcast" else build.hint("merge")
         joined = probe_side.join(b, "k")
         agg = joined.agg(
             F.count(F.lit(1)).alias("n_join"), _micros("val").alias("total")
         )
-        flag = dec.filter(F.col("probe") == probe).select(
-            (F.col("strategy") == strat).alias("use")
-        )
         return (
-            agg.crossJoin(F.broadcast(flag))
-            .filter(F.col("use"))
+            agg.crossJoin(F.broadcast(gate))
             .select(F.lit(probe).alias("probe"), "n_join", "total")
         )
 
@@ -1047,7 +1056,11 @@ def column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cy in CORR_COLS[i + 1:]:
             aggs.append(F.sum(cents[cx] * cents[cy]).alias(f"sxy_{cx}_{cy}"))
     m = li.agg(*aggs)
-    rows = None
+    # one explode over the 1-row aggregate, not a 6-branch unionAll each
+    # re-referencing it: the union shape leaned on runtime exchange reuse
+    # to avoid re-running the scan per pair; the explode makes the single
+    # execution a plan property
+    entries = []
     for i, cx in enumerate(CORR_COLS):
         for cy in CORR_COLS[i + 1:]:
             num = (
@@ -1060,14 +1073,19 @@ def column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             vary = (
                 F.col("n") * F.col(f"ss_{cy}") - F.col(f"s_{cy}") * F.col(f"s_{cy}")
             ).cast("double")
-            row = m.select(
-                F.lit(cx).alias("col_x"),
-                F.lit(cy).alias("col_y"),
-                F.col("n").cast("long").alias("n"),
-                (F.round(num / F.sqrt(varx * vary), 6) + F.lit(0.0)).alias("r"),
+            entries.append(
+                F.struct(
+                    F.lit(cx).alias("col_x"),
+                    F.lit(cy).alias("col_y"),
+                    F.col("n").cast("long").alias("n"),
+                    (F.round(num / F.sqrt(varx * vary), 6) + F.lit(0.0)).alias("r"),
+                )
             )
-            rows = row if rows is None else rows.unionAll(row)
-    return rows.orderBy("col_x", "col_y")
+    return (
+        m.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.*")
+        .orderBy("col_x", "col_y")
+    )
 
 
 def column_correlations_oracle() -> str:

@@ -138,34 +138,25 @@ def skew_salt_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregation (pigeonhole, as in countmin.cm_heavy_hitters); the
     exact per-key groupBy on the gate side is what the sketches replace.
     """
-    from .countmin import CM_DEPTH, _bucket_expr, cm_counters
+    from ._evhash import cm_cells, events_hashed
+    from .countmin import CM_DEPTH, cm_counters
     from .kmv import HASH_SPACE, K_MIN
-    from ..functions.hashing import hash60
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    # every sketch input (CM grid, probe buckets, KMV hashes, n_total) reads
+    # the shared hashed-events frame -- the raw table is scanned only by the
+    # salted/direct aggregation branches the decision actually drives
+    evh = events_hashed(spark, sf_dir)
     counters = cm_counters(spark, sf_dir)
-    probes = ev.select("user_id").distinct()
-    probe_cells = probes.select(
-        "user_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        _bucket_expr(F.col("user_id"), i).alias("bucket"),
-                    )
-                    for i in range(CM_DEPTH)
-                ]
-            )
-        ).alias("c"),
-    ).select("user_id", "c.row", "c.bucket")
+    probes = evh.select("user_id", *[f"b{i}" for i in range(CM_DEPTH)]).distinct()
+    probe_cells = cm_cells(probes, "user_id")
     est_max = (
         probe_cells.join(F.broadcast(counters), ["row", "bucket"])
         .groupBy("user_id")
         .agg(F.min("counter").alias("est"))
         .agg(F.max("est").alias("est_max"))
     )
-    hashes = ev.select(hash60(F.col("user_id").cast("string")).alias("h")).distinct()
+    hashes = evh.select("h").distinct()
     est_d = F.when(F.col("k") < K_MIN, F.col("k").cast("double")).otherwise(
         (F.col("k") - 1).cast("double") * F.lit(HASH_SPACE) / F.col("kth_min")
     )
@@ -173,7 +164,7 @@ def skew_salt_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashes.orderBy("h")
         .limit(K_MIN)
         .agg(F.count(F.lit(1)).alias("k"), F.max("h").alias("kth_min"))
-        .crossJoin(ev.agg(F.count(F.lit(1)).alias("n_total")))
+        .crossJoin(evh.agg(F.count(F.lit(1)).alias("n_total")))
         .crossJoin(est_max)
         .select("n_total", "est_max", est_d.alias("est_distinct"))
         .select(
