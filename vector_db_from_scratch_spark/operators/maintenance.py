@@ -1056,11 +1056,13 @@ def column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cy in CORR_COLS[i + 1:]:
             aggs.append(F.sum(cents[cx] * cents[cy]).alias(f"sxy_{cx}_{cy}"))
     m = li.agg(*aggs)
-    # one explode over the 1-row aggregate, not a 6-branch unionAll each
-    # re-referencing it: the union shape leaned on runtime exchange reuse
-    # to avoid re-running the scan per pair; the explode makes the single
-    # execution a plan property
-    entries = []
+    # NOTE (round 10): an explode-over-one-struct-array rewrite of this
+    # 6-branch union was measured ~0.7s SLOWER both isolated and in-suite
+    # (1.2-1.5s -> 2.0-2.1s warm) and reverted -- the union's six 1-row
+    # branches share the aggregate via exchange reuse and execute the
+    # decimal scan once either way; the single-branch explode lost the
+    # parallel post-agg projection for no byte savings.
+    rows = None
     for i, cx in enumerate(CORR_COLS):
         for cy in CORR_COLS[i + 1:]:
             num = (
@@ -1073,19 +1075,14 @@ def column_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             vary = (
                 F.col("n") * F.col(f"ss_{cy}") - F.col(f"s_{cy}") * F.col(f"s_{cy}")
             ).cast("double")
-            entries.append(
-                F.struct(
-                    F.lit(cx).alias("col_x"),
-                    F.lit(cy).alias("col_y"),
-                    F.col("n").cast("long").alias("n"),
-                    (F.round(num / F.sqrt(varx * vary), 6) + F.lit(0.0)).alias("r"),
-                )
+            row = m.select(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                (F.round(num / F.sqrt(varx * vary), 6) + F.lit(0.0)).alias("r"),
             )
-    return (
-        m.select(F.explode(F.array(*entries)).alias("e"))
-        .select("e.*")
-        .orderBy("col_x", "col_y")
-    )
+            rows = row if rows is None else rows.unionAll(row)
+    return rows.orderBy("col_x", "col_y")
 
 
 def column_correlations_oracle() -> str:
