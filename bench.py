@@ -171,6 +171,22 @@ def regenerate_scale_block(detail: dict) -> None:
         f.write(pre + block + post)
 
 
+def _driver_heap_gb(target: int = 80, fraction: float = 0.65, floor: int = 8) -> int:
+    """min(target, fraction of physical RAM): the measured 80g steady-state
+    heap where the box affords it (a 128 GiB box reports ~125 GiB MemTotal,
+    0.65 * 125 = 81 -> capped at the measured 80), proportionally less
+    where it does not."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return max(floor, min(target, int(total_gb * fraction)))
+    except OSError:
+        pass
+    return target
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -188,7 +204,12 @@ def main() -> None:
     # 5.65s in BENCH_DETAIL vs a 0.94s steady state); 64g still shows a
     # 2-3s GC tail, 80g converges to the steady state (~1.1s) within
     # three samples. The bench JVM is alone on the 128 GiB box.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "80g")
+    # Capped to 60% of the box's physical RAM (r11, VERDICT r10 item 2):
+    # a flat 80g on a smaller box makes the heap overcommit physical
+    # memory and the bench measures page-cache eviction/swap, not Spark --
+    # the suspected mechanism behind the unexplained 40s warm
+    # lsh_index_tombstone_knn row in the round-10 8-core driver run.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{_driver_heap_gb()}g")
 
     import __spark_entry__ as entrymod
     from vector_db_from_scratch_spark.session import get_spark
@@ -512,6 +533,15 @@ def main() -> None:
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-core-count twin (r11, VERDICT r10 items 3/5): the driver benches
+    # at two core counts and the second run overwrites BENCH_DETAIL.json,
+    # which destroyed the 32-core per-query detail (and the 10x-scale legs
+    # needed to compare c8 vs c32 on the data-heavy queries) in round 10.
+    # Same content, keyed filename -- both runs survive.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if cpus:
+        with open(os.path.join(REPO, f"BENCH_DETAIL_c{cpus}.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     regenerate_scale_block(detail)
 
     headline = {n: timings[n] for n in HEADLINE if n in timings}

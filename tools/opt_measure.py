@@ -1,9 +1,9 @@
-"""Round-10 optimization measurement harness.
+"""Optimization measurement harness (rounds 10-11).
 
 Times individual registry queries with the noop sink (guide §1.4), prints
 cold + warm min-of-N seconds, and writes each query's post-execution
-``explain("formatted")`` to ``plans/r10/<query>_<tag>.txt`` so before/after
-plan claims in OPTIMIZATION_r10.md are reproducible artifacts.
+``explain("formatted")`` to ``plans/$OPT_PLANS_DIR/<query>_<tag>.txt`` (default r11) so
+before/after plan claims in OPTIMIZATION_r<n>.md are reproducible artifacts.
 
 Usage:
     python tools/opt_measure.py --tag before query1 query2 ...
@@ -56,7 +56,7 @@ def main() -> None:
         run_builds(spark, args.sf_dir)
         print(f"builds: {time.perf_counter() - t0:.3f}s", flush=True)
 
-    plans_dir = os.path.join(REPO, "plans", "r10")
+    plans_dir = os.path.join(REPO, "plans", os.environ.get("OPT_PLANS_DIR", "r11"))
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict[str, dict] = {}

@@ -81,6 +81,7 @@ def build_specs() -> list[tuple[str, Callable[[SparkSession, str], object]]]:
         ("bpe_trained_vocab", _bpe_vocab_build),
         # --- streaming replay fixtures (parquet slice + sentinel writes)
         ("ssjoin_left_replay", _ssjoin_left_replay),
+        ("restart_replay", _restart_replay_build),
         ("multiplex_topic_dirs", _multiplex_dirs_build),
     ]
 
@@ -89,6 +90,12 @@ def _ssjoin_left_replay(s: SparkSession, d: str) -> None:
     from .streaming import joins
 
     joins._left_join_replay_dir(s, d)
+
+
+def _restart_replay_build(s: SparkSession, d: str) -> None:
+    from .streaming import windows
+
+    windows.restart_replay_files(s, d)
 
 
 def _events_hashed_build(s: SparkSession, d: str) -> None:

@@ -74,21 +74,6 @@ def _events_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select("user_id")
 
 
-def _counter_cells(h):
-    """(j, sign) struct array from one precomputed hash column -- the
-    EXPLODE form, kept for the streaming build (one row per (j, sign)
-    update). Batch builds use :func:`_counter_sums` instead: same signs,
-    no 48x row multiplication."""
-    return F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(j).alias("j"), _sign_expr(h, j).alias("s"))
-                for j in range(AMS_COUNTERS)
-            ]
-        )
-    ).alias("c")
-
-
 def _counter_sums():
     """All AMS_COUNTERS counters as aggregate expressions over the hashed
     frame -- ONE scan pass, partial-aggregation friendly, no explode (the

@@ -133,14 +133,15 @@ def orders_hilbert_layout_dir(spark: SparkSession, sf_dir: str) -> str:
     bx = _bucket(F.col("o_totalprice"), F.lit(p["xlo"]), F.lit(p["xw"]))
     by = _bucket(F.col("o_custkey").cast("double"), F.lit(float(p["ylo"])), F.lit(p["yw"]))
     out = scratch_dir("orders-hilbert-")
-    (
+    from ..sources.artifacts import write_partitioned
+
+    write_partitioned(
         o.withColumn("bx", bx)
         .withColumn("by", by)
         .join(F.broadcast(_lookup_df(spark)), ["bx", "by"])
-        .withColumn("hpart", (F.col("hcell") / F.lit(1 << ZPART_SHIFT)).cast("int"))
-        .write.mode("overwrite")
-        .partitionBy("hpart")
-        .parquet(out)
+        .withColumn("hpart", (F.col("hcell") / F.lit(1 << ZPART_SHIFT)).cast("int")),
+        out,
+        "hpart",
     )
     _HILBERT_LAYOUT_MEMO[key] = out
     return out

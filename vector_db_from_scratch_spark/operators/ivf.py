@@ -732,9 +732,11 @@ def save_trained_index(
     root = trained_artifact_path(sf_dir, n_cells, iterations)
     final = os.path.join(root, "index")
     if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        from ..sources.artifacts import write_partitioned
+
         assigned = _trained_assignment(spark, sf_dir, n_cells, iterations)
         tmp = final + f".tmp-{os.getpid()}"
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        write_partitioned(assigned, tmp, "cell")
         try:
             os.rename(tmp, final)
         except OSError:
@@ -1390,8 +1392,10 @@ def ivf_index_persisted_knn(
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_PERSISTED_MEMO:
+        from ..sources.artifacts import write_partitioned
+
         path = scratch_dir("ivf-index-")
-        assign_cells(spark, sf_dir).write.mode("overwrite").partitionBy("cell").parquet(path)
+        write_partitioned(assign_cells(spark, sf_dir), path, "cell")
         _IVF_PERSISTED_MEMO[key] = path
     idx = spark.read.parquet(_IVF_PERSISTED_MEMO[key])
     return ivf_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=idx)
@@ -1423,8 +1427,10 @@ def ivf_index_tombstone_knn(
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_PERSISTED_MEMO:
+        from ..sources.artifacts import write_partitioned
+
         path = scratch_dir("ivf-index-")
-        assign_cells(spark, sf_dir).write.mode("overwrite").partitionBy("cell").parquet(path)
+        write_partitioned(assign_cells(spark, sf_dir), path, "cell")
         _IVF_PERSISTED_MEMO[key] = path
     idx = spark.read.parquet(_IVF_PERSISTED_MEMO[key])
     tombstones = (
@@ -1447,19 +1453,18 @@ def ivf_index_merge_knn(
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_SEGMENT_MEMO:
+        from ..sources.artifacts import write_partitioned
+
         assigned = assign_cells(spark, sf_dir)
         root = scratch_dir("ivf-segments-")
         for i in (0, 1):
-            (
-                assigned.filter(F.col("vec_id") % 2 == i)
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(f"{root}/seg{i}")
+            write_partitioned(
+                assigned.filter(F.col("vec_id") % 2 == i), f"{root}/seg{i}", "cell"
             )
         merged = spark.read.parquet(f"{root}/seg0").unionByName(
             spark.read.parquet(f"{root}/seg1")
         )
-        merged.write.mode("overwrite").partitionBy("cell").parquet(f"{root}/merged")
+        write_partitioned(merged, f"{root}/merged", "cell")
         _IVF_SEGMENT_MEMO[key] = f"{root}/merged"
     idx = spark.read.parquet(_IVF_SEGMENT_MEMO[key])
     return ivf_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=idx)
@@ -1645,10 +1650,12 @@ def append_delta_to_index(
     assignment partitionBy(cell), then APPEND the delta assignment --
     dynamic partition append touches only the delta's cells, resident
     files are never rewritten (asserted in tests)."""
+    from ..sources.artifacts import write_partitioned
+
     assigned = assign_cells(spark, sf_dir)
     is_delta = (F.col("vec_id") % delta_mod) == delta_bucket
-    assigned.filter(~is_delta).write.mode("overwrite").partitionBy("cell").parquet(path)
-    assigned.filter(is_delta).write.mode("append").partitionBy("cell").parquet(path)
+    write_partitioned(assigned.filter(~is_delta), path, "cell")
+    write_partitioned(assigned.filter(is_delta), path, "cell", mode="append")
 
 
 # --------------------------------------------------------------------------

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import distance_expr, oracle_distance_sql
-from ..sources.tables import load_table
+from ..sources.tables import arrow_local_df, load_table
 from . import _memo
 
 EMB = "embeddings"
@@ -576,7 +576,20 @@ def knn_mmr_rerank(
     query_vec_id: int = 0,
 ) -> DataFrame:
     """(rank, vec_id, relevance, mmr_score): the K MMR selections over the
-    top-``shortlist_n`` cosine shortlist (query vector itself excluded)."""
+    top-``shortlist_n`` cosine shortlist (query vector itself excluded).
+
+    Every float that decides or appears in the result -- the rel/sim
+    distances -- is computed by Spark's exact ``distance_expr`` path and
+    collected once (shortlist_n rows + shortlist_n^2 pairs, bounded by the
+    API); the greedy SELECTION runs on the driver. The previous form ran
+    the k-1 dependent argmaxes as Spark jobs (anti-join + penalty join +
+    union + localCheckpoint per step), paying per-iteration scheduling for
+    comparisons over a <=shortlist_n-row table -- pure job-scheduling
+    latency (guide §5: the driver should do almost no data work; a 12-row
+    argmax is almost no data work). The driver arithmetic is the same IEEE
+    double ops the Spark expressions performed (lam*rel, (1-lam)*maxsim,
+    subtract, compare), so scores and tie-breaks are bit-identical --
+    pinned by tests/test_r11_opt.py against the iterative form."""
     emb = load_table(spark, sf_dir, EMB).filter(F.col("vec_id") != query_vec_id)
     q = query_vector_df(spark, sf_dir, query_vec_id)
     short = (
@@ -595,7 +608,7 @@ def knn_mmr_rerank(
     )
     a = short.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = short.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    pairs = (
+    pair_rows = (
         a.crossJoin(b)
         .filter(F.col("a") != F.col("b"))
         .select(
@@ -605,45 +618,43 @@ def knn_mmr_rerank(
                 F.lit(1.0) - distance_expr("cosine", F.col("va"), F.col("vb"))
             ).alias("sim"),
         )
+        .collect()
     )
-    sel = (
-        short.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).alias("rank"),
-            "vec_id",
-            "rel",
-            (F.lit(lam) * F.col("rel")).alias("score"),
-        )
-        # each greedy step references the selection three times (anti-join,
-        # penalty join, union); checkpointing per iteration keeps the plan
-        # linear in K instead of ~3^K subtrees (ivf.py:330 discipline) --
-        # each checkpoint is a <= K-row local job over the cached shortlist
-        .localCheckpoint()
-    )
+    rel = {r["vec_id"]: r["rel"] for r in short.select("vec_id", "rel").collect()}
+    short.unpersist()
+    sim = {(r["a"], r["b"]): r["sim"] for r in pair_rows}
+    # greedy selection: first pick = max rel (ties -> smallest vec_id),
+    # later picks maximize lam*rel - (1-lam)*maxsim over the chosen set
+    first = max(rel, key=lambda v: (rel[v], -v))
+    sel = [(1, first, rel[first], lam * rel[first])]
+    maxsim: dict[int, float] = {}
     for i in range(2, k + 1):
-        chosen = sel.select("vec_id")
-        rem = short.join(chosen, "vec_id", "left_anti").select("vec_id", "rel")
-        pen = (
-            pairs.join(chosen.withColumnRenamed("vec_id", "b"), "b")
-            .groupBy(F.col("a").alias("vec_id"))
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        scores = rem.join(pen, "vec_id").select(
-            "vec_id",
-            "rel",
-            (
-                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim")
-            ).alias("score"),
-        )
-        pick = (
-            scores.orderBy(F.col("score").desc(), "vec_id")
-            .limit(1)
-            .select(F.lit(i).alias("rank"), "vec_id", "rel", "score")
-        )
-        sel = sel.unionAll(pick).localCheckpoint()
-    return sel.select(
-        F.col("rank").cast("long").alias("rank"),
+        last = sel[-1][1]
+        for v in rel:
+            if v != last:
+                s = sim[(v, last)]
+                if v not in maxsim or s > maxsim[v]:
+                    maxsim[v] = s
+        chosen = {r[1] for r in sel}
+        cand = {
+            v: lam * rel[v] - (1.0 - lam) * maxsim[v]
+            for v in rel
+            if v not in chosen
+        }
+        pick = max(cand, key=lambda v: (cand[v], -v))
+        sel.append((i, pick, rel[pick], cand[pick]))
+    local = arrow_local_df(
+        spark,
+        {
+            "rank": [r[0] for r in sel],
+            "vec_id": [r[1] for r in sel],
+            "rel": [r[2] for r in sel],
+            "score": [r[3] for r in sel],
+        },
+        "rank long, vec_id long, rel double, score double",
+    )
+    return local.select(
+        "rank",
         "vec_id",
         (F.round("rel", 6) + F.lit(0.0)).alias("relevance"),
         (F.round("score", 6) + F.lit(0.0)).alias("mmr_score"),

@@ -138,8 +138,12 @@ def index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def save_index(emb: DataFrame, path: str) -> None:
-    """S10 analog: persist partitioned by bucket so probes prune partitions."""
-    build_index(emb).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    """S10 analog: persist partitioned by bucket so probes prune partitions
+    (clustered by bucket before the write -- one file per bucket, parallel
+    file creation; sources.artifacts.write_partitioned)."""
+    from ..sources.artifacts import write_partitioned
+
+    write_partitioned(build_index(emb), path, "bucket")
 
 
 def load_index(spark: SparkSession, path: str) -> DataFrame:
@@ -508,15 +512,19 @@ def _persisted_index_path(spark: SparkSession, sf_dir: str) -> str:
     table), so each query writing its own copy -- the pre-round-10 shape --
     was three full index builds + three 256-partition writes of the same
     table per session. The rows come from the cached in-session index
-    table, so the write re-runs neither the scan nor the bucket kernel."""
-    from ..sources.artifacts import scratch_dir
+    table, so the write re-runs neither the scan nor the bucket kernel.
+
+    INVARIANT (ADVICE r10): this directory is immutable once written for
+    the lifetime of the application -- the persisted probe, the tombstone
+    probe, and the versioned probe's v1 snapshot all read it, so any
+    future consumer needing DIFFERENT index parameters must write its own
+    artifact (copy-on-share), never rewrite this path in place."""
+    from ..sources.artifacts import scratch_dir, write_partitioned
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PERSISTED_MEMO:
         path = scratch_dir("lsh-index-")
-        index_table(spark, sf_dir).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(path)
+        write_partitioned(index_table(spark, sf_dir), path, "bucket")
         _PERSISTED_MEMO[key] = path
     return _PERSISTED_MEMO[key]
 
@@ -595,7 +603,7 @@ def lsh_index_merge_knn(
     """Save two ingest segments, compact them into one merged index
     artifact (once per application), probe the merge. Same results as
     :func:`lsh_knn` -- the gate runs both against the same oracle."""
-    from ..sources.artifacts import scratch_dir
+    from ..sources.artifacts import scratch_dir, write_partitioned
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SEGMENT_MEMO:
@@ -605,15 +613,13 @@ def lsh_index_merge_knn(
         # fresh embeddings scan nor a re-run of the bucket kernel
         idx_full = index_table(spark, sf_dir)
         for i in (0, 1):
-            idx_full.filter(F.col("vec_id") % 2 == i).write.mode(
-                "overwrite"
-            ).partitionBy("bucket").parquet(f"{root}/seg{i}")
+            write_partitioned(
+                idx_full.filter(F.col("vec_id") % 2 == i), f"{root}/seg{i}", "bucket"
+            )
         merged = load_index(spark, f"{root}/seg0").unionByName(
             load_index(spark, f"{root}/seg1")
         )
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{root}/merged"
-        )
+        write_partitioned(merged, f"{root}/merged", "bucket")
         _SEGMENT_MEMO[key] = f"{root}/merged"
     idx = load_index(spark, _SEGMENT_MEMO[key])
     return lsh_knn(spark, sf_dir, metric, k=k, query_vec_id=query_vec_id, index_df=idx)
@@ -643,7 +649,7 @@ def lsh_index_versioned_knn(
 ) -> DataFrame:
     """(version, vec_id, distance): the same probe against snapshot v1
     (pre-delete) and v2 (post-delete compaction), unioned."""
-    from ..sources.artifacts import scratch_dir
+    from ..sources.artifacts import scratch_dir, write_partitioned
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _VERSIONED_MEMO:
@@ -656,7 +662,7 @@ def lsh_index_versioned_knn(
         )
         # compaction generation: tombstones applied as a parquet rewrite
         # of the already-encoded rows (no re-hashing)
-        live.write.mode("overwrite").partitionBy("bucket").parquet(f"{root}/v2")
+        write_partitioned(live, f"{root}/v2", "bucket")
         _VERSIONED_MEMO[key] = {1: v1, 2: f"{root}/v2"}
     out = None
     for v, path in sorted(_VERSIONED_MEMO[key].items()):

@@ -34,8 +34,11 @@ def compact(
 
 def rewrite_partitioned(df: DataFrame, out_dir: str, *cols: str) -> None:
     """Re-layout a table partitioned by its pruning columns (the batch
-    equivalent of choosing a hypertable chunking key)."""
-    df.write.mode("overwrite").partitionBy(*cols).parquet(out_dir)
+    equivalent of choosing a hypertable chunking key), clustered by the
+    partition key before the write (sources.artifacts.write_partitioned)."""
+    from ..sources.artifacts import write_partitioned
+
+    write_partitioned(df, out_dir, *cols)
 
 
 def parquet_file_count(path: str) -> int:

@@ -507,12 +507,14 @@ def orders_range_layout_dir(spark: SparkSession, sf_dir: str) -> str:
     out = scratch_dir("orders-ranged-")
     from ..sources.tables import load_table
 
-    (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice", range_id)
-        .write.mode("overwrite")
-        .partitionBy("range_id")
-        .parquet(out)
+    from ..sources.artifacts import write_partitioned
+
+    write_partitioned(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", range_id
+        ),
+        out,
+        "range_id",
     )
     _RANGE_LAYOUT_MEMO[key] = out
     return out

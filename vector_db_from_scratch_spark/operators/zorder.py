@@ -138,14 +138,15 @@ def orders_zorder_layout_dir(spark: SparkSession, sf_dir: str) -> str:
     by = _bucket(F.col("o_custkey").cast("double"), F.lit(float(p["ylo"])), F.lit(p["yw"]))
     zcell = _morton_expr(F.col("bx"), F.col("by"))
     out = scratch_dir("orders-zorder-")
-    (
+    from ..sources.artifacts import write_partitioned
+
+    write_partitioned(
         o.withColumn("bx", bx)
         .withColumn("by", by)
         .withColumn("zcell", zcell)
-        .withColumn("zpart", (F.col("zcell") / F.lit(1 << ZPART_SHIFT)).cast("int"))
-        .write.mode("overwrite")
-        .partitionBy("zpart")
-        .parquet(out)
+        .withColumn("zpart", (F.col("zcell") / F.lit(1 << ZPART_SHIFT)).cast("int")),
+        out,
+        "zpart",
     )
     _ZORDER_LAYOUT_MEMO[key] = out
     return out

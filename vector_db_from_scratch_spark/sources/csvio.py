@@ -98,12 +98,9 @@ def documents_partitioned_dir(spark: SparkSession, sf_dir: str) -> str:
     if key in _PART_MEMO:
         return _PART_MEMO[key]
     out = scratch_dir("docs-bylang-")
-    (
-        load_table(spark, sf_dir, "documents")
-        .write.mode("overwrite")
-        .partitionBy("lang")
-        .parquet(out)
-    )
+    from .artifacts import write_partitioned
+
+    write_partitioned(load_table(spark, sf_dir, "documents"), out, "lang")
     _PART_MEMO[key] = out
     return out
 

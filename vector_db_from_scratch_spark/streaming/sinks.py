@@ -209,14 +209,9 @@ def upsert_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
 
     from ..sources.artifacts import scratch_dir
-    from .windows import drain_conf, events_stream_from, replay_events_dir
+    from .windows import drain_conf, events_stream_from, restart_replay_files
 
-    replay = scratch_dir("upsert-restart-replay-")
-    replay_events_dir(spark, sf_dir, replay, n_files=2)
-    files = sorted(
-        glob.glob(os.path.join(replay, "part-*.parquet")), key=os.path.getmtime
-    )  # mtime IS the arrival order (sequential writes, 0.1s apart);
-    # lexical sort would order by random part-file uuid
+    files = restart_replay_files(spark, sf_dir, n_files=2)
     assert len(files) >= 2, files
     stream_dir = scratch_dir("upsert-restart-stream-")
     ckpt = scratch_dir("upsert-restart-ckpt-")
@@ -312,17 +307,10 @@ def tumbling_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from BOTH phases -- it is correct in the final complete-mode emission
     only if the aggregation state genuinely survived the restart. Output
     hash-gates against the batch tumbling oracle."""
-    import glob
-
     from ..sources.artifacts import scratch_dir
-    from .windows import drain_conf, events_stream_from, replay_events_dir
+    from .windows import drain_conf, events_stream_from, restart_replay_files
 
-    replay = scratch_dir("tumble-restart-replay-")
-    replay_events_dir(spark, sf_dir, replay, n_files=2)
-    files = sorted(
-        glob.glob(os.path.join(replay, "part-*.parquet")), key=os.path.getmtime
-    )  # mtime IS the arrival order (sequential writes, 0.1s apart);
-    # lexical sort would order by random part-file uuid
+    files = restart_replay_files(spark, sf_dir, n_files=2)
     assert len(files) >= 2, files
     stream_dir = scratch_dir("tumble-restart-stream-")
     ckpt = scratch_dir("tumble-restart-ckpt-")
@@ -374,17 +362,10 @@ def session_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase-2 arrivals -- a lost or duplicated state row splits a session
     or doubles n_events, and either flips the hash against the batch
     gaps-and-islands oracle."""
-    import glob
-
     from ..sources.artifacts import scratch_dir
-    from .windows import GAP, drain_conf, events_stream_from, replay_events_dir
+    from .windows import GAP, drain_conf, events_stream_from, restart_replay_files
 
-    replay = scratch_dir("session-restart-replay-")
-    replay_events_dir(spark, sf_dir, replay, n_files=2)
-    files = sorted(
-        glob.glob(os.path.join(replay, "part-*.parquet")), key=os.path.getmtime
-    )  # mtime IS the arrival order (sequential writes, 0.1s apart);
-    # lexical sort would order by random part-file uuid
+    files = restart_replay_files(spark, sf_dir, n_files=2)
     assert len(files) >= 2, files
     stream_dir = scratch_dir("session-restart-stream-")
     ckpt = scratch_dir("session-restart-ckpt-")
@@ -441,17 +422,10 @@ def dedup_restart_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_drained's oracle) hash-mismatches. Late-drop hazards don't
     apply: replay slices are contiguous time-ordered, so no phase-2 row
     is behind the recovered watermark."""
-    import glob
-
     from ..sources.artifacts import scratch_dir
-    from .windows import drain_conf, events_stream_from, replay_events_dir
+    from .windows import drain_conf, events_stream_from, restart_replay_files
 
-    replay = scratch_dir("dedup-restart-replay-")
-    replay_events_dir(spark, sf_dir, replay, n_files=2)
-    files = sorted(
-        glob.glob(os.path.join(replay, "part-*.parquet")), key=os.path.getmtime
-    )  # mtime IS the arrival order (sequential writes, 0.1s apart);
-    # lexical sort would order by random part-file uuid
+    files = restart_replay_files(spark, sf_dir, n_files=2)
     assert len(files) >= 2, files
     stream_dir = scratch_dir("dedup-restart-stream-")
     ckpt = scratch_dir("dedup-restart-ckpt-")

@@ -71,9 +71,13 @@ def run_first_event_once(spark: SparkSession, sf_dir: str, name: str = "t_first"
 
     # unlike the windowed-agg drains (state-store overhead => few
     # partitions), this drain's cost is per-GROUP Python work in
-    # applyInPandasWithState, so it wants one state partition per core
-    # (measured 3.8s -> ~2s at sf0.1 going 8 -> defaultParallelism)
-    with drain_conf(spark, partitions=spark.sparkContext.defaultParallelism):
+    # applyInPandasWithState, so it wants parallelism -- but bounded:
+    # past ~16 partitions the per-partition python-worker/state-store
+    # overhead eats the gain (r11 sweep at sf0.1 on local[32]: 4 parts
+    # 7.7s, 8 -> 4.3s, 16 -> 3.2s, 32 -> 3.3s), so cap at 16 and keep
+    # one-per-core below that (8-core boxes keep their measured 8)
+    parts = min(16, spark.sparkContext.defaultParallelism)
+    with drain_conf(spark, partitions=parts):
         q = (
             first_event_stream(spark, sf_dir)
             .writeStream.format("memory")

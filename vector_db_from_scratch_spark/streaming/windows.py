@@ -349,6 +349,36 @@ def replay_events_dir(
         _time.sleep(0.1)  # distinct mtimes -> deterministic arrival order
 
 
+_RESTART_REPLAY_MEMO: dict[tuple[str, str, int], list[str]] = _memo.register({})
+
+
+def restart_replay_files(
+    spark: SparkSession, sf_dir: str, n_files: int = 2
+) -> list[str]:
+    """Arrival-ordered replay slice files for the checkpoint-restart
+    drains, built ONCE per (application, sf_dir). The four restart gates
+    (tumbling/session/dedup window state + the upsert sink) consume
+    byte-identical fixtures -- the same events table split into the same
+    time-ordered slices -- but each built its own copy (an ntile window
+    over the full table + sequential coalesce(1) writes, ~1s apiece).
+    Consumers only COPY the files into their private stream dirs, so the
+    shared fixture is read-only; the join-restart gate keeps its own
+    anchored split (different slice boundary by construction)."""
+    import glob as _glob
+
+    from ..sources.artifacts import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_files)
+    if key not in _RESTART_REPLAY_MEMO:
+        out = scratch_dir("restart-replay-")
+        replay_events_dir(spark, sf_dir, out, n_files=n_files)
+        files = sorted(
+            _glob.glob(os.path.join(out, "part-*.parquet")), key=os.path.getmtime
+        )  # mtime IS the arrival order (sequential writes, 0.1s apart)
+        _RESTART_REPLAY_MEMO[key] = files
+    return _RESTART_REPLAY_MEMO[key]
+
+
 def events_stream_from(spark: SparkSession, path: str, files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over a replay directory, rate-limited to
     files_per_trigger per micro-batch."""
@@ -857,14 +887,20 @@ def hll_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ams_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hash60
-    from ..operators.ams import _counter_cells
+    from ..operators.ams import _counter_sums
 
     ev = events_stream(spark, sf_dir)
     # one digest per row; every sign derives from its bits (the batch
-    # family, ams.py:_sign_expr)
+    # family, ams.py:_sign_expr). The counters aggregate as AMS_COUNTERS
+    # fused sum expressions in ONE pass -- the batch family's
+    # _counter_sums shape -- instead of exploding each row into 48
+    # (j, sign) cells before the shuffle: partial aggregation reduces
+    # every input partition to a single 48-column row map-side, so the
+    # exchange and the state store see 48 BIGINTs, not 48x the corpus
+    # (guide "aggregate before you shuffle"; the batch side learned this
+    # in round 9 -- 8.6s explode vs sub-second fused at sf0.1).
     hashed = ev.select(hash60(F.col("user_id").cast("string")).alias("h"))
-    cells = hashed.select(_counter_cells(F.col("h"))).select("c.j", "c.s")
-    return cells.groupBy("j").agg(F.sum("s").alias("counter"))
+    return hashed.agg(*_counter_sums())
 
 
 @memoize_drain
@@ -873,9 +909,14 @@ def ams_ingest_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as sketch_ams_counters): each counter is a plain sum of
     hash-derived signs, a pure aggregation, so the join-size/skew
     statistic stays current as events ingest with AMS_COUNTERS BIGINTs of
-    state no matter how long the stream runs."""
+    state no matter how long the stream runs. The drained state is the
+    fused one-row counter vector; the batch-side unpivot re-emits the
+    gated (j, counter) rows -- bit-identical integers (sum of signs per j
+    == the j-th fused sum, associative integer addition)."""
+    from ..operators.ams import _unpivot_counters
+
     res = run_stream_once(ams_ingest_stream(spark, sf_dir), "t_gate_ams_ingest")
-    return res.orderBy("j")
+    return _unpivot_counters(res).orderBy("j")
 
 
 # --------------------------------------------------------------------------
